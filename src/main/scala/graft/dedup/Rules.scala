@@ -1,0 +1,74 @@
+package graft.dedup
+
+/** Static reference data + settings for the company-dedup pipeline.
+  *
+  * Semantics derived from the reference engine
+  * (/root/reference/engine.py:10-41); only the *effective* entries are
+  * kept: dotted suffix variants ("PVT. LTD.", "CO.", "B.V.",
+  * "S.A. DE C.V.", "S.R.L.", "S.P.A.") can never match because
+  * normalization has already replaced '.' with space
+  * (engine.py:48, SURVEY.md Appendix A.4), so they are dropped here.
+  */
+final case class DedupSettings(
+    hardThreshold: Double = 0.90,
+    softThreshold: Double = 0.85,
+    noSubsidiaryFold: Boolean = false,
+    addMap: Map[String, String] = Map.empty) {
+  /** Acronym rewrite map = defaults overridden by user entries
+    * (engine.py:34-41). */
+  def acronymMap: Map[String, String] = Rules.DefaultAcronyms ++ addMap
+}
+
+object Rules {
+  /** Legal suffixes that can match a normalized (dot-free) name,
+    * longest-first so the regex alternation prefers the longest strip
+    * (engine.py:19-24). */
+  val Suffixes: Seq[String] = Seq(
+    "PRIVATE LIMITED", "GMBH & CO KG", "INCORPORATED", "SP Z O O",
+    "SA DE CV", "PTE LTD", "PVT LTD", "LIMITED", "COMPANY", "SP ZOO",
+    "S R L", "GMBH", "LTD", "LLC", "LLP", "PLC", "INC", "A/S", "S A",
+    "CO"
+  ).sortBy(s => (-s.length, s))
+
+  /** Trailing country tokens folded off subsidiaries, longest-first
+    * (engine.py:27-31). */
+  val Countries: Seq[String] = Seq(
+    "UNITED KINGDOM", "UNITED STATES", "SAUDI ARABIA", "COTE DIVOIRE",
+    "SOUTH AFRICA", "NEW ZEALAND", "HONG KONG", "SINGAPORE", "MALAYSIA",
+    "GERMANY", "CANADA", "BRAZIL", "FRANCE", "INDIA", "CHINA", "JAPAN",
+    "KOREA", "ITALY", "USA", "UAE"
+  ).sortBy(s => (-s.length, s))
+
+  /** Default acronym rewrites (engine.py:34-38). "IBM INDIA" is
+    * reachable only when subsidiary folding is disabled
+    * (SURVEY.md Appendix A.4) but is kept for flag parity. */
+  val DefaultAcronyms: Map[String, String] = Map(
+    "IBM INDIA" -> "IBM",
+    "TCS" -> "TATA CONSULTANCY SERVICES",
+    "HDFC" -> "HDFC BANK")
+
+  /** Industry keyword rules (engine.py:115-121). The reference's
+    * 'SaaS' keyword is dead code — it is compared case-sensitively
+    * against an upper-cased name (engine.py:123-125) — so it is
+    * omitted (SURVEY.md Appendix A.4). Order matters: first industry
+    * whose keyword hits wins (Python dict order). */
+  val IndustryKeywords: Seq[(String, Seq[String])] = Seq(
+    "TECHNOLOGY" -> Seq("SOFTWARE", "TECH", "COMPUTING", "DIGITAL"),
+    "FINANCE" -> Seq("BANK", "INVESTMENT", "FINANCIAL", "CAPITAL", "INSURANCE"),
+    "HEALTHCARE" -> Seq("PHARMA", "HOSPITAL", "MEDICAL", "HEALTH", "BIOTECH"),
+    "RETAIL" -> Seq("STORE", "SHOP", "MARKET", "COMMERCE"),
+    "MANUFACTURING" -> Seq("ENGINEERING", "INDUSTRIAL", "SYSTEMS", "ELECTRONICS"))
+
+  /** Confidence ladder (engine.py:371-375). */
+  val ConfTokenAndRatio = 0.98
+  val ConfHardRatio = 0.95
+  val ConfSoftRatio = 0.88
+  val ConfDefault = 0.70
+  val ConfEmptyBase = 0.50
+
+  val ReasonTokenAndRatio = "token-sorted match AND ratio >= 0.90"
+  val ReasonHardRatio = "ratio >= 0.90"
+  val ReasonSoftRatio = "ratio >= 0.85"
+  val ReasonDefault = "Isolated or weak match"
+  val ReasonEmptyBase = "No base name after cleaning; kept as singleton"
+}

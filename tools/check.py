@@ -1,0 +1,65 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's correctness gate: run graft.Verify at a
+scale factor, execute each oracle SQL in DuckDB over the same parquet
+tables, and compare (rows, schema-ish, values). Dev tool only — not
+part of the Spark library."""
+import json, subprocess, sys, tempfile
+from pathlib import Path
+
+import duckdb
+import pandas as pd
+
+SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+OUT = Path(sys.argv[2]) if len(sys.argv) > 2 else Path(tempfile.mkdtemp(prefix="graft_verify_"))
+SKIP_VERIFY = "--no-verify" in sys.argv
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+if not SKIP_VERIFY:
+    cmd = ["sbt", "-batch", f'runMain graft.Verify {SF_DIR} {OUT}']
+    r = subprocess.run(cmd, capture_output=True, text=True, cwd="/root/repo")
+    if r.returncode != 0:
+        print(r.stdout[-4000:]); print(r.stderr[-4000:]); sys.exit(1)
+    for line in r.stdout.splitlines():
+        if "[verify]" in line:
+            print(line)
+
+con = duckdb.connect()
+for t in TABLES:
+    con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+
+oracle = json.loads((OUT / "oracle_sql.json").read_text())
+fails = 0
+for name, sql in sorted(oracle.items()):
+    pdir = OUT / name
+    if not pdir.exists():
+        print(f"FAIL {name}: no spark output"); fails += 1; continue
+    try:
+        got = con.sql(f"SELECT * FROM '{pdir}/*.parquet'").df()
+        want = con.sql(sql).df()
+    except Exception as e:
+        print(f"FAIL {name}: {e}"); fails += 1; continue
+    # driver-style compare: sort columns by name, then hash values
+    got = got.reindex(sorted(got.columns), axis=1)
+    want = want.reindex(sorted(want.columns), axis=1)
+    if list(got.columns) != list(want.columns):
+        print(f"FAIL {name}: columns {list(got.columns)} != {list(want.columns)}")
+        fails += 1; continue
+    if len(got) != len(want):
+        print(f"FAIL {name}: rows {len(got)} != {len(want)}"); fails += 1; continue
+    # normalize dtypes for value compare
+    g = got.astype(str).reset_index(drop=True)
+    w = want.astype(str).reset_index(drop=True)
+    if not g.equals(w):
+        diff = (g != w).any(axis=1)
+        print(f"FAIL {name}: {int(diff.sum())}/{len(g)} rows differ; first:")
+        idx = diff.idxmax()
+        print("  spark :", got.iloc[idx].to_dict())
+        print("  duckdb:", want.iloc[idx].to_dict())
+        fails += 1; continue
+    print(f"OK   {name} ({len(got)} rows)")
+
+print(f"\n{'ALL GREEN' if fails == 0 else f'{fails} FAILURES'} "
+      f"({len(oracle)} queries, sf={SF_DIR}, out={OUT})")
+sys.exit(1 if fails else 0)
