@@ -1,0 +1,100 @@
+package graft.dedup
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** E3 — the full dedup "query" (engine.py:210-369) as one lazy
+  * DataFrame composition, with the deterministic re-specifications of
+  * SURVEY.md Appendix A:
+  *
+  *  - cluster_id = min(row_order) within the cluster (A.2)
+  *  - per-row confidence = max pair-confidence over qualifying pairs
+  *    where the row is the lower row_order; 0.70 default, 0.50 for
+  *    empty base names (A.1); reason derived from the confidence
+  *  - canonical tie-break = (count desc, length asc, base_name asc)
+  *    (A.3)
+  *
+  * Everything except the CC driver loop is a single Catalyst-optimized
+  * DAG. Name-level intermediates (stats, pairs, components,
+  * candidates) are tiny relative to the row table, so every join back
+  * to rows is AQE-broadcastable. */
+object Pipeline {
+
+  /** Full derived output table:
+    * (row_order, original_name, normalized_name, base_name, block_key,
+    *  cluster_id, cluster_size, canonical_name, confidence, reason). */
+  def run(df: DataFrame, nameCol: String, rowOrderCol: String,
+      settings: DedupSettings = DedupSettings()): DataFrame = {
+
+    val derived = Normalize.withDerived(df, nameCol, rowOrderCol, settings)
+      .select("row_order", "original_name", "normalized_name", "base_name", "block_key")
+
+    val stats = Matching.nameStats(derived)
+    val pairs = Matching.qualifyingPairs(stats, settings).localCheckpoint(true)
+
+    // --- C1: components over the distinct-name graph; node id = the
+    // name's min_row, so a component id IS min(row_order) in-cluster.
+    val edges = pairs.select(col("a_min_row").as("src"), col("b_min_row").as("dst"))
+    val comps = Cluster.connectedComponents(edges)
+    val nameCluster = stats
+      .join(comps.withColumnRenamed("id", "min_row"), Seq("min_row"), "left")
+      .select(col("base_name"),
+        coalesce(col("component"), col("min_row")).as("cluster_id"))
+
+    // --- A.1 confidence candidates at name level: a name's rows can
+    // claim pair_conf if a partner row with a higher row_order exists.
+    val selfCand = stats.filter(col("n_rows") >= 2)
+      .select(col("base_name").as("cand_name"),
+        lit(Rules.ConfTokenAndRatio).as("cand_conf"),
+        col("max_row").as("partner_max_row"))
+    val crossCand = pairs.select(col("a_name").as("cand_name"),
+        col("pair_conf").as("cand_conf"), col("b_max_row").as("partner_max_row"))
+      .union(pairs.select(col("b_name"), col("pair_conf"), col("a_max_row")))
+    val candidates = selfCand.union(crossCand)
+
+    val withConf = derived
+      .join(candidates,
+        derived("base_name") === candidates("cand_name") &&
+          candidates("partner_max_row") > derived("row_order"),
+        "left")
+      .groupBy("row_order", "original_name", "normalized_name", "base_name", "block_key")
+      .agg(max(col("cand_conf")).as("max_cand_conf"))
+      .withColumn("confidence",
+        when(col("base_name") === "", lit(Rules.ConfEmptyBase))
+          .otherwise(coalesce(col("max_cand_conf"), lit(Rules.ConfDefault))))
+      .drop("max_cand_conf")
+
+    // --- cluster assignment: empty-base rows are forced singletons.
+    val clustered = withConf
+      .join(nameCluster, Seq("base_name"), "left")
+      .withColumn("cluster_id",
+        coalesce(col("cluster_id"), col("row_order")))
+
+    // --- A1/A2: canonical election (mode, tie → shortest, then asc)
+    // + cluster size, both as per-cluster reductions joined back.
+    val votes = clustered.filter(col("base_name") =!= "")
+      .groupBy("cluster_id", "base_name").agg(count(lit(1)).as("votes"))
+    val electW = Window.partitionBy("cluster_id")
+      .orderBy(col("votes").desc, length(col("base_name")).asc, col("base_name").asc)
+    val elected = votes.withColumn("rk", row_number().over(electW))
+      .filter(col("rk") === 1)
+      .select(col("cluster_id"), col("base_name").as("elected_name"))
+    val sizes = clustered.groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
+
+    clustered
+      .join(elected, Seq("cluster_id"), "left")
+      .join(sizes, Seq("cluster_id"))
+      .withColumn("canonical_name",
+        coalesce(col("elected_name"), col("normalized_name")))
+      .withColumn("reason",
+        when(col("confidence") === Rules.ConfEmptyBase, lit(Rules.ReasonEmptyBase))
+          .when(col("confidence") === Rules.ConfTokenAndRatio, lit(Rules.ReasonTokenAndRatio))
+          .when(col("confidence") === Rules.ConfHardRatio, lit(Rules.ReasonHardRatio))
+          .when(col("confidence") === Rules.ConfSoftRatio, lit(Rules.ReasonSoftRatio))
+          .otherwise(lit(Rules.ReasonDefault)))
+      .select("row_order", "original_name", "normalized_name", "base_name",
+        "block_key", "cluster_id", "cluster_size", "canonical_name",
+        "confidence", "reason")
+  }
+}

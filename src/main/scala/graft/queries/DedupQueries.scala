@@ -21,6 +21,9 @@ object DedupQueries {
   private def derivedSupplier(s: SparkSession, dir: String): DataFrame =
     Normalize.withDerived(Tables.supplier(s, dir), "s_name", "s_suppkey")
 
+  private def fullPart(s: SparkSession, dir: String): DataFrame =
+    Pipeline.run(Tables.part(s, dir), "p_name", "p_partkey")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // F1-F5 + K1: full derived-column contract, row-level.
     "dedup_normalize" -> ((s, dir) =>
@@ -38,8 +41,56 @@ object DedupQueries {
           count(lit(1)).as("n_rows"),
           countDistinct(col("base_name")).as("n_names"),
           min(col("row_order")).as("min_row"))
-        .orderBy("block_key"))
+        .orderBy("block_key")),
+
+    // J1+M1+M2+C2: qualifying pairs on supplier — all-distinct,
+    // pairwise-similar names make this a dense Jaro-Winkler join, the
+    // numeric-parity stress test against DuckDB's implementation.
+    "dedup_pairs" -> ((s, dir) =>
+      Matching.qualifyingPairs(Matching.nameStats(derivedSupplier(s, dir)))
+        .select("a_name", "b_name", "ratio", "token_match", "pair_conf")
+        .orderBy("a_name", "b_name")),
+
+    // C1: row -> cluster assignment (cluster_id = min row_order).
+    "dedup_clusters" -> ((s, dir) =>
+      fullPart(s, dir).select("row_order", "cluster_id").orderBy("row_order")),
+
+    // E3: the full pipeline contract table (sheet `clusters`).
+    "dedup_full" -> ((s, dir) => Outputs.clusters(fullPart(s, dir))),
+
+    // golden mapping (original -> canonical), per row.
+    "dedup_mapping" -> ((s, dir) => Outputs.mapping(fullPart(s, dir))),
+
+    // A3: canonical summary.
+    "dedup_summary" -> ((s, dir) => Outputs.summary(fullPart(s, dir))),
+
+    // T1: high-confidence review subset.
+    "dedup_review" -> ((s, dir) => Outputs.review(fullPart(s, dir))),
+
+    // A4: scalar stats.
+    "dedup_stats" -> ((s, dir) => Outputs.stats(fullPart(s, dir))),
+
+    // O2: settings echo (literal table).
+    "dedup_settings" -> ((s, _) => Outputs.settingsEcho(s, DedupSettings())),
+
+    // W3 (pure part): keyword industry classification over distinct
+    // canonical names.
+    "enrich_industry" -> ((s, dir) => {
+      val keywordCase = Rules.IndustryKeywords.foldRight(
+        when(lit(false), lit("")).otherwise(lit("Diversified/Other"))) {
+        case ((industry, keys), elseExpr) =>
+          when(keys.map(k => col("canonical_name").contains(k)).reduce(_ || _),
+            lit(industry)).otherwise(elseExpr)
+      }
+      fullPart(s, dir)
+        .select("canonical_name").distinct()
+        .withColumn("industry",
+          when(col("canonical_name") === "", lit("Unknown")).otherwise(keywordCase))
+        .orderBy("canonical_name")
+    })
   )
+
+  private val partPipeline = Sql.dedupPipelineCte("part", "p_partkey", "p_name")
 
   val oracle: Map[String, String] = Map(
     "dedup_normalize" ->
@@ -53,6 +104,76 @@ object DedupQueries {
          |       count(DISTINCT base_name) AS n_names,
          |       min(row_order) AS min_row
          |FROM derived WHERE base_name <> ''
-         |GROUP BY block_key ORDER BY block_key""".stripMargin
+         |GROUP BY block_key ORDER BY block_key""".stripMargin,
+
+    "dedup_pairs" ->
+      s"""${Sql.derivedCte("supplier", "s_suppkey", "s_name")},
+         |stats AS (
+         |  SELECT block_key, base_name, count(*) AS n_rows,
+         |         min(row_order) AS min_row, max(row_order) AS max_row
+         |  FROM derived WHERE base_name <> '' GROUP BY 1, 2
+         |)
+         |SELECT a.base_name AS a_name, b.base_name AS b_name,
+         |       jaro_winkler_similarity(a.base_name, b.base_name) AS ratio,
+         |       (${Sql.tokenKey("a.base_name")} = ${Sql.tokenKey("b.base_name")}) AS token_match,
+         |       ${Sql.pairConf("jaro_winkler_similarity(a.base_name, b.base_name)",
+                s"(${Sql.tokenKey("a.base_name")} = ${Sql.tokenKey("b.base_name")})")} AS pair_conf
+         |FROM stats a JOIN stats b
+         |  ON a.block_key = b.block_key AND a.base_name < b.base_name
+         |WHERE ((${Sql.tokenKey("a.base_name")} = ${Sql.tokenKey("b.base_name")})
+         |       AND jaro_winkler_similarity(a.base_name, b.base_name) >= 0.85)
+         |   OR jaro_winkler_similarity(a.base_name, b.base_name) >= 0.90
+         |ORDER BY a_name, b_name""".stripMargin,
+
+    "dedup_clusters" ->
+      s"""$partPipeline
+         |SELECT row_order, cluster_id FROM final ORDER BY row_order""".stripMargin,
+
+    "dedup_full" ->
+      s"""$partPipeline
+         |SELECT row_order, original_name, normalized_name, base_name, cluster_id,
+         |       cluster_size, canonical_name, confidence, reason
+         |FROM final ORDER BY row_order""".stripMargin,
+
+    "dedup_mapping" ->
+      s"""$partPipeline
+         |SELECT original_name, canonical_name FROM final
+         |ORDER BY original_name, canonical_name""".stripMargin,
+
+    "dedup_summary" ->
+      s"""$partPipeline
+         |SELECT cluster_id, canonical_name, count(*) AS count FROM final
+         |GROUP BY 1, 2 ORDER BY cluster_id, canonical_name""".stripMargin,
+
+    "dedup_review" ->
+      s"""$partPipeline
+         |SELECT row_order, original_name, normalized_name, base_name, cluster_id,
+         |       cluster_size, canonical_name, confidence, reason
+         |FROM final
+         |WHERE confidence >= 0.95 AND cluster_size >= 2
+         |ORDER BY row_order""".stripMargin,
+
+    "dedup_stats" ->
+      s"""$partPipeline
+         |SELECT count(*) AS total_rows,
+         |       count(DISTINCT cluster_id) AS total_clusters,
+         |       CAST(sum(CASE WHEN cluster_size >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         |         AS multi_record_clusters,
+         |       CAST(sum(CASE WHEN confidence >= 0.95 AND cluster_size >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         |         AS high_confidence_review_rows
+         |FROM final""".stripMargin,
+
+    "dedup_settings" ->
+      """SELECT * FROM (VALUES
+        |  ('hard_threshold', '0.9'), ('soft_threshold', '0.85'),
+        |  ('suffix_list_size', '26'), ('explicit_maps', ''),
+        |  ('subsidiary_folding', 'true'), ('preserved_all_rows', 'true'))
+        |AS t(setting, value)""".stripMargin,
+
+    "enrich_industry" ->
+      s"""$partPipeline
+         |SELECT DISTINCT canonical_name,
+         |       ${Sql.industryCase("canonical_name")} AS industry
+         |FROM final ORDER BY canonical_name""".stripMargin
   )
 }
