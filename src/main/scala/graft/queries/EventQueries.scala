@@ -1,0 +1,91 @@
+package graft.queries
+
+import graft.core.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Batch time-series operators over the events table: tumbling
+  * windows, gap sessionization, JSON extraction. Window starts are
+  * emitted as formatted strings so TIMESTAMP_NTZ/NS precision
+  * differences between engines can't leak into the compare. The same
+  * transforms run unchanged under Structured Streaming (see
+  * graft.streaming). */
+object EventQueries {
+
+  private def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(18,2)")
+  private val TsFmt = "yyyy-MM-dd HH:mm:ss"
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // tumbling 1-hour windows per event type.
+    "events_tumbling" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(dec(col("value"))).cast("double").as("total_value"))
+        .select(
+          date_format(col("w.start"), TsFmt).as("window_start"),
+          col("event_type"), col("n"), col("total_value"))
+        .orderBy("window_start", "event_type")),
+
+    // gap-based sessionization (30-min inactivity): lag + running sum
+    // of session-break flags, then per-session aggregates.
+    "events_sessions" -> ((s, dir) => {
+      val byUser = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+      Tables.events(s, dir)
+        .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+        .withColumn("new_session",
+          when(col("prev_ts").isNull ||
+            col("ts").cast("long") - col("prev_ts").cast("long") > 1800L, 1L)
+            .otherwise(0L))
+        .withColumn("session_seq",
+          sum(col("new_session")).over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy("user_id", "session_seq")
+        .agg(
+          date_format(min(col("ts")), TsFmt).as("session_start"),
+          count(lit(1)).as("n_events"),
+          sum(dec(col("value"))).cast("double").as("total_value"))
+        .orderBy("user_id", "session_seq")
+    }),
+
+    // JSON scalar extraction + histogram over the extracted value.
+    "events_json" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .select(get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy(floor(col("k") / 10).as("k_bucket"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("k_bucket"))
+  )
+
+  val oracle: Map[String, String] = Map(
+    "events_tumbling" ->
+      """SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+        |       event_type, count(*) AS n,
+        |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "events_sessions" ->
+      """WITH flagged AS (
+        |  SELECT user_id, ts, event_id, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR CAST(floor(epoch(ts)) AS BIGINT) - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) > 1800
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)),
+        |sessions AS (
+        |  SELECT *, sum(new_session) OVER (PARTITION BY user_id
+        |    ORDER BY ts ASC, event_id ASC ROWS UNBOUNDED PRECEDING) AS session_seq
+        |  FROM flagged)
+        |SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+        |       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+        |       count(*) AS n_events,
+        |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM sessions GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "events_json" ->
+      """SELECT CAST(floor(CAST(json_extract_string(props, '$.k') AS BIGINT) / 10) AS BIGINT) AS k_bucket,
+        |       count(*) AS n
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+  )
+}

@@ -1,0 +1,147 @@
+package graft.queries
+
+import graft.core.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** General relational engine coverage beyond the reference's own
+  * surface: scan+filter+agg, multi-way broadcast joins, windows,
+  * set ops, semi/anti joins.
+  *
+  * Determinism note: double sums are aggregated in DECIMAL (exact,
+  * order-independent under Spark's partial aggregation) and cast to
+  * double at the end, so results hash-match DuckDB bit-for-bit
+  * regardless of partitioning. */
+object RelationalQueries {
+
+  private def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(18,2)")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // TPC-H Q1-flavored scan+filter+aggregate; filter + pruning push
+    // into the parquet scan.
+    "rel_pricing_summary" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") <= lit("1997-12-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
+          sum(dec(col("l_extendedprice"))).cast("double").as("sum_base_price"),
+          sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,2)") - dec(col("l_discount"))))
+            .cast("double").as("sum_disc_price"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")),
+
+    // revenue per region: orders -> customer -> nation -> region, the
+    // dim tables all broadcast (star-schema join chain).
+    "rel_region_revenue" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+      val c = broadcast(Tables.customer(s, dir))
+      val n = broadcast(Tables.nation(s, dir))
+      val r = broadcast(Tables.region(s, dir))
+      o.join(c, o("o_custkey") === c("c_custkey"))
+        .join(n, c("c_nationkey") === n("n_nationkey"))
+        .join(r, n("n_regionkey") === r("r_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(
+          sum(dec(col("o_totalprice"))).cast("double").as("revenue"),
+          count(lit(1)).as("n_orders"))
+        .orderBy("r_name")
+    }),
+
+    // top-3 orders per customer by totalprice (window top-k with a
+    // deterministic key tie-break).
+    "rel_top_orders" -> ((s, dir) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      Tables.orders(s, dir)
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select("o_custkey", "rk", "o_orderkey", "o_totalprice")
+        .orderBy("o_custkey", "rk")
+    }),
+
+    // set ops coverage (union/intersect/except): customers without
+    // orders ∪ low-key customers with orders.
+    "rel_setops" -> ((s, dir) => {
+      val c = Tables.customer(s, dir).select(col("c_custkey").as("custkey"))
+      val o = Tables.orders(s, dir).select(col("o_custkey").as("custkey")).distinct()
+      c.except(o)
+        .union(c.intersect(o).filter(col("custkey") < 100))
+        .orderBy("custkey")
+    }),
+
+    // semi/anti joins: per nation, customers with vs without orders.
+    "rel_customer_activity" -> ((s, dir) => {
+      val c = Tables.customer(s, dir)
+      val o = Tables.orders(s, dir).select(col("o_custkey"))
+      val active = c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+        .groupBy("c_nationkey").agg(count(lit(1)).as("n_active"))
+      val inactive = c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .groupBy("c_nationkey").agg(count(lit(1)).as("n_inactive"))
+      active.join(inactive, Seq("c_nationkey"), "full_outer")
+        .select(col("c_nationkey"),
+          coalesce(col("n_active"), lit(0L)).as("n_active"),
+          coalesce(col("n_inactive"), lit(0L)).as("n_inactive"))
+        .orderBy("c_nationkey")
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "rel_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |           (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+        |    AS sum_disc_price,
+        |  count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1997-12-01 00:00:00'
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "rel_region_revenue" ->
+      """SELECT r_name,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_orders
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "rel_top_orders" ->
+      """SELECT o_custkey, rk, o_orderkey, o_totalprice FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |         row_number() OVER (PARTITION BY o_custkey
+        |           ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+        |  FROM orders) t
+        |WHERE rk <= 3 ORDER BY o_custkey, rk""".stripMargin,
+
+    "rel_setops" ->
+      """WITH c AS (SELECT c_custkey AS custkey FROM customer),
+        |     o AS (SELECT DISTINCT o_custkey AS custkey FROM orders)
+        |SELECT * FROM (
+        |  (SELECT custkey FROM c EXCEPT SELECT custkey FROM o)
+        |  UNION
+        |  SELECT custkey FROM
+        |    (SELECT custkey FROM c INTERSECT SELECT custkey FROM o)
+        |  WHERE custkey < 100)
+        |ORDER BY custkey""".stripMargin,
+
+    "rel_customer_activity" ->
+      """WITH active AS (
+        |  SELECT c_nationkey, count(*) AS n_active FROM customer
+        |  WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |  GROUP BY 1),
+        |inactive AS (
+        |  SELECT c_nationkey, count(*) AS n_inactive FROM customer
+        |  WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |  GROUP BY 1)
+        |SELECT coalesce(a.c_nationkey, i.c_nationkey) AS c_nationkey,
+        |       coalesce(n_active, 0) AS n_active,
+        |       coalesce(n_inactive, 0) AS n_inactive
+        |FROM active a FULL OUTER JOIN inactive i ON a.c_nationkey = i.c_nationkey
+        |ORDER BY 1""".stripMargin
+  )
+}
