@@ -8,9 +8,11 @@ object SparkEntry {
     DedupQueries.queries("dedup_normalize")(spark, "/root/testdata/sf0.001")
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    DedupQueries.queries ++ RelationalQueries.queries ++ EventQueries.queries
+    DedupQueries.queries ++ RelationalQueries.queries ++ EventQueries.queries ++
+      TextQueries.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    DedupQueries.oracle ++ RelationalQueries.oracle ++ EventQueries.oracle
+    DedupQueries.oracle ++ RelationalQueries.oracle ++ EventQueries.oracle ++
+      TextQueries.oracle
 }

@@ -1,0 +1,54 @@
+package graft.ext
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis + fingerprinting column functions for LLM-data
+  * pipelines (north-star extensions, SURVEY.md §7): tokenization
+  * stats, language ID, quality scoring, shingling, MinHash, SimHash,
+  * winnowing fingerprints. All pure `functions._` compositions —
+  * codegen'd, no UDFs — so they distribute with zero serialization
+  * overhead and stay inside whole-stage codegen at 100 TB.
+  *
+  * Hash family: md5 (hex-string compare = unsigned byte compare),
+  * chosen because every engine agrees on it bit-for-bit — signatures
+  * are reproducible across Spark, DuckDB, and any future backend. */
+object TextOps {
+
+  /** Whitespace tokens (Python str.split-style). */
+  def words(text: Column): Column = split(text, "\\s+")
+
+  /** GPT2-pretokenizer-flavored token count: letter runs, single
+    * digits, single non-alphanumeric marks. */
+  def bpeishCount(text: Column): Column =
+    regexp_count(text, lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"))
+
+  /** Distinct word k-shingles ("a b c" strings). Empty array when the
+    * doc has fewer than k words (guards sequence() against negative
+    * bounds). */
+  def shingles(wordsCol: Column, k: Int): Column =
+    when(size(wordsCol) >= k,
+      array_distinct(transform(sequence(lit(0), size(wordsCol) - k),
+        i => concat_ws(" ", (0 until k).map(j => element_at(wordsCol, i + j + 1)): _*))))
+      .otherwise(array().cast("array<string>"))
+
+  /** One MinHash signature: min over shingles of md5(seed|shingle).
+    * Hex-string min ≡ unsigned-hash min. */
+  def minhashSig(shinglesCol: Column, seed: Int): Column =
+    array_min(transform(shinglesCol, s => md5(concat(lit(s"$seed|"), s))))
+
+  /** LSH band key over consecutive signature columns. */
+  def bandKey(band: Int, sigs: Seq[Column]): Column =
+    md5(concat(lit(s"$band|") +: sigs: _*))
+
+  /** 32-bit word hash from the md5 prefix — the bit source for
+    * SimHash and winnowing fingerprints. */
+  def wordHash32(c: Column): Column =
+    conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+
+  /** Exact Jaccard over two distinct-element arrays. */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b))
+    inter / (size(a) + size(b) - inter)
+  }
+}

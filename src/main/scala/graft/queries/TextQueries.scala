@@ -1,0 +1,321 @@
+package graft.queries
+
+import graft.core.Tables
+import graft.ext.TextOps
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** LLM-data-pipeline text operators over the documents table:
+  * exact/MinHash/SimHash dedup, n-gram Jaccard, language ID, quality
+  * scoring, token counting, winnowing fingerprints. */
+object TextQueries {
+
+  private val NumSigs = 12 // MinHash signatures
+  private val Bands = 6 // LSH bands (r = 2 rows/band)
+  private val ShingleK = 2 // word shingle width
+  private val JaccardThreshold = 0.08
+
+  /** Stopword lists for the n-gram language heuristic. */
+  private val LangStops: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "a", "in", "is"),
+    "es" -> Seq("el", "la", "de", "que", "los", "y"),
+    "de" -> Seq("der", "die", "und", "das", "ist"),
+    "fr" -> Seq("le", "les", "et", "des", "un"))
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+
+  /** doc_id + distinct word-shingle set. */
+  private def withShingles(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(col("doc_id"),
+      TextOps.shingles(TextOps.words(col("text")), ShingleK).as("sh"))
+
+  /** doc_id + the 12 MinHash signature columns. */
+  private def withSigs(s: SparkSession, dir: String): DataFrame =
+    (0 until NumSigs).foldLeft(withShingles(s, dir)) { (df, i) =>
+      df.withColumn(s"sig_$i", TextOps.minhashSig(col("sh"), i))
+    }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // exact dedup: hash-groupBy with min-id representative election.
+    "text_exact_dedup" -> ((s, dir) => {
+      val w = Window.partitionBy("content_hash")
+      docs(s, dir)
+        .select(col("doc_id"), md5(col("text")).as("content_hash"))
+        .withColumn("rep_id", min(col("doc_id")).over(w))
+        .withColumn("group_size", count(lit(1)).over(w))
+        .withColumn("is_canonical", col("doc_id") === col("rep_id"))
+        .orderBy("doc_id")
+    }),
+
+    // MinHash signatures per doc (strong cross-engine parity check).
+    "text_minhash_sigs" -> ((s, dir) =>
+      withSigs(s, dir).drop("sh").orderBy("doc_id")),
+
+    // MinHash-LSH near-dup join: band buckets -> candidate pairs ->
+    // exact-Jaccard verification. The LSH join touches only bucket
+    // collisions — at scale this is the difference between O(n²) and
+    // O(candidates).
+    "text_lsh_pairs" -> ((s, dir) => {
+      val sigs = withSigs(s, dir)
+      val banded = sigs.select(col("doc_id") +: (0 until Bands).map(b =>
+        TextOps.bandKey(b, Seq(col(s"sig_${2 * b}"), col(s"sig_${2 * b + 1}")))
+          .as(s"band_$b")): _*)
+      val bandRows = banded.select(col("doc_id"), explode(array(
+        (0 until Bands).map(b => struct(lit(b).as("band"), col(s"band_$b").as("key"))): _*))
+        .as("bk"))
+        .select(col("doc_id"), col("bk.band"), col("bk.key"))
+      val cand = bandRows.as("a")
+        .join(bandRows.as("b"),
+          col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+        .distinct()
+      val sh = withShingles(s, dir)
+      cand
+        .join(sh.select(col("doc_id").as("a_id"), col("sh").as("a_sh")), Seq("a_id"))
+        .join(sh.select(col("doc_id").as("b_id"), col("sh").as("b_sh")), Seq("b_id"))
+        .withColumn("jaccard", TextOps.jaccard(col("a_sh"), col("b_sh")))
+        .filter(col("jaccard") >= JaccardThreshold)
+        .select("a_id", "b_id", "jaccard")
+        .orderBy("a_id", "b_id")
+    }),
+
+    // SimHash 32-bit signatures (term-frequency weighted).
+    "text_simhash" -> ((s, dir) => {
+      val wordCounts = docs(s, dir)
+        .select(col("doc_id"), explode(TextOps.words(col("text"))).as("w"))
+        .groupBy("doc_id", "w").agg(count(lit(1)).as("cnt"))
+        .withColumn("h", TextOps.wordHash32(col("w")))
+      val bitSums = (0 until 32).map(i =>
+        sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, col("cnt"))
+          .otherwise(-col("cnt"))).as(s"b$i"))
+      val sig = (0 until 32).map(i =>
+        when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L))).reduce(_ + _)
+      wordCounts.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+        .select(col("doc_id"), sig.as("simhash"))
+        .orderBy("doc_id")
+    }),
+
+    // direct n-gram Jaccard matrix over a bounded sample — the
+    // brute-force baseline the LSH path approximates.
+    "text_ngram_jaccard" -> ((s, dir) => {
+      val sample = withShingles(s, dir).filter(col("doc_id") < 50)
+      sample.select(col("doc_id").as("a_id"), col("sh").as("a_sh"))
+        .join(sample.select(col("doc_id").as("b_id"), col("sh").as("b_sh")),
+          col("a_id") < col("b_id"))
+        .withColumn("jaccard", TextOps.jaccard(col("a_sh"), col("b_sh")))
+        .filter(col("jaccard") >= 0.05)
+        .select("a_id", "b_id", "jaccard")
+        .orderBy("a_id", "b_id")
+    }),
+
+    // language ID: stopword-hit scoring with a fixed preference-order
+    // tie-break.
+    "text_langid" -> ((s, dir) => {
+      val scored = LangStops.foldLeft(docs(s, dir)) { case (df, (lang, stops)) =>
+        df.withColumn(s"score_$lang",
+          regexp_count(lower(col("text")), lit(s"\\b(${stops.mkString("|")})\\b"))
+            .cast("long"))
+      }
+      val Seq(en, es, de, fr) = LangStops.map(l => col(s"score_${l._1}"))
+      scored.select(col("doc_id"), col("lang").as("labeled_lang"),
+        en, es, de, fr,
+        when(en >= es && en >= de && en >= fr, "en")
+          .when(es >= de && es >= fr, "es")
+          .when(de >= fr, "de")
+          .otherwise("fr").as("predicted_lang"))
+        .orderBy("doc_id")
+    }),
+
+    // quality scoring: structural ratios + a fixed-form score.
+    "text_quality" -> ((s, dir) => {
+      val nChars = length(col("text")).cast("long")
+      val nAlpha = regexp_count(col("text"), lit("[A-Za-z]")).cast("long")
+      val nWords = size(TextOps.words(col("text"))).cast("long")
+      val nStops = regexp_count(lower(col("text")), lit("\\b(the|a|of|and|in|to|is)\\b"))
+        .cast("long")
+      docs(s, dir).select(col("doc_id"), nChars.as("n_chars"),
+        nWords.as("n_words"),
+        (nAlpha / nChars).as("alpha_ratio"),
+        (nStops / nWords).as("stop_ratio"),
+        ((nAlpha / nChars) * 0.5 + (nStops / nWords) * 0.5).as("quality_score"))
+        .orderBy("doc_id")
+    }),
+
+    // token counting: whitespace + BPE-ish regex + chars-per-token.
+    "text_tokens" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+        size(TextOps.words(col("text"))).cast("long").as("ws_tokens"),
+        TextOps.bpeishCount(col("text")).cast("long").as("bpeish_tokens"),
+        length(col("text")).cast("long").as("n_chars"))
+        .orderBy("doc_id")),
+
+    // winnowing document fingerprints: rolling word-4-gram hashes,
+    // min over a sliding window of 4, distinct per doc.
+    "text_fingerprint" -> ((s, dir) => {
+      val w = TextOps.words(col("text"))
+      val kgrams = when(size(w) >= 4,
+        transform(sequence(lit(0), size(w) - 4), i =>
+          TextOps.wordHash32(concat_ws(" ",
+            (0 until 4).map(j => element_at(w, i + j + 1)): _*))))
+        .otherwise(array().cast("array<long>"))
+      val win = Window.partitionBy("doc_id").orderBy("pos")
+        .rowsBetween(Window.currentRow, 3)
+      docs(s, dir)
+        .select(col("doc_id"), posexplode(kgrams).as(Seq("pos", "h")))
+        .withColumn("fp", min(col("h")).over(win))
+        .select("doc_id", "fp").distinct()
+        .orderBy("doc_id", "fp")
+    })
+  )
+
+  // ---------------------------------------------------------------- oracle
+
+  /** Shared DuckDB CTEs: whitespace words with positions, distinct
+    * 2-shingles, per-doc signature pivot. */
+  private val shingleCte: String =
+    s"""WITH w AS (
+       |  SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS w,
+       |         generate_subscripts(string_split_regex(text, '\\s+'), 1) AS pos
+       |  FROM documents
+       |), sh AS (
+       |  SELECT DISTINCT a.doc_id, a.w || ' ' || b.w AS s
+       |  FROM w a JOIN w b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+       |), sigl AS (
+       |  SELECT sh.doc_id, i.i,
+       |         min(md5(CAST(i.i AS VARCHAR) || '|' || sh.s)) AS sig
+       |  FROM sh CROSS JOIN (SELECT unnest(generate_series(0, ${NumSigs - 1})) AS i) i
+       |  GROUP BY 1, 2
+       |), sigs AS (
+       |  SELECT doc_id,
+       |         ${(0 until NumSigs).map(i => s"max(CASE WHEN i = $i THEN sig END) AS sig_$i").mkString(", ")}
+       |  FROM sigl GROUP BY 1
+       |), shcnt AS (
+       |  SELECT doc_id, count(*) AS n FROM sh GROUP BY 1
+       |)""".stripMargin
+
+  private val bandsCte: String = {
+    val bandRows = (0 until Bands).map(b =>
+      s"SELECT doc_id, $b AS band, md5('$b|' || sig_${2 * b} || sig_${2 * b + 1}) AS key FROM sigs")
+      .mkString(" UNION ALL ")
+    s"bands AS ($bandRows)"
+  }
+
+  val oracle: Map[String, String] = Map(
+    "text_exact_dedup" ->
+      """SELECT doc_id, md5(text) AS content_hash,
+        |  min(doc_id) OVER (PARTITION BY md5(text)) AS rep_id,
+        |  count(*) OVER (PARTITION BY md5(text)) AS group_size,
+        |  doc_id = min(doc_id) OVER (PARTITION BY md5(text)) AS is_canonical
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "text_minhash_sigs" ->
+      s"""$shingleCte
+         |SELECT doc_id, ${(0 until NumSigs).map(i => s"sig_$i").mkString(", ")}
+         |FROM sigs ORDER BY doc_id""".stripMargin,
+
+    "text_lsh_pairs" ->
+      s"""$shingleCte, $bandsCte, cand AS (
+         |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+         |), inter AS (
+         |  SELECT c.a_id, c.b_id, count(*) AS i
+         |  FROM cand c
+         |  JOIN sh sa ON sa.doc_id = c.a_id
+         |  JOIN sh sb ON sb.doc_id = c.b_id AND sa.s = sb.s
+         |  GROUP BY 1, 2
+         |)
+         |SELECT i.a_id, i.b_id,
+         |       i.i / (ca.n + cb.n - i.i) AS jaccard
+         |FROM inter i
+         |JOIN shcnt ca ON ca.doc_id = i.a_id
+         |JOIN shcnt cb ON cb.doc_id = i.b_id
+         |WHERE i.i / (ca.n + cb.n - i.i) >= $JaccardThreshold
+         |ORDER BY a_id, b_id""".stripMargin,
+
+    "text_simhash" -> {
+      val bitSums = (0 until 32).map(i =>
+        s"sum(CASE WHEN (h >> $i) & 1 = 1 THEN cnt ELSE -cnt END) AS b$i").mkString(", ")
+      val sig = (0 until 32).map(i =>
+        s"CASE WHEN b$i > 0 THEN ${1L << i} ELSE 0 END").mkString(" + ")
+      s"""WITH wc AS (
+         |  SELECT doc_id, w, count(*) AS cnt FROM (
+         |    SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS w
+         |    FROM documents) GROUP BY 1, 2
+         |), wh AS (
+         |  SELECT doc_id, cnt,
+         |         CAST(CAST(concat('0x', substr(md5(w), 1, 8)) AS UBIGINT) AS BIGINT) AS h
+         |  FROM wc
+         |), bits AS (SELECT doc_id, $bitSums FROM wh GROUP BY 1)
+         |SELECT doc_id, CAST($sig AS BIGINT) AS simhash FROM bits
+         |ORDER BY doc_id""".stripMargin
+    },
+
+    "text_ngram_jaccard" ->
+      s"""$shingleCte, sample AS (SELECT * FROM sh WHERE doc_id < 50),
+         |inter AS (
+         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS i
+         |  FROM sample a JOIN sample b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2
+         |)
+         |SELECT i.a_id, i.b_id, i.i / (ca.n + cb.n - i.i) AS jaccard
+         |FROM inter i
+         |JOIN shcnt ca ON ca.doc_id = i.a_id
+         |JOIN shcnt cb ON cb.doc_id = i.b_id
+         |WHERE i.i / (ca.n + cb.n - i.i) >= 0.05
+         |ORDER BY a_id, b_id""".stripMargin,
+
+    "text_langid" -> {
+      val scores = LangStops.map { case (lang, stops) =>
+        s"len(regexp_extract_all(lower(text), '\\b(${stops.mkString("|")})\\b')) AS score_$lang"
+      }.mkString(", ")
+      """WITH scored AS (SELECT doc_id, lang AS labeled_lang, SCORES FROM documents)
+        |SELECT doc_id, labeled_lang, score_en, score_es, score_de, score_fr,
+        |  CASE WHEN score_en >= score_es AND score_en >= score_de AND score_en >= score_fr THEN 'en'
+        |       WHEN score_es >= score_de AND score_es >= score_fr THEN 'es'
+        |       WHEN score_de >= score_fr THEN 'de'
+        |       ELSE 'fr' END AS predicted_lang
+        |FROM scored ORDER BY doc_id""".stripMargin.replace("SCORES", scores)
+    },
+
+    "text_quality" ->
+      """SELECT doc_id, length(text) AS n_chars,
+        |  len(string_split_regex(text, '\s+')) AS n_words,
+        |  len(regexp_extract_all(text, '[A-Za-z]')) / length(text) AS alpha_ratio,
+        |  len(regexp_extract_all(lower(text), '\b(the|a|of|and|in|to|is)\b'))
+        |    / len(string_split_regex(text, '\s+')) AS stop_ratio,
+        |  (len(regexp_extract_all(text, '[A-Za-z]')) / length(text)) * 0.5 +
+        |  (len(regexp_extract_all(lower(text), '\b(the|a|of|and|in|to|is)\b'))
+        |    / len(string_split_regex(text, '\s+'))) * 0.5 AS quality_score
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "text_tokens" ->
+      """SELECT doc_id,
+        |  len(string_split_regex(text, '\s+')) AS ws_tokens,
+        |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS bpeish_tokens,
+        |  length(text) AS n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "text_fingerprint" ->
+      """WITH w AS (
+        |  SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS w,
+        |         generate_subscripts(string_split_regex(text, '\s+'), 1) AS pos
+        |  FROM documents
+        |), kg AS (
+        |  SELECT a.doc_id, a.pos,
+        |    CAST(CAST(concat('0x', substr(md5(a.w || ' ' || b.w || ' ' || c.w || ' ' || d.w), 1, 8)) AS UBIGINT) AS BIGINT) AS h
+        |  FROM w a
+        |  JOIN w b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+        |  JOIN w c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2
+        |  JOIN w d ON d.doc_id = a.doc_id AND d.pos = a.pos + 3
+        |), fps AS (
+        |  SELECT doc_id, min(h) OVER (PARTITION BY doc_id ORDER BY pos
+        |    ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+        |  FROM kg
+        |)
+        |SELECT DISTINCT doc_id, fp FROM fps ORDER BY doc_id, fp""".stripMargin
+  )
+}

@@ -48,6 +48,11 @@ for name, sql in sorted(oracle.items()):
         fails += 1; continue
     if len(got) != len(want):
         print(f"FAIL {name}: rows {len(got)} != {len(want)}"); fails += 1; continue
+    dtg = {c: str(got[c].dtype) for c in got.columns}
+    dtw = {c: str(want[c].dtype) for c in want.columns}
+    if dtg != dtw:
+        bad = {c: (dtg[c], dtw[c]) for c in dtg if dtg[c] != dtw[c]}
+        print(f"FAIL {name}: dtype mismatch {bad}"); fails += 1; continue
     # normalize dtypes for value compare
     g = got.astype(str).reset_index(drop=True)
     w = want.astype(str).reset_index(drop=True)
