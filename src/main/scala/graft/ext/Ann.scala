@@ -1,0 +1,96 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an `Array[Float]`
+  * embedding column (north-star extension).
+  *
+  * Two paths:
+  *  - [[bruteForceTopK]] — exact cosine top-k via a pair join; the
+  *    correctness baseline. O(|Q|·|N|) — fine when |Q| is a probe
+  *    set, never for all-pairs at scale.
+  *  - [[ivfSearch]] — inverted-file search: assign vectors to coarse
+  *    partitions, route each query to its `nProbe` nearest centroids,
+  *    and scan only those buckets. The scan is an equi-join on the
+  *    partition key, so at 100 TB it shuffles each query to a few
+  *    buckets instead of broadcasting it everywhere.
+  *
+  * Determinism: centroids are component means computed with DECIMAL
+  * sums (exact, aggregation-order-independent); cosines/distances are
+  * rounded before ranking and tie-broken by id, so results are stable
+  * across partitionings and engines. */
+object Ann {
+
+  /** Elementwise cast to double — all math happens in double. */
+  def toDouble(emb: Column): Column = transform(emb, _.cast("double"))
+
+  def l2Norm(v: Column): Column =
+    sqrt(aggregate(transform(v, x => x * x), lit(0.0), (s, x) => s + x))
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (s, x) => s + x)
+
+  /** Cosine similarity, rounded for cross-engine stability. */
+  def cosine(a: Column, b: Column, aNorm: Column, bNorm: Column, scale: Int = 6): Column =
+    round(dot(a, b) / (aNorm * bNorm), scale)
+
+  /** (vec_id, v, nrm) projection of an embeddings table. */
+  def prepared(emb: DataFrame, idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    val v = toDouble(col(embCol))
+    emb.select(col(idCol).as("vec_id"), v.as("v")).withColumn("nrm", l2Norm(col("v")))
+  }
+
+  /** Exact top-k cosine neighbors for each query vector. */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val q = queries.select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val n = corpus.select(col("vec_id").as("neighbor_id"), col("v").as("nv"), col("nrm").as("nn"))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id").asc)
+    q.join(n, col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos", cosine(col("qv"), col("nv"), col("qn"), col("nn")))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select("query_id", "rk", "neighbor_id", "cos")
+  }
+
+  /** Deterministic component-mean centroids per partition label:
+    * (label, dim, cval). DECIMAL sums make the mean independent of
+    * aggregation order. */
+  def centroids(emb: DataFrame, labelCol: String = "label", embCol: String = "embedding"): DataFrame =
+    emb.select(col(labelCol).as("label"), posexplode(toDouble(col(embCol))).as(Seq("dim", "x")))
+      .groupBy("label", "dim")
+      .agg((sum(col("x").cast("decimal(28,12)")).cast("double") / count(lit(1))).as("cval"))
+
+  /** Squared L2 distance of each query to each centroid, rounded. */
+  def centroidDistances(queries: DataFrame, cent: DataFrame): DataFrame =
+    queries.select(col("vec_id").as("query_id"), posexplode(col("v")).as(Seq("dim", "qx")))
+      .join(cent, Seq("dim"))
+      .groupBy("query_id", "label")
+      .agg(round(sum((col("qx") - col("cval")) * (col("qx") - col("cval"))), 4).as("d2"))
+
+  /** IVF search: probe the `nProbe` nearest coarse partitions, then
+    * exact top-k cosine within the probed buckets only. */
+  def ivfSearch(emb: DataFrame, queries: DataFrame, nProbe: Int, k: Int,
+      labelCol: String = "label"): DataFrame = {
+    val prep = prepared(emb).join(
+      emb.select(col("vec_id"), col(labelCol).as("label")), Seq("vec_id"))
+    val cent = centroids(emb, labelCol)
+    val probeW = Window.partitionBy("query_id").orderBy(col("d2").asc, col("label").asc)
+    val probed = centroidDistances(queries, cent)
+      .withColumn("crk", row_number().over(probeW))
+      .filter(col("crk") <= nProbe)
+      .select("query_id", "label")
+    val q = queries.select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id").asc)
+    probed
+      .join(prep.select(col("label"), col("vec_id").as("neighbor_id"),
+        col("v").as("nv"), col("nrm").as("nn")), Seq("label"))
+      .join(q, Seq("query_id"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos", cosine(col("qv"), col("nv"), col("qn"), col("nn")))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select("query_id", "rk", "neighbor_id", "cos")
+  }
+}

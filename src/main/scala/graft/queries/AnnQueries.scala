@@ -1,0 +1,116 @@
+package graft.queries
+
+import graft.core.Tables
+import graft.ext.Ann
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Similarity-search queries over the embeddings table. */
+object AnnQueries {
+
+  private val QueryMod = 50 // probe set: vec_id % 50 == 0
+  private val TopK = 5
+  private val CosThreshold = 0.30
+
+  private def prep(s: SparkSession, dir: String): DataFrame =
+    Ann.prepared(Tables.embeddings(s, dir))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // exact cosine top-k for a probe set of queries.
+    "ann_topk" -> ((s, dir) => {
+      val p = prep(s, dir)
+      Ann.bruteForceTopK(p.filter(col("vec_id") % QueryMod === 0), p, TopK)
+        .orderBy("query_id", "rk")
+    }),
+
+    // embedding-cosine near-dup pairs above a threshold (all pairs).
+    "ann_threshold_pairs" -> ((s, dir) => {
+      val p = prep(s, dir)
+      val a = p.select(col("vec_id").as("a_id"), col("v").as("av"), col("nrm").as("an"))
+      val b = p.select(col("vec_id").as("b_id"), col("v").as("bv"), col("nrm").as("bn"))
+      a.join(b, col("a_id") < col("b_id"))
+        .withColumn("cos", Ann.cosine(col("av"), col("bv"), col("an"), col("bn")))
+        .filter(col("cos") >= CosThreshold)
+        .select("a_id", "b_id", "cos")
+        .orderBy("a_id", "b_id")
+    }),
+
+    // IVF: probe the 2 nearest coarse partitions, exact top-k inside.
+    "ann_ivf" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val q = prep(s, dir).filter(col("vec_id") % QueryMod === 0)
+      Ann.ivfSearch(emb, q, nProbe = 2, k = TopK).orderBy("query_id", "rk")
+    })
+  )
+
+  /** Shared DuckDB fragments. */
+  private val prepCte: String =
+    """WITH e AS (
+      |  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings
+      |), n AS (
+      |  SELECT vec_id, label, v,
+      |         sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+      |  FROM e
+      |)""".stripMargin
+
+  private def cosSql(qv: String, nv: String, qn: String, nn: String): String =
+    s"round(list_sum(list_transform(generate_series(1, len($qv)), i -> $qv[i] * $nv[i])) / ($qn * $nn), 6)"
+
+  val oracle: Map[String, String] = Map(
+    "ann_topk" ->
+      s"""$prepCte, q AS (SELECT * FROM n WHERE vec_id % $QueryMod = 0),
+         |scored AS (
+         |  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+         |         ${cosSql("q.v", "n.v", "q.nrm", "n.nrm")} AS cos
+         |  FROM q JOIN n ON n.vec_id <> q.vec_id)
+         |SELECT query_id, rk, neighbor_id, cos FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY cos DESC, neighbor_id ASC) AS rk
+         |  FROM scored) WHERE rk <= $TopK
+         |ORDER BY query_id, rk""".stripMargin,
+
+    "ann_threshold_pairs" ->
+      s"""$prepCte
+         |SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+         |       ${cosSql("a.v", "b.v", "a.nrm", "b.nrm")} AS cos
+         |FROM n a JOIN n b ON a.vec_id < b.vec_id
+         |WHERE ${cosSql("a.v", "b.v", "a.nrm", "b.nrm")} >= $CosThreshold
+         |ORDER BY a_id, b_id""".stripMargin,
+
+    "ann_ivf" ->
+      s"""$prepCte, q AS (SELECT * FROM n WHERE vec_id % $QueryMod = 0),
+         |comp AS (
+         |  SELECT label, dim - 1 AS dim, x FROM (
+         |    SELECT label, unnest(v) AS x, generate_subscripts(v, 1) AS dim FROM e)
+         |), cent AS (
+         |  SELECT label, dim,
+         |         CAST(sum(CAST(x AS DECIMAL(28,12))) AS DOUBLE) / count(*) AS cval
+         |  FROM comp GROUP BY 1, 2
+         |), qdim AS (
+         |  SELECT vec_id AS query_id, dim - 1 AS dim, qx FROM (
+         |    SELECT vec_id, unnest(v) AS qx, generate_subscripts(v, 1) AS dim FROM q)
+         |), dist AS (
+         |  SELECT query_id, c.label,
+         |         round(sum((qx - cval) * (qx - cval)), 4) AS d2
+         |  FROM qdim JOIN cent c ON qdim.dim = c.dim
+         |  GROUP BY 1, 2
+         |), probed AS (
+         |  SELECT query_id, label FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id
+         |      ORDER BY d2 ASC, label ASC) AS crk FROM dist)
+         |  WHERE crk <= 2
+         |), scored AS (
+         |  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+         |         ${cosSql("q.v", "n.v", "q.nrm", "n.nrm")} AS cos
+         |  FROM probed p
+         |  JOIN n ON n.label = p.label
+         |  JOIN q ON q.vec_id = p.query_id
+         |  WHERE n.vec_id <> q.vec_id)
+         |SELECT query_id, rk, neighbor_id, cos FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY cos DESC, neighbor_id ASC) AS rk
+         |  FROM scored) WHERE rk <= $TopK
+         |ORDER BY query_id, rk""".stripMargin
+  )
+}
