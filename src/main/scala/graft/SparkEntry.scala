@@ -9,10 +9,10 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     DedupQueries.queries ++ RelationalQueries.queries ++ EventQueries.queries ++
-      TextQueries.queries ++ AnnQueries.queries
+      TextQueries.queries ++ AnnQueries.queries ++ MultimodalQueries.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     DedupQueries.oracle ++ RelationalQueries.oracle ++ EventQueries.oracle ++
-      TextQueries.oracle ++ AnnQueries.oracle
+      TextQueries.oracle ++ AnnQueries.oracle ++ MultimodalQueries.oracle
 }

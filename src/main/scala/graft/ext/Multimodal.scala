@@ -1,0 +1,73 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing (north-star extension): treat
+  * image/audio/video payloads as opaque `binary` columns with typed
+  * metadata, and run decode / feature-extraction as a partition-wise
+  * batch stage (the Scala equivalent of `mapInPandas`: one
+  * `mapPartitions` pass over typed records, amortizing
+  * per-partition setup such as a decoder handle).
+  *
+  * The actual media decode is STUBBED — this container has no
+  * image/audio codecs — behind [[Decoder]]; `FakeDecoder` is a
+  * deterministic stand-in so the Spark-side plumbing (schema, batch
+  * shape, partitioning) is real and testable end-to-end. Swap in a
+  * JNI/library-backed Decoder for production. */
+object Multimodal {
+
+  /** An opaque media payload + metadata, as read from a lakehouse
+    * table: (id, modality, payload bytes). */
+  case class MediaRecord(media_id: Long, modality: String, payload: Array[Byte])
+
+  /** Extracted features: byte size, a content hash, and a fixed-width
+    * feature vector (e.g. an image embedding or audio fingerprint). */
+  case class MediaFeatures(media_id: Long, modality: String, n_bytes: Long,
+      content_hash: String, feature: Array[Float])
+
+  /** Decode + featurize one payload. Implementations must be
+    * deterministic per byte-content. */
+  trait Decoder extends Serializable {
+    def features(modality: String, payload: Array[Byte]): Array[Float]
+  }
+
+  /** Deterministic stand-in: 8 floats derived from the md5 of the
+    * payload — stable across runs, partitionings, and engines. */
+  object FakeDecoder extends Decoder {
+    def features(modality: String, payload: Array[Byte]): Array[Float] = {
+      val d = java.security.MessageDigest.getInstance("MD5").digest(payload)
+      (0 until 8).map { i =>
+        val b0 = d(2 * i) & 0xff
+        val b1 = d(2 * i + 1) & 0xff
+        ((b0 << 8 | b1).toFloat / 65535.0f) * 2.0f - 1.0f
+      }.toArray
+    }
+  }
+
+  /** The partition-wise decode stage. One Decoder instance per
+    * partition (setup amortized), records streamed — never
+    * materializes a partition in memory. */
+  def extractFeatures(media: Dataset[MediaRecord], decoder: Decoder)(
+      implicit spark: SparkSession): Dataset[MediaFeatures] = {
+    import spark.implicits._
+    media.mapPartitions { it =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      it.map { r =>
+        md.reset()
+        val hash = md.digest(r.payload).map("%02x".format(_)).mkString
+        MediaFeatures(r.media_id, r.modality, r.payload.length.toLong, hash,
+          decoder.features(r.modality, r.payload))
+      }
+    }
+  }
+
+  /** Adapter: wrap any (id, binary) DataFrame as a media table. */
+  def asMedia(df: DataFrame, idCol: String, payloadCol: String, modality: String)(
+      implicit spark: SparkSession): Dataset[MediaRecord] = {
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("media_id"),
+      lit(modality).as("modality"),
+      col(payloadCol).cast("binary").as("payload")).as[MediaRecord]
+  }
+}

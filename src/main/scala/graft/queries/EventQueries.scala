@@ -49,6 +49,16 @@ object EventQueries {
         .orderBy("user_id", "session_seq")
     }),
 
+    // native session_window operator (streaming-capable path from
+    // graft.streaming.EventStreams) validated against the lag-based
+    // sessionization oracle.
+    "events_session_native" -> ((s, dir) =>
+      graft.streaming.EventStreams.sessions(Tables.events(s, dir))
+        .select(col("user_id"),
+          date_format(col("session_start"), TsFmt).as("session_start"),
+          col("n_events"), col("total_value"))
+        .orderBy("user_id", "session_start")),
+
     // JSON scalar extraction + histogram over the extracted value.
     "events_json" -> ((s, dir) =>
       Tables.events(s, dir)
@@ -82,6 +92,25 @@ object EventQueries {
         |       count(*) AS n_events,
         |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         |FROM sessions GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "events_session_native" ->
+      """WITH flagged AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)),
+        |sessions AS (
+        |  SELECT *, sum(new_session) OVER (PARTITION BY user_id
+        |    ORDER BY ts ASC ROWS UNBOUNDED PRECEDING) AS session_seq
+        |  FROM flagged)
+        |SELECT user_id,
+        |       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+        |       count(*) AS n_events,
+        |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM sessions GROUP BY user_id, session_seq
+        |ORDER BY 1, 2""".stripMargin,
 
     "events_json" ->
       """SELECT CAST(floor(CAST(json_extract_string(props, '$.k') AS BIGINT) / 10) AS BIGINT) AS k_bucket,

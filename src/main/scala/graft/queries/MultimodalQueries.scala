@@ -1,0 +1,42 @@
+package graft.queries
+
+import graft.core.Tables
+import graft.ext.Multimodal
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing exercised end-to-end: documents' text
+  * bytes stand in for opaque media payloads; the query runs the real
+  * partition-wise decode stage ([[Multimodal.extractFeatures]]) with
+  * the deterministic stub decoder. Features are re-quantized to their
+  * 16-bit integer sources on output so the oracle compares integers,
+  * not float formatting. */
+object MultimodalQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_features" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      val media = Multimodal.asMedia(
+        Tables.documents(s, dir), "doc_id", "text", "text/plain")
+      val feats = Multimodal.extractFeatures(media, Multimodal.FakeDecoder).toDF()
+      val quantized = (0 until 8).map(i =>
+        round((element_at(col("feature"), i + 1).cast("double") + 1) / 2 * 65535)
+          .cast("long").as(s"k$i"))
+      feats.select(Seq(col("media_id"), col("modality"), col("n_bytes"),
+        col("content_hash")) ++ quantized: _*)
+        .orderBy("media_id")
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "mm_features" -> {
+      val ks = (0 until 8).map(i =>
+        s"CAST(concat('0x', substr(md5(text), ${4 * i + 1}, 4)) AS BIGINT) AS k$i")
+        .mkString(", ")
+      s"""SELECT doc_id AS media_id, 'text/plain' AS modality,
+         |  octet_length(encode(text)) AS n_bytes,
+         |  md5(text) AS content_hash, $ks
+         |FROM documents ORDER BY media_id""".stripMargin
+    }
+  )
+}

@@ -1,0 +1,43 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Structured-Streaming-ready event transforms. Each takes a plain
+  * DataFrame of (ts: timestamp, user_id, event_type, value) and is
+  * valid on BOTH a batch read and a `readStream` source — the batch
+  * queries in [[graft.queries.EventQueries]] and the streaming tests
+  * share the same code path, which is the Spark-native way to keep
+  * batch/stream semantics aligned.
+  *
+  * For streams, call [[withEventTimeWatermark]] first so state for
+  * tumbling/session windows can be reclaimed and late data dropped
+  * deterministically. */
+object EventStreams {
+
+  /** Late-data bound for streaming state cleanup. */
+  def withEventTimeWatermark(events: DataFrame, delay: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", delay)
+
+  /** Tumbling 1-hour aggregate per event type (streaming-safe: pure
+    * windowed aggregation). */
+  def tumblingCounts(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n"), col("total_value"))
+
+  /** Gap-based sessions via the native session_window operator —
+    * events within `gap` of each other merge into one session. Works
+    * identically on batch and watermarked streams (stateful merge
+    * under the hood). */
+  def sessions(events: DataFrame, gap: String = "30 minutes"): DataFrame =
+    events
+      .groupBy(session_window(col("ts"), gap).as("sw"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
+      .select(col("user_id"), col("sw.start").as("session_start"),
+        col("sw.end").as("session_end"), col("n_events"), col("total_value"))
+}

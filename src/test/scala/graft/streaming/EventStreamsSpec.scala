@@ -1,0 +1,68 @@
+package graft.streaming
+
+import graft.dedup.SparkTest
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.sql.Timestamp
+
+/** Batch/stream equivalence: the same EventStreams transforms must
+  * produce identical results from a MemoryStream as from a batch
+  * DataFrame over the same rows. */
+class EventStreamsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTest.spark
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 ${minute / 60}%02d:${minute % 60}%02d:00")
+
+  private val rows = Seq(
+    // user 1: two sessions (gap 45 min between minute 20 and 65)
+    (1L, ts(0), "click", 1.0), (1L, ts(10), "click", 2.0), (1L, ts(20), "buy", 3.0),
+    (1L, ts(65), "click", 4.0), (1L, ts(70), "click", 5.0),
+    // user 2: one session
+    (2L, ts(5), "view", 10.0), (2L, ts(25), "view", 20.0))
+
+  test("streaming tumbling counts equal batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, String, Double)]
+    val streamDf = mem.toDF().toDF("user_id", "ts", "event_type", "value")
+    val q = EventStreams.tumblingCounts(
+      EventStreams.withEventTimeWatermark(streamDf))
+      .writeStream.format("memory").queryName("tumbling_out")
+      .outputMode("complete").start()
+    mem.addData(rows: _*)
+    q.processAllAvailable()
+    q.stop()
+
+    val batch = EventStreams.tumblingCounts(
+      rows.toDF("user_id", "ts", "event_type", "value"))
+      .orderBy("window_start", "event_type").collect().toSeq
+    val streamed = spark.table("tumbling_out")
+      .orderBy("window_start", "event_type").collect().toSeq
+    assert(streamed == batch && batch.nonEmpty)
+  }
+
+  test("streaming session windows equal batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, String, Double)]
+    val streamDf = mem.toDF().toDF("user_id", "ts", "event_type", "value")
+    val q = EventStreams.sessions(
+      EventStreams.withEventTimeWatermark(streamDf))
+      .writeStream.format("memory").queryName("sessions_out")
+      .outputMode("complete").start()
+    mem.addData(rows: _*)
+    q.processAllAvailable()
+    q.stop()
+
+    val batch = EventStreams.sessions(rows.toDF("user_id", "ts", "event_type", "value"))
+      .orderBy("user_id", "session_start").collect().toSeq
+    val streamed = spark.table("sessions_out")
+      .orderBy("user_id", "session_start").collect().toSeq
+    assert(streamed == batch && batch.nonEmpty)
+    // user 1 split into 2 sessions, user 2 one session
+    assert(batch.count(_.getLong(0) == 1L) == 2)
+    assert(batch.count(_.getLong(0) == 2L) == 1)
+  }
+}
