@@ -1,6 +1,6 @@
 package graft.dedup
 
-import graft.functions.functions.{jaro_winkler, token_sorted_match}
+import graft.functions.functions.jaro_winkler
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -19,7 +19,9 @@ object Matching {
 
   /** Distinct-name statistics per block. `min_row` doubles as the
     * name's graph-node id; `max_row` drives the per-row confidence
-    * rule (SURVEY.md Appendix A.1). */
+    * rule (SURVEY.md Appendix A.1). `token_key` is precomputed ONCE
+    * per distinct name so the pair join compares keys instead of
+    * re-sorting tokens per pair (O(names) sorts, not O(pairs)). */
   def nameStats(derived: DataFrame): DataFrame =
     derived
       .filter(col("base_name") =!= "")
@@ -28,6 +30,7 @@ object Matching {
         count(lit(1)).as("n_rows"),
         min(col("row_order")).as("min_row"),
         max(col("row_order")).as("max_row"))
+      .withColumn("token_key", concat_ws("", array_sort(split(col("base_name"), " "))))
 
   /** Pair confidence ladder (engine.py:371-375). The 0.90/0.85 cut
     * points are fixed in the reference, independent of the settings
@@ -48,18 +51,20 @@ object Matching {
       col("block_key"),
       col("base_name").as("a_name"),
       col("min_row").as("a_min_row"),
-      col("max_row").as("a_max_row"))
+      col("max_row").as("a_max_row"),
+      col("token_key").as("a_token_key"))
     val b = stats.select(
       col("block_key"),
       col("base_name").as("b_name"),
       col("min_row").as("b_min_row"),
-      col("max_row").as("b_max_row"))
+      col("max_row").as("b_max_row"),
+      col("token_key").as("b_token_key"))
     val ratio = jaro_winkler(col("a_name"), col("b_name"))
-    val token = token_sorted_match(col("a_name"), col("b_name"))
     a.join(b, Seq("block_key"))
       .where(col("a_name") < col("b_name"))
       .withColumn("ratio", ratio)
-      .withColumn("token_match", token)
+      .withColumn("token_match", col("a_token_key") === col("b_token_key"))
+      .drop("a_token_key", "b_token_key")
       .where((col("token_match") && col("ratio") >= settings.softThreshold) ||
         col("ratio") >= settings.hardThreshold)
       .withColumn("pair_conf", pairConfidence(col("ratio"), col("token_match")))

@@ -1,5 +1,6 @@
 package graft.ext
 
+import graft.functions.vector.dot_product
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -29,26 +30,29 @@ object Ann {
   def l2Norm(v: Column): Column =
     sqrt(aggregate(transform(v, x => x * x), lit(0.0), (s, x) => s + x))
 
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (s, x) => s + x)
+  /** Cosine of two PRE-NORMALIZED vectors = their dot product,
+    * rounded for cross-engine stability. The dot runs as a native
+    * codegen'd expression ([[graft.functions.DotProduct]]). */
+  def cosine(ua: Column, ub: Column, scale: Int = 6): Column =
+    round(dot_product(ua, ub), scale)
 
-  /** Cosine similarity, rounded for cross-engine stability. */
-  def cosine(a: Column, b: Column, aNorm: Column, bNorm: Column, scale: Int = 6): Column =
-    round(dot(a, b) / (aNorm * bNorm), scale)
-
-  /** (vec_id, v, nrm) projection of an embeddings table. */
+  /** (vec_id, v, nrm, u) projection of an embeddings table, with
+    * u = v/||v|| precomputed once per vector so the O(pairs) join does
+    * only dot products. */
   def prepared(emb: DataFrame, idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
     val v = toDouble(col(embCol))
-    emb.select(col(idCol).as("vec_id"), v.as("v")).withColumn("nrm", l2Norm(col("v")))
+    emb.select(col(idCol).as("vec_id"), v.as("v"))
+      .withColumn("nrm", l2Norm(col("v")))
+      .withColumn("u", transform(col("v"), x => x / col("nrm")))
   }
 
   /** Exact top-k cosine neighbors for each query vector. */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
-    val q = queries.select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
-    val n = corpus.select(col("vec_id").as("neighbor_id"), col("v").as("nv"), col("nrm").as("nn"))
+    val q = queries.select(col("vec_id").as("query_id"), col("u").as("qu"))
+    val n = corpus.select(col("vec_id").as("neighbor_id"), col("u").as("nu"))
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id").asc)
     q.join(n, col("neighbor_id") =!= col("query_id"))
-      .withColumn("cos", cosine(col("qv"), col("nv"), col("qn"), col("nn")))
+      .withColumn("cos", cosine(col("qu"), col("nu")))
       .withColumn("rk", row_number().over(w).cast("long"))
       .filter(col("rk") <= k)
       .select("query_id", "rk", "neighbor_id", "cos")
@@ -81,14 +85,14 @@ object Ann {
       .withColumn("crk", row_number().over(probeW))
       .filter(col("crk") <= nProbe)
       .select("query_id", "label")
-    val q = queries.select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val q = queries.select(col("vec_id").as("query_id"), col("u").as("qu"))
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id").asc)
     probed
       .join(prep.select(col("label"), col("vec_id").as("neighbor_id"),
-        col("v").as("nv"), col("nrm").as("nn")), Seq("label"))
+        col("u").as("nu")), Seq("label"))
       .join(q, Seq("query_id"))
       .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("cos", cosine(col("qv"), col("nv"), col("qn"), col("nn")))
+      .withColumn("cos", cosine(col("qu"), col("nu")))
       .withColumn("rk", row_number().over(w).cast("long"))
       .filter(col("rk") <= k)
       .select("query_id", "rk", "neighbor_id", "cos")

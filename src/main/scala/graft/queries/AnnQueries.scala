@@ -12,8 +12,12 @@ object AnnQueries {
   private val TopK = 5
   private val CosThreshold = 0.30
 
+  /** Prepared (normalized) vectors are the shared "index" of all
+    * three queries — build and cache once per session. */
   private def prep(s: SparkSession, dir: String): DataFrame =
-    Ann.prepared(Tables.embeddings(s, dir))
+    graft.core.Memo.cached(s, s"ann_prepared:$dir") {
+      Ann.prepared(Tables.embeddings(s, dir))
+    }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // exact cosine top-k for a probe set of queries.
@@ -26,10 +30,10 @@ object AnnQueries {
     // embedding-cosine near-dup pairs above a threshold (all pairs).
     "ann_threshold_pairs" -> ((s, dir) => {
       val p = prep(s, dir)
-      val a = p.select(col("vec_id").as("a_id"), col("v").as("av"), col("nrm").as("an"))
-      val b = p.select(col("vec_id").as("b_id"), col("v").as("bv"), col("nrm").as("bn"))
+      val a = p.select(col("vec_id").as("a_id"), col("u").as("au"))
+      val b = p.select(col("vec_id").as("b_id"), col("u").as("bu"))
       a.join(b, col("a_id") < col("b_id"))
-        .withColumn("cos", Ann.cosine(col("av"), col("bv"), col("an"), col("bn")))
+        .withColumn("cos", Ann.cosine(col("au"), col("bu")))
         .filter(col("cos") >= CosThreshold)
         .select("a_id", "b_id", "cos")
         .orderBy("a_id", "b_id")
@@ -54,8 +58,11 @@ object AnnQueries {
       |  FROM e
       |)""".stripMargin
 
+  /** Mirrors the Spark side exactly: per-element division by the norm
+    * (prenormalized vectors), then an index-ordered dot product. */
   private def cosSql(qv: String, nv: String, qn: String, nn: String): String =
-    s"round(list_sum(list_transform(generate_series(1, len($qv)), i -> $qv[i] * $nv[i])) / ($qn * $nn), 6)"
+    s"round(list_sum(list_transform(generate_series(1, len($qv)), " +
+      s"i -> ($qv[i] / $qn) * ($nv[i] / $nn))), 6)"
 
   val oracle: Map[String, String] = Map(
     "ann_topk" ->

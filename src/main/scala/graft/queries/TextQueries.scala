@@ -26,15 +26,22 @@ object TextQueries {
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
 
-  /** doc_id + distinct word-shingle set. */
+  /** doc_id + distinct word-shingle set. Materialized once per
+    * session: the self-joins downstream would otherwise recompute the
+    * shingling 4× (this is the "LSH index build" step at scale). */
   private def withShingles(s: SparkSession, dir: String): DataFrame =
-    docs(s, dir).select(col("doc_id"),
-      TextOps.shingles(TextOps.words(col("text")), ShingleK).as("sh"))
+    graft.core.Memo.cached(s, s"text_shingles:$dir") {
+      docs(s, dir)
+        .withColumn("w", TextOps.words(col("text")))
+        .select(col("doc_id"), TextOps.shingles(col("w"), ShingleK).as("sh"))
+    }
 
-  /** doc_id + the 12 MinHash signature columns. */
+  /** doc_id + the 12 MinHash signature columns (cached index). */
   private def withSigs(s: SparkSession, dir: String): DataFrame =
-    (0 until NumSigs).foldLeft(withShingles(s, dir)) { (df, i) =>
-      df.withColumn(s"sig_$i", TextOps.minhashSig(col("sh"), i))
+    graft.core.Memo.cached(s, s"text_sigs:$dir") {
+      (0 until NumSigs).foldLeft(withShingles(s, dir)) { (df, i) =>
+        df.withColumn(s"sig_$i", TextOps.minhashSig(col("sh"), i))
+      }.drop("sh")
     }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -51,7 +58,7 @@ object TextQueries {
 
     // MinHash signatures per doc (strong cross-engine parity check).
     "text_minhash_sigs" -> ((s, dir) =>
-      withSigs(s, dir).drop("sh").orderBy("doc_id")),
+      withSigs(s, dir).orderBy("doc_id")),
 
     // MinHash-LSH near-dup join: band buckets -> candidate pairs ->
     // exact-Jaccard verification. The LSH join touches only bucket
@@ -155,7 +162,7 @@ object TextQueries {
     // winnowing document fingerprints: rolling word-4-gram hashes,
     // min over a sliding window of 4, distinct per doc.
     "text_fingerprint" -> ((s, dir) => {
-      val w = TextOps.words(col("text"))
+      val w = col("w")
       val kgrams = when(size(w) >= 4,
         transform(sequence(lit(0), size(w) - 4), i =>
           TextOps.wordHash32(concat_ws(" ",
@@ -164,6 +171,7 @@ object TextQueries {
       val win = Window.partitionBy("doc_id").orderBy("pos")
         .rowsBetween(Window.currentRow, 3)
       docs(s, dir)
+        .withColumn("w", TextOps.words(col("text")))
         .select(col("doc_id"), posexplode(kgrams).as(Seq("pos", "h")))
         .withColumn("fp", min(col("h")).over(win))
         .select("doc_id", "fp").distinct()
