@@ -42,29 +42,91 @@ object Matching {
       .otherwise(lit(Rules.ConfDefault))
 
   /** Qualifying distinct-name pairs within a block: equi-join on
-    * `block_key` with `a.base_name < b.base_name` dedup residual, then
-    * the reference predicate
-    * `(token_match && jw >= soft) || jw >= hard` (engine.py:260).
-    * Output columns: a_/b_ name, min/max rows, ratio, token, conf. */
-  def qualifyingPairs(stats: DataFrame, settings: DedupSettings = DedupSettings()): DataFrame = {
-    val a = stats.select(
+    * `block_key` with an unordered-pair dedup residual, then the
+    * reference predicate `(token_match && jw >= soft) || jw >= hard`
+    * (engine.py:260). Output columns: a_/b_ name (a < b), min/max
+    * rows, ratio, token, conf.
+    *
+    * Skew/salting: one hot block key would otherwise put the whole
+    * O(|b|²) comparison on a single shuffle partition (a 15k-name
+    * block = 112M pairs on one core). Names are salted into `salt`
+    * sub-chunks by hash; the left side fans out to every chunk ≥ its
+    * own, so the join key becomes (block_key, chunk) — `salt`-way
+    * parallelism with each unordered pair generated exactly once:
+    * cross-chunk pairs via the strictly-smaller chunk's fan-out,
+    * same-chunk pairs via the name< residual. */
+  def qualifyingPairs(stats: DataFrame, settings: DedupSettings = DedupSettings(),
+      salt: Int = 96): DataFrame = {
+    val salted = stats.withColumn("chunk", pmod(hash(col("base_name")), lit(salt)))
+    val a = salted.select(
+      col("block_key"),
+      col("base_name").as("l_name"),
+      col("min_row").as("l_min_row"),
+      col("max_row").as("l_max_row"),
+      col("token_key").as("l_token_key"),
+      col("chunk").as("l_chunk"),
+      explode(sequence(col("chunk"), lit(salt - 1))).as("chunk"))
+    val b = salted.select(
+      col("block_key"),
+      col("base_name").as("r_name"),
+      col("min_row").as("r_min_row"),
+      col("max_row").as("r_max_row"),
+      col("token_key").as("r_token_key"),
+      col("chunk"))
+    // Explicit repartition with a fixed partition count: the pre-join
+    // shuffle is tiny (names), so AQE would coalesce it to one
+    // partition and serialize the O(|b|²) pair explosion that happens
+    // INSIDE the join. A user repartition pins the parallelism.
+    val joined = a.repartition(salt, col("block_key"), col("chunk"))
+      .join(b.repartition(salt, col("block_key"), col("chunk")), Seq("block_key", "chunk"))
+      .where(col("l_chunk") =!= col("chunk") || col("l_name") < col("r_name"))
+    // canonical a<b orientation regardless of which chunk fanned out
+    val aIsL = col("l_name") < col("r_name")
+    joined.select(
+      col("block_key"),
+      when(aIsL, col("l_name")).otherwise(col("r_name")).as("a_name"),
+      when(aIsL, col("l_min_row")).otherwise(col("r_min_row")).as("a_min_row"),
+      when(aIsL, col("l_max_row")).otherwise(col("r_max_row")).as("a_max_row"),
+      when(aIsL, col("r_name")).otherwise(col("l_name")).as("b_name"),
+      when(aIsL, col("r_min_row")).otherwise(col("l_min_row")).as("b_min_row"),
+      when(aIsL, col("r_max_row")).otherwise(col("l_max_row")).as("b_max_row"),
+      (col("l_token_key") === col("r_token_key")).as("token_match"))
+      .withColumn("ratio", jaro_winkler(col("a_name"), col("b_name")))
+      .where((col("token_match") && col("ratio") >= settings.softThreshold) ||
+        col("ratio") >= settings.hardThreshold)
+      .withColumn("pair_conf", pairConfidence(col("ratio"), col("token_match")))
+  }
+
+  /** Sorted-neighborhood pair generation — the O(n·w) scale path for
+    * blocks of all-distinct names where full pairing is quadratic:
+    * names are sorted within each block and each name is compared
+    * only to its `window-1` successors. The rank-offset fan-out turns
+    * the neighborhood condition into an equi-join on
+    * (block_key, rank), so it shuffles and parallelizes like any
+    * hash join. */
+  def sortedNeighborhoodPairs(stats: DataFrame, window: Int,
+      settings: DedupSettings = DedupSettings()): DataFrame = {
+    val byName = org.apache.spark.sql.expressions.Window
+      .partitionBy("block_key").orderBy("base_name")
+    val ranked = stats.withColumn("rnk", row_number().over(byName))
+    val a = ranked.select(
       col("block_key"),
       col("base_name").as("a_name"),
       col("min_row").as("a_min_row"),
       col("max_row").as("a_max_row"),
-      col("token_key").as("a_token_key"))
-    val b = stats.select(
+      col("token_key").as("a_token_key"),
+      explode(sequence(col("rnk") + 1, col("rnk") + (window - 1))).as("rnk"))
+    val b = ranked.select(
       col("block_key"),
       col("base_name").as("b_name"),
       col("min_row").as("b_min_row"),
       col("max_row").as("b_max_row"),
-      col("token_key").as("b_token_key"))
-    val ratio = jaro_winkler(col("a_name"), col("b_name"))
-    a.join(b, Seq("block_key"))
-      .where(col("a_name") < col("b_name"))
-      .withColumn("ratio", ratio)
+      col("token_key").as("b_token_key"),
+      col("rnk"))
+    a.join(b, Seq("block_key", "rnk"))
+      .withColumn("ratio", jaro_winkler(col("a_name"), col("b_name")))
       .withColumn("token_match", col("a_token_key") === col("b_token_key"))
-      .drop("a_token_key", "b_token_key")
+      .drop("a_token_key", "b_token_key", "rnk")
       .where((col("token_match") && col("ratio") >= settings.softThreshold) ||
         col("ratio") >= settings.hardThreshold)
       .withColumn("pair_conf", pairConfidence(col("ratio"), col("token_match")))

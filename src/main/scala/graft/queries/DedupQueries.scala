@@ -55,6 +55,30 @@ object DedupQueries {
         .select("a_name", "b_name", "ratio", "token_match", "pair_conf")
         .orderBy("a_name", "b_name")),
 
+    // J1 at adversarial scale: customer names are all-distinct and
+    // land in ONE block (15k names -> 112M pairs at sf0.1). The
+    // salted pair join spreads the quadratic work across cores;
+    // output is the aggregate profile.
+    "dedup_pairs_stats" -> ((s, dir) =>
+      Matching.qualifyingPairs(
+        Matching.nameStats(
+          Normalize.withDerived(Tables.customer(s, dir), "c_name", "c_custkey")))
+        .agg(
+          count(lit(1)).as("n_pairs"),
+          sum(when(col("token_match"), 1L).otherwise(0L)).as("n_token_matches"),
+          round(avg(col("ratio")), 6).as("avg_ratio"))),
+
+    // sorted-neighborhood blocking: the O(n·w) alternative for
+    // all-distinct hot blocks — each name compared to its 4 sorted
+    // successors only.
+    "dedup_pairs_sorted" -> ((s, dir) =>
+      Matching.sortedNeighborhoodPairs(
+        Matching.nameStats(
+          Normalize.withDerived(Tables.customer(s, dir), "c_name", "c_custkey")),
+        window = 5)
+        .select("a_name", "b_name", "ratio", "token_match", "pair_conf")
+        .orderBy("a_name", "b_name")),
+
     // C1: row -> cluster assignment (cluster_id = min row_order).
     "dedup_clusters" -> ((s, dir) =>
       fullPart(s, dir).select("row_order", "cluster_id").orderBy("row_order")),
@@ -127,6 +151,45 @@ object DedupQueries {
          |WHERE ((${Sql.tokenKey("a.base_name")} = ${Sql.tokenKey("b.base_name")})
          |       AND jaro_winkler_similarity(a.base_name, b.base_name) >= 0.85)
          |   OR jaro_winkler_similarity(a.base_name, b.base_name) >= 0.90
+         |ORDER BY a_name, b_name""".stripMargin,
+
+    "dedup_pairs_stats" ->
+      s"""${Sql.derivedCte("customer", "c_custkey", "c_name")},
+         |stats AS (
+         |  SELECT block_key, base_name,
+         |         ${Sql.tokenKey("base_name")} AS token_key
+         |  FROM derived WHERE base_name <> '' GROUP BY 1, 2, 3
+         |), pairs AS (
+         |  SELECT jaro_winkler_similarity(a.base_name, b.base_name) AS ratio,
+         |         (a.token_key = b.token_key) AS token_match
+         |  FROM stats a JOIN stats b
+         |    ON a.block_key = b.block_key AND a.base_name < b.base_name
+         |)
+         |SELECT count(*) AS n_pairs,
+         |       CAST(sum(CASE WHEN token_match THEN 1 ELSE 0 END) AS BIGINT) AS n_token_matches,
+         |       round(avg(ratio), 6) AS avg_ratio
+         |FROM pairs
+         |WHERE (token_match AND ratio >= 0.85) OR ratio >= 0.90""".stripMargin,
+
+    "dedup_pairs_sorted" ->
+      s"""${Sql.derivedCte("customer", "c_custkey", "c_name")},
+         |stats AS (
+         |  SELECT block_key, base_name,
+         |         ${Sql.tokenKey("base_name")} AS token_key,
+         |         row_number() OVER (PARTITION BY block_key ORDER BY base_name) AS rnk
+         |  FROM derived WHERE base_name <> '' GROUP BY 1, 2, 3
+         |), pairs AS (
+         |  SELECT a.base_name AS a_name, b.base_name AS b_name,
+         |         jaro_winkler_similarity(a.base_name, b.base_name) AS ratio,
+         |         (a.token_key = b.token_key) AS token_match
+         |  FROM stats a JOIN stats b
+         |    ON a.block_key = b.block_key
+         |   AND b.rnk BETWEEN a.rnk + 1 AND a.rnk + 4
+         |)
+         |SELECT a_name, b_name, ratio, token_match,
+         |       ${Sql.pairConf("ratio", "token_match")} AS pair_conf
+         |FROM pairs
+         |WHERE (token_match AND ratio >= 0.85) OR ratio >= 0.90
          |ORDER BY a_name, b_name""".stripMargin,
 
     "dedup_clusters" ->
