@@ -1,0 +1,63 @@
+package graft.sources
+
+import graft.dedup.{DedupSettings, Outputs, Pipeline}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.{StringType, StructType}
+
+/** Sources and sinks for the dedup pipeline (S1-S4, O1 in SURVEY.md
+  * §2.1). The reference reads CSV/XLSX via pandas
+  * (/root/reference/app.py:86-88); here CSV and Parquet are native
+  * Spark scans (header + schema inference for CSV parity). XLSX has
+  * no offline Spark datasource — persist reports as Parquet/CSV
+  * instead (SURVEY.md §2.2). */
+object Sources {
+
+  /** S1 — CSV scan with pandas-like header/inference behavior. */
+  def readCsv(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("header", "true").option("inferSchema", "true").csv(path)
+
+  /** Generic reader dispatched on extension (S4's per-file loop). */
+  def read(spark: SparkSession, path: String): DataFrame =
+    if (path.endsWith(".csv")) readCsv(spark, path)
+    else spark.read.parquet(path)
+
+  /** S3 — schema peek without scanning data. */
+  def peekSchema(spark: SparkSession, path: String): StructType =
+    read(spark, path).schema
+
+  /** Reference behavior: auto-detect the name column as the first
+    * string column when none is given (engine_test.py:13-16). */
+  def detectNameColumn(df: DataFrame): Option[String] =
+    df.schema.fields.find(_.dataType == StringType).map(_.name)
+
+  /** S4 + E3 + O1 — run the full pipeline on an input file and write
+    * the three reference reports under `outDir` (parquet or csv).
+    * Returns the full cluster table. */
+  def runFile(spark: SparkSession, inPath: String, outDir: String,
+      nameCol: Option[String] = None, rowOrderCol: Option[String] = None,
+      settings: DedupSettings = DedupSettings(), format: String = "parquet"): DataFrame = {
+    val df0 = read(spark, inPath)
+    val name = nameCol.orElse(detectNameColumn(df0)).getOrElse(
+      throw new IllegalArgumentException(s"no string column in $inPath"))
+    // a stable row id: an explicit key column, else a line id for
+    // single-partition inputs (documented: file order = row_order)
+    val (df, orderCol) = rowOrderCol match {
+      case Some(c) => (df0, c)
+      case None =>
+        (df0.coalesce(1).withColumn("_row_order",
+          org.apache.spark.sql.functions.monotonically_increasing_id()), "_row_order")
+    }
+    val full = Pipeline.run(df, name, orderCol, settings)
+    def save(d: DataFrame, sub: String): Unit = {
+      val w = d.coalesce(1).write.mode("overwrite")
+      if (format == "csv") w.option("header", "true").csv(s"$outDir/$sub")
+      else w.parquet(s"$outDir/$sub")
+    }
+    save(Outputs.clusters(full), "company_duplicates_final")
+    save(Outputs.summary(full), "canonical_summary")
+    save(Outputs.settingsEcho(spark, settings), "settings")
+    save(Outputs.mapping(full), "golden_mapping")
+    save(Outputs.review(full), "high_confidence_review")
+    full
+  }
+}
