@@ -1,6 +1,6 @@
 package graft.oracle
 
-import graft.dedup.Rules
+import graft.dedup.{DedupSettings, Rules}
 
 /** DuckDB SQL fragment builders that mirror the Spark column
   * functions in [[graft.dedup.Normalize]] expression-for-expression.
@@ -23,20 +23,24 @@ object Sql {
   private def stripFix(inner: String, tokens: Seq[String], k: Int): String =
     (1 to k).foldLeft(inner)((acc, _) => stripOnce(acc, tokens))
 
-  /** F2+F3 — suffix strip then country fold, same bounded fixpoints as
-    * Normalize.stripSuffixes/foldSubsidiaries. */
-  def stripAndFold(inner: String): String =
-    stripFix(stripFix(inner, Rules.Suffixes, 6), Rules.Countries, 4)
+  /** F2+F3 — suffix strip then country fold, same bounded fixpoints
+    * as Normalize.stripSuffixes/foldSubsidiaries. */
+  def stripAndFold(inner: String, settings: DedupSettings = DedupSettings()): String = {
+    val stripped = stripFix(inner, Rules.Suffixes, 6)
+    if (settings.noSubsidiaryFold) stripped
+    else stripFix(stripped, Rules.Countries, 4)
+  }
 
   /** F4 — acronym rewrite as a CASE expression. */
-  def acronyms(inner: String): String = {
-    val whens = Rules.DefaultAcronyms.toSeq.sortBy(_._1)
+  def acronyms(inner: String, settings: DedupSettings = DedupSettings()): String = {
+    val whens = settings.acronymMap.toSeq.sortBy(_._1)
       .map { case (k, v) => s"WHEN '$k' THEN '$v'" }.mkString(" ")
     s"(CASE $inner $whens ELSE $inner END)"
   }
 
   /** F5 — full base-name derivation from a normalized-name column. */
-  def baseName(normCol: String): String = acronyms(stripAndFold(normCol))
+  def baseName(normCol: String, settings: DedupSettings = DedupSettings()): String =
+    acronyms(stripAndFold(normCol, settings), settings)
 
   /** K1 — blocking key. `//` is DuckDB integer division, matching
     * Python's `len(base) // 5`. */
@@ -46,14 +50,15 @@ object Sql {
 
   /** Shared CTE: the derived-column contract over a (key, name) pair
     * of a source table. */
-  def derivedCte(table: String, keyCol: String, nameCol: String): String =
+  def derivedCte(table: String, keyCol: String, nameCol: String,
+      settings: DedupSettings = DedupSettings()): String =
     s"""WITH rows0 AS (
        |  SELECT CAST($keyCol AS BIGINT) AS row_order,
        |         CAST($nameCol AS VARCHAR) AS original_name,
        |         ${normalize(nameCol)} AS normalized_name
        |  FROM $table
        |), rows1 AS (
-       |  SELECT *, ${baseName("normalized_name")} AS base_name FROM rows0
+       |  SELECT *, ${baseName("normalized_name", settings)} AS base_name FROM rows0
        |), derived AS (
        |  SELECT *, ${blockKey("base_name")} AS block_key FROM rows1
        |)""".stripMargin
@@ -76,8 +81,11 @@ object Sql {
     * closure over the distinct-name graph (tractable because nodes =
     * distinct base names, not rows). */
   def dedupPipelineCte(table: String, keyCol: String, nameCol: String,
-      soft: Double = 0.85, hard: Double = 0.90): String = {
-    val derived = derivedCte(table, keyCol, nameCol).replaceFirst("^WITH ", "WITH RECURSIVE ")
+      settings: DedupSettings = DedupSettings()): String = {
+    val soft = settings.softThreshold
+    val hard = settings.hardThreshold
+    val derived = derivedCte(table, keyCol, nameCol, settings)
+      .replaceFirst("^WITH ", "WITH RECURSIVE ")
     s"""$derived, stats AS (
        |  SELECT block_key, base_name, count(*) AS n_rows,
        |         min(row_order) AS min_row, max(row_order) AS max_row

@@ -83,6 +83,22 @@ object DedupQueries {
     "dedup_clusters" -> ((s, dir) =>
       fullPart(s, dir).select("row_order", "cluster_id").orderBy("row_order")),
 
+    // C1 on a dense similarity graph: supplier names are pairwise
+    // ~0.97-similar, so the name graph is a near-clique — the CC loop
+    // converges on a single giant component.
+    "dedup_clusters_supplier" -> ((s, dir) =>
+      Pipeline.run(Tables.supplier(s, dir), "s_name", "s_suppkey")
+        .select("row_order", "cluster_id", "cluster_size", "confidence")
+        .orderBy("row_order")),
+
+    // the settings surface: stricter thresholds + folding disabled +
+    // a user acronym override, end-to-end.
+    "dedup_full_strict" -> ((s, dir) => {
+      val settings = DedupSettings(hardThreshold = 0.95, softThreshold = 0.92,
+        noSubsidiaryFold = true, addMap = Map("SPRING BOLT" -> "BOLT OF SPRING"))
+      Outputs.clusters(Pipeline.run(Tables.part(s, dir), "p_name", "p_partkey", settings))
+    }),
+
     // E3: the full pipeline contract table (sheet `clusters`).
     "dedup_full" -> ((s, dir) => Outputs.clusters(fullPart(s, dir))),
 
@@ -195,6 +211,20 @@ object DedupQueries {
     "dedup_clusters" ->
       s"""$partPipeline
          |SELECT row_order, cluster_id FROM final ORDER BY row_order""".stripMargin,
+
+    "dedup_clusters_supplier" ->
+      s"""${Sql.dedupPipelineCte("supplier", "s_suppkey", "s_name")}
+         |SELECT row_order, cluster_id, cluster_size, confidence
+         |FROM final ORDER BY row_order""".stripMargin,
+
+    "dedup_full_strict" -> {
+      val strict = DedupSettings(hardThreshold = 0.95, softThreshold = 0.92,
+        noSubsidiaryFold = true, addMap = Map("SPRING BOLT" -> "BOLT OF SPRING"))
+      s"""${Sql.dedupPipelineCte("part", "p_partkey", "p_name", strict)}
+         |SELECT row_order, original_name, normalized_name, base_name, cluster_id,
+         |       cluster_size, canonical_name, confidence, reason
+         |FROM final ORDER BY row_order""".stripMargin
+    },
 
     "dedup_full" ->
       s"""$partPipeline

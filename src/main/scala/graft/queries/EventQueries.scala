@@ -49,6 +49,17 @@ object EventQueries {
         .orderBy("user_id", "session_seq")
     }),
 
+    // sliding 1-hour windows every 15 minutes: each event lands in 4
+    // overlapping windows.
+    "events_sliding" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(dec(col("value"))).cast("double").as("total_value"))
+        .select(date_format(col("w.start"), TsFmt).as("window_start"),
+          col("event_type"), col("n"), col("total_value"))
+        .orderBy("window_start", "event_type")),
+
     // native session_window operator (streaming-capable path from
     // graft.streaming.EventStreams) validated against the lag-based
     // sessionization oracle.
@@ -92,6 +103,17 @@ object EventQueries {
         |       count(*) AS n_events,
         |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         |FROM sessions GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "events_sliding" ->
+      """WITH expanded AS (
+        |  SELECT time_bucket(INTERVAL '15 minutes', ts) - k.k * INTERVAL '15 minutes' AS wstart,
+        |         event_type, value
+        |  FROM events
+        |  CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS k) k)
+        |SELECT strftime(wstart, '%Y-%m-%d %H:%M:%S') AS window_start,
+        |       event_type, count(*) AS n,
+        |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM expanded GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "events_session_native" ->
       """WITH flagged AS (

@@ -71,6 +71,19 @@ object RelationalQueries {
         .orderBy("custkey")
     }),
 
+    // rollup: revenue at (status, priority), per-status subtotal, and
+    // grand total in one pass (multi-level aggregate coverage).
+    "rel_rollup" -> ((s, dir) =>
+      Tables.orders(s, dir)
+        .rollup(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(sum(dec(col("o_totalprice"))).cast("double").as("revenue"),
+          count(lit(1)).as("n"))
+        .select(
+          coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+          col("revenue"), col("n"))
+        .orderBy("status", "priority")),
+
     // semi/anti joins: per nation, customers with vs without orders.
     "rel_customer_activity" -> ((s, dir) => {
       val c = Tables.customer(s, dir)
@@ -128,6 +141,15 @@ object RelationalQueries {
         |    (SELECT custkey FROM c INTERSECT SELECT custkey FROM o)
         |  WHERE custkey < 100)
         |ORDER BY custkey""".stripMargin,
+
+    "rel_rollup" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+        |       coalesce(o_orderpriority, 'ALL') AS priority,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |       count(*) AS n
+        |FROM orders
+        |GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        |ORDER BY status, priority""".stripMargin,
 
     "rel_customer_activity" ->
       """WITH active AS (
