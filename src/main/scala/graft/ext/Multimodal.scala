@@ -62,6 +62,34 @@ object Multimodal {
     }
   }
 
+  /** One sampled "frame": byte range + content hash + stub features.
+    * For real video this is decoder output; the slicing/batching
+    * plumbing is identical. */
+  case class Frame(media_id: Long, frame_idx: Long, offset: Long,
+      frame_bytes: Long, frame_hash: String)
+
+  /** Frame sampling stub: split each payload into `n` even byte
+    * slices ("frames") and hash each — a flatMap per record, so one
+    * media row fans out to n frame rows and downstream operators see
+    * a plain table. */
+  def sampleFrames(media: Dataset[MediaRecord], n: Int)(
+      implicit spark: SparkSession): Dataset[Frame] = {
+    import spark.implicits._
+    media.flatMap { r =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val len = r.payload.length
+      (0 until n).flatMap { i =>
+        val from = (len.toLong * i / n).toInt
+        val until = (len.toLong * (i + 1) / n).toInt
+        if (until > from) {
+          val slice = java.util.Arrays.copyOfRange(r.payload, from, until)
+          val hash = md.digest(slice).map("%02x".format(_)).mkString
+          Some(Frame(r.media_id, i.toLong, from.toLong, (until - from).toLong, hash))
+        } else None
+      }
+    }
+  }
+
   /** Adapter: wrap any (id, binary) DataFrame as a media table. */
   def asMedia(df: DataFrame, idCol: String, payloadCol: String, modality: String)(
       implicit spark: SparkSession): Dataset[MediaRecord] = {

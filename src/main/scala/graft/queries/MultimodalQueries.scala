@@ -25,6 +25,16 @@ object MultimodalQueries {
       feats.select(Seq(col("media_id"), col("modality"), col("n_bytes"),
         col("content_hash")) ++ quantized: _*)
         .orderBy("media_id")
+    }),
+
+    // frame sampling: each payload fans out to 4 byte-slice "frames"
+    // via the flatMap stage (video frame-extraction plumbing).
+    "mm_frames" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      val media = Multimodal.asMedia(
+        Tables.documents(s, dir), "doc_id", "text", "text/plain")
+      Multimodal.sampleFrames(media, 4).toDF()
+        .orderBy("media_id", "frame_idx")
     })
   )
 
@@ -37,6 +47,22 @@ object MultimodalQueries {
          |  octet_length(encode(text)) AS n_bytes,
          |  md5(text) AS content_hash, $ks
          |FROM documents ORDER BY media_id""".stripMargin
-    }
+    },
+
+    "mm_frames" ->
+      """WITH f AS (
+        |  SELECT doc_id, text,
+        |         CAST(octet_length(encode(text)) AS BIGINT) AS len
+        |  FROM documents),
+        |frames AS (
+        |  SELECT doc_id AS media_id, CAST(k.k AS BIGINT) AS frame_idx,
+        |         len * k.k // 4 AS "offset",
+        |         len * (k.k + 1) // 4 - len * k.k // 4 AS frame_bytes,
+        |         md5(substr(text, CAST(len * k.k // 4 AS INTEGER) + 1,
+        |             CAST(len * (k.k + 1) // 4 - len * k.k // 4 AS INTEGER))) AS frame_hash
+        |  FROM f CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS k) k
+        |  WHERE len * (k.k + 1) // 4 > len * k.k // 4)
+        |SELECT media_id, frame_idx, "offset", frame_bytes, frame_hash
+        |FROM frames ORDER BY media_id, frame_idx""".stripMargin
   )
 }
