@@ -57,7 +57,16 @@ object Matching {
     * same-chunk pairs via the name< residual. */
   def qualifyingPairs(stats: DataFrame, settings: DedupSettings = DedupSettings(),
       salt: Int = 96): DataFrame = {
-    val salted = stats.withColumn("chunk", pmod(hash(col("base_name")), lit(salt)))
+    // cost governor: drop over-cap blocks entirely (rows keep their
+    // singleton clusters), bounding the quadratic worst case
+    val capped = settings.maxBlockNames match {
+      case Some(cap) =>
+        val smallBlocks = stats.groupBy("block_key")
+          .agg(count(lit(1)).as("_bn")).filter(col("_bn") <= cap).drop("_bn")
+        stats.join(broadcast(smallBlocks), Seq("block_key"), "left_semi")
+      case None => stats
+    }
+    val salted = capped.withColumn("chunk", pmod(hash(col("base_name")), lit(salt)))
     val a = salted.select(
       col("block_key"),
       col("base_name").as("l_name"),

@@ -13,7 +13,13 @@ final case class DedupSettings(
     hardThreshold: Double = 0.90,
     softThreshold: Double = 0.85,
     noSubsidiaryFold: Boolean = false,
-    addMap: Map[String, String] = Map.empty) {
+    addMap: Map[String, String] = Map.empty,
+    /** Cost governor (beyond the reference, SURVEY.md §4): blocks
+      * with more distinct names than this are excluded from pairwise
+      * matching (their rows stay singletons) — bounds the quadratic
+      * worst case on adversarial key distributions. None = reference
+      * behavior (no cap). */
+    maxBlockNames: Option[Long] = None) {
   /** Acronym rewrite map = defaults overridden by user entries
     * (engine.py:34-41). */
   def acronymMap: Map[String, String] = Rules.DefaultAcronyms ++ addMap

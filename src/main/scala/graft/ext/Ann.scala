@@ -58,6 +58,45 @@ object Ann {
       .select("query_id", "rk", "neighbor_id", "cos")
   }
 
+  /** Deterministic pseudo-random hyperplanes for sign-LSH: component
+    * (j, d) derives from md5("j|d"), so every engine/run regenerates
+    * bit-identical planes — no RNG state to ship. Values ∈ [-1, 1]. */
+  def hyperplanes(nPlanes: Int, dim: Int): Seq[Seq[Double]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    (0 until nPlanes).map { j =>
+      (0 until dim).map { d =>
+        val h = md.digest(s"$j|$d".getBytes("UTF-8"))
+        val u = ((h(0) & 0xffL) << 24) | ((h(1) & 0xffL) << 16) |
+          ((h(2) & 0xffL) << 8) | (h(3) & 0xffL)
+        (u.toDouble / 4294967296.0) * 2.0 - 1.0
+      }
+    }
+  }
+
+  /** Sign-LSH bucket id: bit j = (v · plane_j > 0). Vectors in the
+    * same bucket agree on every hyperplane side — candidates for
+    * high-cosine pairs. 2^nPlanes buckets. */
+  def lshBucket(v: Column, planes: Seq[Seq[Double]]): Column =
+    planes.zipWithIndex.map { case (p, j) =>
+      when(dot_product(v, typedLit(p)) > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** LSH-bucketed near-dup pairs: bucket equi-join (shuffles each
+    * vector to ONE bucket — the 100 TB alternative to the all-pairs
+    * O(n²) join), then exact cosine verification. Approximate: pairs
+    * split by any plane are missed; recall rises with fewer planes or
+    * multiple tables. */
+  def lshPairs(prep: DataFrame, planes: Seq[Seq[Double]], minCos: Double): DataFrame = {
+    val bucketed = prep.withColumn("bucket", lshBucket(col("v"), planes))
+    val a = bucketed.select(col("bucket"), col("vec_id").as("a_id"), col("u").as("au"))
+    val b = bucketed.select(col("bucket"), col("vec_id").as("b_id"), col("u").as("bu"))
+    a.join(b, Seq("bucket"))
+      .where(col("a_id") < col("b_id"))
+      .withColumn("cos", cosine(col("au"), col("bu")))
+      .filter(col("cos") >= minCos)
+      .select("a_id", "b_id", "bucket", "cos")
+  }
+
   /** Deterministic component-mean centroids per partition label:
     * (label, dim, cval). DECIMAL sums make the mean independent of
     * aggregation order. */

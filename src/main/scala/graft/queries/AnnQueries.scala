@@ -39,6 +39,12 @@ object AnnQueries {
         .orderBy("a_id", "b_id")
     }),
 
+    // sign-LSH bucketed near-dup join: one bucket per vector (vs the
+    // all-pairs O(n²) of ann_threshold_pairs), exact-cosine verified.
+    "ann_lsh_pairs" -> ((s, dir) =>
+      Ann.lshPairs(prep(s, dir), Planes, minCos = 0.20)
+        .orderBy("a_id", "b_id")),
+
     // IVF: probe the 2 nearest coarse partitions, exact top-k inside.
     "ann_ivf" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
@@ -46,6 +52,14 @@ object AnnQueries {
       Ann.ivfSearch(emb, q, nProbe = 2, k = TopK).orderBy("query_id", "rk")
     })
   )
+
+  /** 6 deterministic hyperplanes for 64-dim embeddings (md5-derived,
+    * regenerated bit-identically by any engine). */
+  private val Planes: Seq[Seq[Double]] = Ann.hyperplanes(6, 64)
+
+  /** DuckDB literal for one plane (Double.toString round-trips). */
+  private def planeLit(p: Seq[Double]): String =
+    p.map(_.toString).mkString("[", ", ", "]")
 
   /** Shared DuckDB fragments. */
   private val prepCte: String =
@@ -84,6 +98,23 @@ object AnnQueries {
          |FROM n a JOIN n b ON a.vec_id < b.vec_id
          |WHERE ${cosSql("a.v", "b.v", "a.nrm", "b.nrm")} >= $CosThreshold
          |ORDER BY a_id, b_id""".stripMargin,
+
+    "ann_lsh_pairs" -> {
+      val bucketTerms = Planes.zipWithIndex.map { case (p, j) =>
+        s"(CASE WHEN list_sum(list_transform(generate_series(1, len(v)), " +
+          s"i -> v[i] * (${planeLit(p)})[i])) > 0 THEN CAST(${1L << j} AS BIGINT) " +
+          s"ELSE CAST(0 AS BIGINT) END)"
+      }.mkString(" + ")
+      s"""$prepCte, bucketed AS (
+         |  SELECT vec_id, v, nrm, ($bucketTerms) AS bucket FROM n
+         |)
+         |SELECT a.vec_id AS a_id, b.vec_id AS b_id, a.bucket,
+         |       ${cosSql("a.v", "b.v", "a.nrm", "b.nrm")} AS cos
+         |FROM bucketed a JOIN bucketed b
+         |  ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+         |WHERE ${cosSql("a.v", "b.v", "a.nrm", "b.nrm")} >= 0.20
+         |ORDER BY a_id, b_id""".stripMargin
+    },
 
     "ann_ivf" ->
       s"""$prepCte, q AS (SELECT * FROM n WHERE vec_id % $QueryMod = 0),

@@ -41,6 +41,22 @@ class MatchingSpec extends AnyFunSuite {
     }
   }
 
+  test("block-size cap excludes over-cap blocks, keeps the rest intact") {
+    val full = pairSet(Matching.qualifyingPairs(stats))
+    val blockSizes = stats.groupBy("block_key").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val cap = blockSizes.values.max - 1
+    val capped = Matching.qualifyingPairs(stats,
+      DedupSettings(maxBlockNames = Some(cap)))
+    assert(pairSet(capped).subsetOf(full))
+    assert(pairSet(capped).size < full.size)
+    // no pair from an over-cap block survives
+    val bigBlocks = blockSizes.filter(_._2 > cap).keySet
+    val cappedBlocks = capped.select("block_key").distinct().collect()
+      .map(_.getString(0)).toSet
+    assert(cappedBlocks.intersect(bigBlocks).isEmpty)
+  }
+
   test("sorted-neighborhood pairs are a subset of full pairs and adjacent-complete") {
     val full = pairSet(Matching.qualifyingPairs(stats))
     val sn = pairSet(Matching.sortedNeighborhoodPairs(stats, window = 3))
