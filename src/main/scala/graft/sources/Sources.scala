@@ -16,9 +16,14 @@ object Sources {
   def readCsv(spark: SparkSession, path: String): DataFrame =
     spark.read.option("header", "true").option("inferSchema", "true").csv(path)
 
+  /** S2 — XLSX scan (dependency-free, see [[Xlsx]]). */
+  def readXlsx(spark: SparkSession, path: String): DataFrame =
+    Xlsx.read(spark, path)
+
   /** Generic reader dispatched on extension (S4's per-file loop). */
   def read(spark: SparkSession, path: String): DataFrame =
     if (path.endsWith(".csv")) readCsv(spark, path)
+    else if (path.endsWith(".xlsx")) readXlsx(spark, path)
     else spark.read.parquet(path)
 
   /** S3 — schema peek without scanning data. */

@@ -1,0 +1,160 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+import java.io.{ByteArrayOutputStream, FileInputStream, FileOutputStream}
+import java.util.zip.{ZipEntry, ZipInputStream, ZipOutputStream}
+import javax.xml.parsers.DocumentBuilderFactory
+import scala.collection.mutable
+
+/** Minimal, dependency-free XLSX source/sink (S2 scan + O1 multi-sheet
+  * sink in SURVEY.md §2.1 — the reference's native formats,
+  * app.py:88 / outputs.py:9-20). An .xlsx file is a zip of XML parts;
+  * this reads sheet1 + sharedStrings via the JDK's DOM parser and
+  * writes workbooks with inline strings — no POI, works offline.
+  *
+  * Scope: string/number cells, first row = header, all columns read
+  * as strings (cast downstream). Workbook files are driver-side by
+  * nature (one small file, like the reference's uploads) — the
+  * DataFrame is parallelized after parsing; large-data paths should
+  * use Parquet/CSV. */
+object Xlsx {
+
+  private val ColRef = "([A-Z]+)([0-9]+)".r
+
+  private def colIndex(ref: String): Int = ref match {
+    case ColRef(letters, _) =>
+      letters.foldLeft(0)((acc, c) => acc * 26 + (c - 'A' + 1)) - 1
+    case _ => 0
+  }
+
+  /** Read the first worksheet into a DataFrame of string columns. */
+  def read(spark: SparkSession, path: String): DataFrame = {
+    val parts = mutable.Map.empty[String, Array[Byte]]
+    val zin = new ZipInputStream(new FileInputStream(path))
+    try {
+      var e = zin.getNextEntry
+      while (e != null) {
+        if (e.getName == "xl/sharedStrings.xml" ||
+          e.getName.matches("xl/worksheets/sheet1\\.xml")) {
+          val bos = new ByteArrayOutputStream()
+          zin.transferTo(bos)
+          parts(e.getName) = bos.toByteArray
+        }
+        e = zin.getNextEntry
+      }
+    } finally zin.close()
+
+    val dbf = DocumentBuilderFactory.newInstance()
+    def parse(bytes: Array[Byte]) =
+      dbf.newDocumentBuilder().parse(new java.io.ByteArrayInputStream(bytes))
+
+    val shared: IndexedSeq[String] = parts.get("xl/sharedStrings.xml").map { b =>
+      val doc = parse(b)
+      val sis = doc.getElementsByTagName("si")
+      (0 until sis.getLength).map { i =>
+        val ts = sis.item(i).asInstanceOf[org.w3c.dom.Element].getElementsByTagName("t")
+        (0 until ts.getLength).map(j => ts.item(j).getTextContent).mkString
+      }
+    }.getOrElse(IndexedSeq.empty)
+
+    val sheet = parse(parts.getOrElse("xl/worksheets/sheet1.xml",
+      throw new IllegalArgumentException(s"no sheet1 in $path")))
+    val rowNodes = sheet.getElementsByTagName("row")
+    val rows: Seq[Seq[(Int, String)]] = (0 until rowNodes.getLength).map { i =>
+      val cells = rowNodes.item(i).asInstanceOf[org.w3c.dom.Element]
+        .getElementsByTagName("c")
+      (0 until cells.getLength).flatMap { j =>
+        val c = cells.item(j).asInstanceOf[org.w3c.dom.Element]
+        val rAttr = c.getAttribute("r")
+        // dense writers (ours) omit cell refs -> positional fallback
+        val idx = if (rAttr.isEmpty) j else colIndex(rAttr)
+        val t = c.getAttribute("t")
+        val vNodes = c.getElementsByTagName("v")
+        val value: Option[String] =
+          if (t == "inlineStr") {
+            val ts = c.getElementsByTagName("t")
+            if (ts.getLength > 0) Some(ts.item(0).getTextContent) else None
+          } else if (vNodes.getLength > 0) {
+            val raw = vNodes.item(0).getTextContent
+            if (t == "s") Some(shared(raw.toInt)) else Some(raw)
+          } else None
+        value.map(idx -> _)
+      }
+    }
+
+    val header = rows.headOption.getOrElse(Seq.empty).sortBy(_._1)
+    val nCols = (rows.map(r => r.map(_._1).maxOption.getOrElse(-1)).maxOption.getOrElse(-1)) + 1
+    val names = (0 until nCols).map { i =>
+      header.find(_._1 == i).map(_._2).getOrElse(s"_c$i")
+    }
+    val data = rows.drop(1).map { r =>
+      val m = r.toMap
+      Row.fromSeq((0 until nCols).map(i => m.get(i).orNull))
+    }
+    val schema = StructType(names.map(n => StructField(n, StringType, nullable = true)))
+    spark.createDataFrame(spark.sparkContext.parallelize(data, 1), schema)
+  }
+
+  private def xmlEscape(s: String): String =
+    s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+      .replace("\"", "&quot;")
+
+  /** Write a multi-sheet workbook (sheet name -> DataFrame), inline
+    * strings, header row first — the reference's report layout
+    * (outputs.py:44-48). Collects to the driver: reports only. */
+  def write(sheets: Seq[(String, DataFrame)], path: String): Unit = {
+    val zout = new ZipOutputStream(new FileOutputStream(path))
+    def put(name: String, content: String): Unit = {
+      zout.putNextEntry(new ZipEntry(name))
+      zout.write(content.getBytes("UTF-8"))
+      zout.closeEntry()
+    }
+    val n = sheets.size
+    put("[Content_Types].xml",
+      """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
+        """<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">""" +
+        """<Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/>""" +
+        """<Default Extension="xml" ContentType="application/xml"/>""" +
+        """<Override PartName="/xl/workbook.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>""" +
+        (1 to n).map(i =>
+          s"""<Override PartName="/xl/worksheets/sheet$i.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/>""")
+          .mkString + "</Types>")
+    put("_rels/.rels",
+      """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
+        """<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">""" +
+        """<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/officeDocument" Target="xl/workbook.xml"/>""" +
+        "</Relationships>")
+    put("xl/workbook.xml",
+      """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
+        """<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships"><sheets>""" +
+        sheets.zipWithIndex.map { case ((name, _), i) =>
+          s"""<sheet name="${xmlEscape(name)}" sheetId="${i + 1}" r:id="rId${i + 1}"/>"""
+        }.mkString + "</sheets></workbook>")
+    put("xl/_rels/workbook.xml.rels",
+      """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
+        """<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">""" +
+        (1 to n).map(i =>
+          s"""<Relationship Id="rId$i" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet$i.xml"/>""")
+          .mkString + "</Relationships>")
+    sheets.zipWithIndex.foreach { case ((_, df), si) =>
+      val sb = new StringBuilder
+      sb.append("""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""")
+      sb.append("""<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>""")
+      val header = df.columns
+      def rowXml(values: Seq[Any]): String =
+        "<row>" + values.map {
+          case null => "<c t=\"inlineStr\"><is><t></t></is></c>"
+          case d: Double => s"<c><v>$d</v></c>"
+          case l: Long => s"<c><v>$l</v></c>"
+          case i: Int => s"<c><v>$i</v></c>"
+          case v => s"<c t=\"inlineStr\"><is><t>${xmlEscape(v.toString)}</t></is></c>"
+        }.mkString + "</row>"
+      sb.append(rowXml(header.toSeq))
+      df.collect().foreach(r => sb.append(rowXml(r.toSeq)))
+      sb.append("</sheetData></worksheet>")
+      put(s"xl/worksheets/sheet${si + 1}.xml", sb.toString)
+    }
+    zout.close()
+  }
+}

@@ -1,0 +1,56 @@
+package graft.sources
+
+import graft.dedup.{Outputs, Pipeline, SparkTest}
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+class XlsxSpec extends AnyFunSuite {
+  private lazy val spark = SparkTest.spark
+
+  test("multi-sheet write -> read round-trip") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_xlsx").toFile
+    val path = new java.io.File(dir, "out.xlsx").getAbsolutePath
+    val a = Seq(("IBM & Co <X>", 1.5, 2L), ("Tata \"T\"", -0.25, 7L))
+      .toDF("name", "score", "n")
+    val b = Seq(("k1", "v1")).toDF("setting", "value")
+    Xlsx.write(Seq("clusters" -> a, "settings" -> b), path)
+
+    val back = Xlsx.read(spark, path)
+    assert(back.columns.toSeq == Seq("name", "score", "n"))
+    val rows = back.collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    assert(rows.toSeq == Seq(("IBM & Co <X>", "1.5", "2"), ("Tata \"T\"", "-0.25", "7")))
+  }
+
+  test("reference golden xlsx fixture reads and dedups correctly") {
+    val ref = "/root/reference/test_input.xlsx"
+    assume(new java.io.File(ref).exists())
+    val df = Xlsx.read(spark, ref)
+    assert(Sources.detectNameColumn(df).contains("Company Name"))
+    assert(df.count() == 8)
+    val withId = df.coalesce(1).withColumn("_id",
+      org.apache.spark.sql.functions.monotonically_increasing_id())
+    val full = Pipeline.run(withId, "Company Name", "_id")
+    val mapping = Outputs.mapping(full).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(mapping("TCS") == "TATA CONSULTANCY SERVICES")
+    assert(mapping("IBM") == "IBM")
+    assert(mapping("Ltd") == "LTD")
+  }
+
+  test("xlsx report sink: the reference's three workbooks") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_xlsx_reports").toFile
+    val input = Seq((0L, "IBM India Pvt Ltd"), (1L, "IBM"), (2L, "Microsoft"))
+      .toDF("id", "name")
+    val full = Pipeline.run(input, "name", "id")
+    val path = new java.io.File(dir, "company_duplicates_final.xlsx").getAbsolutePath
+    Xlsx.write(Seq(
+      "clusters" -> Outputs.clusters(full),
+      "canonical_summary" -> Outputs.summary(full),
+      "settings" -> Outputs.settingsEcho(spark, graft.dedup.DedupSettings())), path)
+    val clusters = Xlsx.read(spark, path)
+    assert(clusters.count() == 3)
+    assert(clusters.columns.contains("canonical_name"))
+  }
+}
