@@ -23,11 +23,39 @@ object Cluster {
     *         an edge, with component = min node id in the component.
     *         Isolated nodes (no edges) simply don't appear — callers
     *         default them to their own id. */
-  def connectedComponents(edges: DataFrame, maxIter: Int = 50): DataFrame = {
+  def connectedComponents(edges: DataFrame, maxIter: Int = 50,
+      localThreshold: Long = 500000): DataFrame = {
     val sym = edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
       .localCheckpoint(true)
+
+    // Small-graph fast path: the node set here is DISTINCT NAMES, not
+    // rows — usually tiny after the distinct-name reduction. Below
+    // the threshold, one collect + path-compressed union-find beats
+    // ~6 Spark jobs of iteration latency; above it, fall through to
+    // the distributed loop.
+    val edgeCount = sym.count()
+    if (edgeCount <= localThreshold) {
+      val pairs = sym.collect().map(r => (r.getLong(0), r.getLong(1)))
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent(r) != r) r = parent(r)
+        var c = x
+        while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      pairs.foreach { case (a, b) =>
+        parent.getOrElseUpdate(a, a)
+        parent.getOrElseUpdate(b, b)
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+      }
+      val spark = edges.sparkSession
+      import spark.implicits._
+      return parent.keys.toSeq.map(k => (k, find(k))).toDF("id", "component")
+    }
 
     var labels = sym.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))

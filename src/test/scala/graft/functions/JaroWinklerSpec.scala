@@ -30,6 +30,21 @@ class JaroWinklerSpec extends AnyFunSuite {
       jw("ABCXXXX", "BCAXXXX") == 0.9523809523809524)
   }
 
+  test("byte fast path agrees with string path; non-ascii falls back") {
+    import org.apache.spark.unsafe.types.UTF8String
+    def sim(a: String, b: String) =
+      JaroWinklerAlgo.similarity(UTF8String.fromString(a), UTF8String.fromString(b))
+    val rnd = new scala.util.Random(99)
+    for (_ <- 1 to 1000) {
+      val a = (0 until rnd.nextInt(12)).map(_ => ('A' + rnd.nextInt(26)).toChar).mkString
+      val b = (0 until rnd.nextInt(12)).map(_ => ('A' + rnd.nextInt(26)).toChar).mkString
+      assert(sim(a, b) == JaroWinklerAlgo.compute(a, b), s"'$a' '$b'")
+    }
+    // unicode goes through the string path and still behaves
+    assert(sim("CAFÉ", "CAFÉ") == 1.0)
+    assert(sim("MÜNCHEN", "MUNCHEN") == JaroWinklerAlgo.compute("MÜNCHEN", "MUNCHEN"))
+  }
+
   test("properties: range, symmetry, identity") {
     val rnd = new scala.util.Random(42)
     def randStr() = {
