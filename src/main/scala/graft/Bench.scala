@@ -10,6 +10,12 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // untimed warm-up: JVM/codegen/parquet-reader init shouldn't be
+    // attributed to whichever query happens to run first
+    try {
+      val w = spark.read.parquet(s"$sfDir/region.parquet")
+      w.groupBy("r_name").count().count()
+    } catch { case _: Throwable => () }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

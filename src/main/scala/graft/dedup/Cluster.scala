@@ -24,7 +24,7 @@ object Cluster {
     *         Isolated nodes (no edges) simply don't appear — callers
     *         default them to their own id. */
   def connectedComponents(edges: DataFrame, maxIter: Int = 50,
-      localThreshold: Long = 500000): DataFrame = {
+      localThreshold: Long = 2000000): DataFrame = {
     val sym = edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
