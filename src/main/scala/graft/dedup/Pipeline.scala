@@ -72,21 +72,23 @@ object Pipeline {
         coalesce(col("cluster_id"), col("row_order")))
 
     // --- A1/A2: canonical election (mode, tie → shortest, then asc)
-    // + cluster size, both as per-cluster reductions joined back.
-    val votes = clustered.filter(col("base_name") =!= "")
-      .groupBy("cluster_id", "base_name").agg(count(lit(1)).as("votes"))
-    val electW = Window.partitionBy("cluster_id")
-      .orderBy(col("votes").desc, length(col("base_name")).asc, col("base_name").asc)
-    val elected = votes.withColumn("rk", row_number().over(electW))
-      .filter(col("rk") === 1)
-      .select(col("cluster_id"), col("base_name").as("elected_name"))
-    val sizes = clustered.groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
+    // + cluster size, as windows sharing ONE shuffle by cluster_id
+    // instead of two aggregate+join round-trips. Empty-base rows are
+    // always singleton clusters (they never enter blocking), so
+    // within any multi-row cluster every base_name is non-empty and
+    // the vote ordering needs no empty-name guard.
+    val voteW = Window.partitionBy("cluster_id", "base_name")
+    val clusterW = Window.partitionBy("cluster_id")
+    val electW = clusterW.orderBy(
+      col("votes").desc, length(col("base_name")).asc, col("base_name").asc)
 
     clustered
-      .join(elected, Seq("cluster_id"), "left")
-      .join(sizes, Seq("cluster_id"))
+      .withColumn("votes", count(lit(1)).over(voteW))
+      .withColumn("cluster_size", count(lit(1)).over(clusterW))
+      .withColumn("elected_name", first(col("base_name")).over(electW))
       .withColumn("canonical_name",
-        coalesce(col("elected_name"), col("normalized_name")))
+        when(col("base_name") === "", col("normalized_name"))
+          .otherwise(col("elected_name")))
       .withColumn("reason",
         when(col("confidence") === Rules.ConfEmptyBase, lit(Rules.ReasonEmptyBase))
           .when(col("confidence") === Rules.ConfTokenAndRatio, lit(Rules.ReasonTokenAndRatio))
