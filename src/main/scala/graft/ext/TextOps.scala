@@ -37,6 +37,24 @@ object TextOps {
   def minhashSig(shinglesCol: Column, seed: Int): Column =
     array_min(transform(shinglesCol, s => md5(concat(lit(s"$seed|"), s))))
 
+  /** Batched MinHash: each md5 digest is 128 bits = four independent
+    * 32-bit components (8 hex chars each), so n signatures need only
+    * ceil(n/4) md5 evaluations per shingle — and the md5 count
+    * dominates LSH index build cost. [[minhashDigests]] materializes
+    * the concatenated digests once per shingle (as a real column, so
+    * the per-signature extraction can't re-trigger the hashing);
+    * signature i is then min over shingles of hex chars
+    * [8i, 8i+8) — lexicographic min ≡ unsigned 32-bit min. */
+  def minhashDigests(shinglesCol: Column, n: Int): Column = {
+    val groups = (n + 3) / 4
+    transform(shinglesCol, s =>
+      concat((0 until groups).map(g => md5(concat(lit(s"$g|"), s))): _*))
+  }
+
+  /** Signature i from a [[minhashDigests]] column. */
+  def minhashSigFromDigests(digestsCol: Column, i: Int): Column =
+    array_min(transform(digestsCol, d => substring(d, i * 8 + 1, 8)))
+
   /** LSH band key over consecutive signature columns. */
   def bandKey(band: Int, sigs: Seq[Column]): Column =
     md5(concat(lit(s"$band|") +: sigs: _*))

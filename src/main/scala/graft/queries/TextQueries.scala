@@ -36,12 +36,15 @@ object TextQueries {
         .select(col("doc_id"), TextOps.shingles(col("w"), ShingleK).as("sh"))
     }
 
-  /** doc_id + the 12 MinHash signature columns (cached index). */
+  /** doc_id + the 12 MinHash signature columns (cached index; 3 md5
+    * evaluations per shingle via digest batching, not 12). */
   private def withSigs(s: SparkSession, dir: String): DataFrame =
     graft.core.Memo.cached(s, s"text_sigs:$dir") {
-      (0 until NumSigs).foldLeft(withShingles(s, dir)) { (df, i) =>
-        df.withColumn(s"sig_$i", TextOps.minhashSig(col("sh"), i))
-      }.drop("sh")
+      val withDigests = withShingles(s, dir)
+        .withColumn("digests", TextOps.minhashDigests(col("sh"), NumSigs))
+      (0 until NumSigs).foldLeft(withDigests) { (df, i) =>
+        df.withColumn(s"sig_$i", TextOps.minhashSigFromDigests(col("digests"), i))
+      }.drop("sh", "digests")
     }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -193,7 +196,8 @@ object TextQueries {
        |  FROM w a JOIN w b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
        |), sigl AS (
        |  SELECT sh.doc_id, i.i,
-       |         min(md5(CAST(i.i AS VARCHAR) || '|' || sh.s)) AS sig
+       |         min(substr(md5(CAST(i.i // 4 AS VARCHAR) || '|' || sh.s),
+       |                    CAST(i.i % 4 AS INTEGER) * 8 + 1, 8)) AS sig
        |  FROM sh CROSS JOIN (SELECT unnest(generate_series(0, ${NumSigs - 1})) AS i) i
        |  GROUP BY 1, 2
        |), sigs AS (
