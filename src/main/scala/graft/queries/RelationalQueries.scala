@@ -71,6 +71,28 @@ object RelationalQueries {
         .orderBy("custkey")
     }),
 
+    // exact percentiles per group (sort-based, deterministic — not
+    // the approx sketch).
+    "rel_percentiles" -> ((s, dir) =>
+      Tables.customer(s, dir)
+        .groupBy("c_mktsegment")
+        .agg(
+          expr("percentile(c_acctbal, 0.5)").as("median_bal"),
+          expr("percentile(c_acctbal, 0.95)").as("p95_bal"),
+          count(lit(1)).as("n"))
+        .orderBy("c_mktsegment")),
+
+    // pivot: one revenue column per order priority, rows by status.
+    "rel_pivot" -> ((s, dir) => {
+      val priorities = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+      Tables.orders(s, dir)
+        .groupBy("o_orderstatus")
+        .pivot("o_orderpriority", priorities)
+        .agg(sum(dec(col("o_totalprice"))).cast("double"))
+        .toDF("o_orderstatus" +: priorities.map(p => s"rev_${p.charAt(0)}"): _*)
+        .orderBy("o_orderstatus")
+    }),
+
     // rollup: revenue at (status, priority), per-status subtotal, and
     // grand total in one pass (multi-level aggregate coverage).
     "rel_rollup" -> ((s, dir) =>
@@ -141,6 +163,22 @@ object RelationalQueries {
         |    (SELECT custkey FROM c INTERSECT SELECT custkey FROM o)
         |  WHERE custkey < 100)
         |ORDER BY custkey""".stripMargin,
+
+    "rel_percentiles" ->
+      """SELECT c_mktsegment,
+        |       quantile_cont(c_acctbal, 0.5) AS median_bal,
+        |       quantile_cont(c_acctbal, 0.95) AS p95_bal,
+        |       count(*) AS n
+        |FROM customer GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "rel_pivot" -> {
+      val cases = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+        .map(p => s"CAST(sum(CASE WHEN o_orderpriority = '$p' " +
+          s"THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS \"rev_${p.charAt(0)}\"")
+        .mkString(", ")
+      s"""SELECT o_orderstatus, $cases
+         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
+    },
 
     "rel_rollup" ->
       """SELECT coalesce(o_orderstatus, 'ALL') AS status,
