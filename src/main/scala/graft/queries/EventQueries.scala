@@ -70,6 +70,25 @@ object EventQueries {
           col("n_events"), col("total_value"))
         .orderBy("user_id", "session_start")),
 
+    // as-of join: each purchase looked up against the user's most
+    // recent signup (point-in-time correctness — validated against
+    // DuckDB's NATIVE ASOF JOIN as the oracle).
+    "events_asof" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts", "value")
+      val signups = ev.filter(col("event_type") === "signup")
+        .select(col("user_id"), col("ts"), col("ts").as("signup_ts"))
+      graft.ext.AsOf.asofJoin(purchases, signups,
+        keyCols = Seq("user_id"), tsCol = "ts", valueCols = Seq("signup_ts"))
+        .select(col("event_id"), col("user_id"),
+          date_format(col("ts"), TsFmt).as("ts"),
+          date_format(col("asof_signup_ts"), TsFmt).as("signup_ts"),
+          (col("ts").cast("long") - col("asof_signup_ts").cast("long"))
+            .as("secs_since_signup"))
+        .orderBy("event_id")
+    }),
+
     // JSON scalar extraction + histogram over the extracted value.
     "events_json" -> ((s, dir) =>
       Tables.events(s, dir)
@@ -133,6 +152,22 @@ object EventQueries {
         |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         |FROM sessions GROUP BY user_id, session_seq
         |ORDER BY 1, 2""".stripMargin,
+
+    "events_asof" ->
+      """WITH purchases AS (
+        |  SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'
+        |), signups AS (
+        |  SELECT user_id, ts AS signup_ts FROM events WHERE event_type = 'signup'
+        |)
+        |SELECT p.event_id, p.user_id,
+        |       strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS ts,
+        |       strftime(s.signup_ts, '%Y-%m-%d %H:%M:%S') AS signup_ts,
+        |       CAST(floor(epoch(p.ts)) AS BIGINT) - CAST(floor(epoch(s.signup_ts)) AS BIGINT)
+        |         AS secs_since_signup
+        |FROM purchases p
+        |ASOF LEFT JOIN signups s
+        |  ON p.user_id = s.user_id AND p.ts >= s.signup_ts
+        |ORDER BY event_id""".stripMargin,
 
     "events_json" ->
       """SELECT CAST(floor(CAST(json_extract_string(props, '$.k') AS BIGINT) / 10) AS BIGINT) AS k_bucket,
