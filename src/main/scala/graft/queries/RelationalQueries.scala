@@ -71,6 +71,20 @@ object RelationalQueries {
         .orderBy("custkey")
     }),
 
+    // same top-3 as rel_top_orders via the custom TopKBy
+    // TypedImperativeAggregate: O(k) state per group with map-side
+    // partial merge instead of a full window sort — the scale path
+    // for top-k. Checked against the identical window-based oracle.
+    "rel_top_orders_agg" -> ((s, dir) =>
+      Tables.orders(s, dir)
+        .groupBy("o_custkey")
+        .agg(graft.functions.TopKBy.top_k_by(
+          col("o_orderkey"), col("o_totalprice"), 3).as("top"))
+        .select(col("o_custkey"), explode(col("top")).as("t"))
+        .select(col("o_custkey"), col("t.rk").as("rk"),
+          col("t.id").as("o_orderkey"), col("t.ord").as("o_totalprice"))
+        .orderBy("o_custkey", "rk")),
+
     // exact percentiles per group (sort-based, deterministic — not
     // the approx sketch).
     "rel_percentiles" -> ((s, dir) =>
@@ -163,6 +177,14 @@ object RelationalQueries {
         |    (SELECT custkey FROM c INTERSECT SELECT custkey FROM o)
         |  WHERE custkey < 100)
         |ORDER BY custkey""".stripMargin,
+
+    "rel_top_orders_agg" ->
+      """SELECT o_custkey, rk, o_orderkey, o_totalprice FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |         row_number() OVER (PARTITION BY o_custkey
+        |           ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+        |  FROM orders) t
+        |WHERE rk <= 3 ORDER BY o_custkey, rk""".stripMargin,
 
     "rel_percentiles" ->
       """SELECT c_mktsegment,
