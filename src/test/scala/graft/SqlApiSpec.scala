@@ -27,4 +27,18 @@ class SqlApiSpec extends AnyFunSuite {
       .collect()(0).getDouble(0)
     assert(dp == 6.0)
   }
+
+  test("custom aggregate via SQL: top_k_by") {
+    import spark.implicits._
+    Graft.install(spark)
+    Seq((1L, 10L, 5.0), (1L, 11L, 9.0), (1L, 12L, 7.0), (2L, 20L, 1.0))
+      .toDF("grp", "id", "score").createOrReplaceTempView("scores")
+    val rows = spark.sql(
+      """SELECT grp, t.rk, t.id FROM (
+        |  SELECT grp, top_k_by(id, score, 2) AS top FROM scores GROUP BY grp
+        |) LATERAL VIEW explode(top) AS t
+        |ORDER BY grp, t.rk""".stripMargin).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.toSeq == Seq((1L, 1L, 11L), (1L, 2L, 12L), (2L, 1L, 20L)))
+  }
 }
