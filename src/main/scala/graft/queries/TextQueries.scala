@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.core.Tables
 import graft.ext.TextOps
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
