@@ -21,6 +21,28 @@ import org.apache.spark.sql.functions._
   * to rows is AQE-broadcastable. */
 object Pipeline {
 
+  /** Typed row of the pipeline output — for callers who want
+    * compile-time field checks on the contract table. */
+  case class DedupRecord(
+      row_order: Long,
+      original_name: String,
+      normalized_name: String,
+      base_name: String,
+      block_key: String,
+      cluster_id: Long,
+      cluster_size: Long,
+      canonical_name: String,
+      confidence: Double,
+      reason: String)
+
+  /** Typed variant of [[run]]. */
+  def runTyped(df: DataFrame, nameCol: String, rowOrderCol: String,
+      settings: DedupSettings = DedupSettings()): org.apache.spark.sql.Dataset[DedupRecord] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    run(df, nameCol, rowOrderCol, settings).as[DedupRecord]
+  }
+
   /** Full derived output table:
     * (row_order, original_name, normalized_name, base_name, block_key,
     *  cluster_id, cluster_size, canonical_name, confidence, reason). */

@@ -92,6 +92,27 @@ object TextQueries {
         .orderBy("a_id", "b_id")
     }),
 
+    // dedup APPLIED: the canonical-only corpus (anti-join of exact
+    // duplicates), i.e. what a training-data pipeline actually ships.
+    "text_dedup_apply" -> ((s, dir) => {
+      val w = Window.partitionBy("content_hash")
+      docs(s, dir)
+        .withColumn("content_hash", md5(col("text")))
+        .withColumn("rep_id", min(col("doc_id")).over(w))
+        .filter(col("doc_id") === col("rep_id"))
+        .select("doc_id", "lang", "source", "n_chars")
+        .orderBy("doc_id")
+    }),
+
+    // corpus vocabulary: top-100 words by frequency (global sort
+    // after a word-count aggregation — the BPE-training precursor).
+    "text_vocab" -> ((s, dir) =>
+      docs(s, dir)
+        .select(explode(TextOps.words(col("text"))).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("freq"))
+        .orderBy(col("freq").desc, col("word").asc)
+        .limit(100)),
+
     // SimHash 32-bit signatures (term-frequency weighted).
     "text_simhash" -> ((s, dir) => {
       val wordCounts = docs(s, dir)
@@ -247,6 +268,17 @@ object TextQueries {
          |JOIN shcnt cb ON cb.doc_id = i.b_id
          |WHERE i.i / (ca.n + cb.n - i.i) >= $JaccardThreshold
          |ORDER BY a_id, b_id""".stripMargin,
+
+    "text_dedup_apply" ->
+      """SELECT doc_id, lang, source, n_chars FROM (
+        |  SELECT *, min(doc_id) OVER (PARTITION BY md5(text)) AS rep_id
+        |  FROM documents)
+        |WHERE doc_id = rep_id ORDER BY doc_id""".stripMargin,
+
+    "text_vocab" ->
+      """SELECT word, count(*) AS freq FROM (
+        |  SELECT unnest(string_split_regex(text, '\s+')) AS word FROM documents)
+        |GROUP BY word ORDER BY freq DESC, word ASC LIMIT 100""".stripMargin,
 
     "text_simhash" -> {
       val bitSums = (0 until 32).map(i =>

@@ -48,6 +48,16 @@ class PipelineSpec extends AnyFunSuite {
     assert(full.toSeq == expected)
   }
 
+  test("typed Dataset facade carries the contract") {
+    import spark.implicits._
+    val recs = Pipeline.runTyped(
+      Seq((0L, "IBM"), (1L, "IBM")).toDF("id", "n"), "n", "id")
+      .collect().sortBy(_.row_order)
+    assert(recs.map(_.canonical_name).toSeq == Seq("IBM", "IBM"))
+    assert(recs.map(_.cluster_size).toSeq == Seq(2L, 2L))
+    assert(recs(0).confidence == 0.98 && recs(1).confidence == 0.70)
+  }
+
   test("stats match the reference fixture") {
     val s = Outputs.stats(fullDf).collect()(0)
     assert(s.getLong(0) == 8) // total_rows
