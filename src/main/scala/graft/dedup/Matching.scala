@@ -56,7 +56,7 @@ object Matching {
     * cross-chunk pairs via the strictly-smaller chunk's fan-out,
     * same-chunk pairs via the name< residual. */
   def qualifyingPairs(stats: DataFrame, settings: DedupSettings = DedupSettings(),
-      salt: Int = 96): DataFrame = {
+      salt: Int = 0): DataFrame = {
     // cost governor: drop over-cap blocks entirely (rows keep their
     // singleton clusters), bounding the quadratic worst case
     val capped = settings.maxBlockNames match {
@@ -66,7 +66,15 @@ object Matching {
         stats.join(broadcast(smallBlocks), Seq("block_key"), "left_semi")
       case None => stats
     }
-    val salted = capped.withColumn("chunk", pmod(hash(col("base_name")), lit(salt)))
+    // salt <= 0 → adaptive: tiny name sets skip the wide fan-out (a
+    // 96-way shuffle of 64 names is pure scheduling overhead), big
+    // ones get full parallelism. One count on the (small, cached)
+    // name-stats index.
+    val s = if (salt > 0) salt else {
+      val n = capped.cache().count()
+      if (n < 500) 4 else 96
+    }
+    val salted = capped.withColumn("chunk", pmod(hash(col("base_name")), lit(s)))
     val a = salted.select(
       col("block_key"),
       col("base_name").as("l_name"),
@@ -74,7 +82,7 @@ object Matching {
       col("max_row").as("l_max_row"),
       col("token_key").as("l_token_key"),
       col("chunk").as("l_chunk"),
-      explode(sequence(col("chunk"), lit(salt - 1))).as("chunk"))
+      explode(sequence(col("chunk"), lit(s - 1))).as("chunk"))
     val b = salted.select(
       col("block_key"),
       col("base_name").as("r_name"),
@@ -86,8 +94,8 @@ object Matching {
     // shuffle is tiny (names), so AQE would coalesce it to one
     // partition and serialize the O(|b|²) pair explosion that happens
     // INSIDE the join. A user repartition pins the parallelism.
-    val joined = a.repartition(salt, col("block_key"), col("chunk"))
-      .join(b.repartition(salt, col("block_key"), col("chunk")), Seq("block_key", "chunk"))
+    val joined = a.repartition(s, col("block_key"), col("chunk"))
+      .join(b.repartition(s, col("block_key"), col("chunk")), Seq("block_key", "chunk"))
       .where(col("l_chunk") =!= col("chunk") || col("l_name") < col("r_name"))
     // canonical a<b orientation regardless of which chunk fanned out
     val aIsL = col("l_name") < col("r_name")
