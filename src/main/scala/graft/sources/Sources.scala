@@ -53,16 +53,30 @@ object Sources {
           org.apache.spark.sql.functions.monotonically_increasing_id()), "_row_order")
     }
     val full = Pipeline.run(df, name, orderCol, settings)
-    def save(d: DataFrame, sub: String): Unit = {
-      val w = d.coalesce(1).write.mode("overwrite")
-      if (format == "csv") w.option("header", "true").csv(s"$outDir/$sub")
-      else w.parquet(s"$outDir/$sub")
+    if (format == "xlsx") {
+      // the reference's exact three-workbook layout (outputs.py:44-58)
+      new java.io.File(outDir).mkdirs()
+      Xlsx.write(Seq(
+        "clusters" -> Outputs.clusters(full),
+        "canonical_summary" -> Outputs.summary(full),
+        "settings" -> Outputs.settingsEcho(spark, settings)),
+        s"$outDir/company_duplicates_final.xlsx")
+      Xlsx.write(Seq("mapping" -> Outputs.mapping(full)),
+        s"$outDir/golden_mapping.xlsx")
+      Xlsx.write(Seq("review" -> Outputs.review(full)),
+        s"$outDir/high_confidence_review.xlsx")
+    } else {
+      def save(d: DataFrame, sub: String): Unit = {
+        val w = d.coalesce(1).write.mode("overwrite")
+        if (format == "csv") w.option("header", "true").csv(s"$outDir/$sub")
+        else w.parquet(s"$outDir/$sub")
+      }
+      save(Outputs.clusters(full), "company_duplicates_final")
+      save(Outputs.summary(full), "canonical_summary")
+      save(Outputs.settingsEcho(spark, settings), "settings")
+      save(Outputs.mapping(full), "golden_mapping")
+      save(Outputs.review(full), "high_confidence_review")
     }
-    save(Outputs.clusters(full), "company_duplicates_final")
-    save(Outputs.summary(full), "canonical_summary")
-    save(Outputs.settingsEcho(spark, settings), "settings")
-    save(Outputs.mapping(full), "golden_mapping")
-    save(Outputs.review(full), "high_confidence_review")
     full
   }
 }

@@ -37,6 +37,24 @@ class SourcesSpec extends AnyFunSuite {
     assert(review.count() == 2)
   }
 
+  test("xlsx report format reproduces the reference's three workbooks") {
+    val dir = Files.createTempDirectory("graft_xlsx_e2e").toFile
+    val csv = new java.io.File(dir, "c.csv")
+    val w = new java.io.PrintWriter(csv)
+    w.println("Company Name"); Seq("IBM India Pvt Ltd", "IBM", "Ltd").foreach(w.println)
+    w.close()
+    val out = new java.io.File(dir, "out").getAbsolutePath
+    Sources.runFile(spark, csv.getAbsolutePath, out, format = "xlsx")
+    for (f <- Seq("company_duplicates_final.xlsx", "golden_mapping.xlsx",
+        "high_confidence_review.xlsx")) {
+      assert(new java.io.File(out, f).exists(), f)
+    }
+    val mapping = Xlsx.read(spark, s"$out/golden_mapping.xlsx").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(mapping("IBM India Pvt Ltd") == "IBM")
+    assert(mapping("Ltd") == "LTD")
+  }
+
   test("SQL surface: registered jaro_winkler and dot_product") {
     graft.Graft.install(spark)
     val r = spark.sql(
