@@ -45,6 +45,22 @@ object AnnQueries {
       Ann.lshPairs(prep(s, dir), Planes, minCos = 0.20)
         .orderBy("a_id", "b_id")),
 
+    // int8 scalar quantization (4x storage reduction for embedding
+    // tables): per-vector quantized checksum + reconstruction error.
+    "ann_quantize" -> ((s, dir) => {
+      val p = prep(s, dir)
+      val q = transform(col("v"), x => round(greatest(lit(-1.0), least(lit(1.0), x)) * 127))
+      p.withColumn("q", q)
+        .select(col("vec_id"),
+          aggregate(col("q"), lit(0L), (acc, x) => acc + x.cast("long")).as("q_sum"),
+          array_min(col("q")).cast("long").as("q_min"),
+          array_max(col("q")).cast("long").as("q_max"),
+          round(sqrt(aggregate(zip_with(col("v"), col("q"),
+            (x, qq) => (x - qq / 127.0) * (x - qq / 127.0)),
+            lit(0.0), (acc, x) => acc + x)), 6).as("recon_err"))
+        .orderBy("vec_id")
+    }),
+
     // IVF: probe the 2 nearest coarse partitions, exact top-k inside.
     "ann_ivf" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
@@ -98,6 +114,20 @@ object AnnQueries {
          |FROM n a JOIN n b ON a.vec_id < b.vec_id
          |WHERE ${cosSql("a.v", "b.v", "a.nrm", "b.nrm")} >= $CosThreshold
          |ORDER BY a_id, b_id""".stripMargin,
+
+    "ann_quantize" ->
+      s"""$prepCte, qz AS (
+         |  SELECT vec_id, v,
+         |         list_transform(v, x -> round(GREATEST(-1.0, LEAST(1.0, x)) * 127)) AS q
+         |  FROM n
+         |)
+         |SELECT vec_id,
+         |       CAST(list_sum(list_transform(q, x -> CAST(x AS BIGINT))) AS BIGINT) AS q_sum,
+         |       CAST(list_min(q) AS BIGINT) AS q_min,
+         |       CAST(list_max(q) AS BIGINT) AS q_max,
+         |       round(sqrt(list_sum(list_transform(generate_series(1, len(v)),
+         |         i -> (v[i] - q[i] / 127.0) * (v[i] - q[i] / 127.0)))), 6) AS recon_err
+         |FROM qz ORDER BY vec_id""".stripMargin,
 
     "ann_lsh_pairs" -> {
       val bucketTerms = Planes.zipWithIndex.map { case (p, j) =>

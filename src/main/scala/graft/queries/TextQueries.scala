@@ -183,6 +183,24 @@ object TextQueries {
         length(col("text")).cast("long").as("n_chars"))
         .orderBy("doc_id")),
 
+    // document chunking for embedding/RAG pipelines: fixed-size word
+    // windows (32 words, stride 24 -> 8-word overlap), one row per
+    // chunk with its text and position.
+    "text_chunks" -> ((s, dir) => {
+      val w = col("w")
+      val chunkStarts = when(size(w) > 0,
+        sequence(lit(0), greatest(lit(0), ceil((size(w) - lit(32)) / lit(24.0)).cast("int")), lit(1)))
+        .otherwise(array().cast("array<int>"))
+      docs(s, dir)
+        .withColumn("w", TextOps.words(col("text")))
+        .select(col("doc_id"), col("w"), explode(chunkStarts).as("chunk_idx"))
+        .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+          (col("chunk_idx") * 24).cast("long").as("start_word"),
+          concat_ws(" ", slice(col("w"), col("chunk_idx") * 24 + 1, lit(32))).as("chunk_text"),
+          size(slice(col("w"), col("chunk_idx") * 24 + 1, lit(32))).cast("long").as("chunk_words"))
+        .orderBy("doc_id", "chunk_idx")
+    }),
+
     // winnowing document fingerprints: rolling word-4-gram hashes,
     // min over a sliding window of 4, distinct per doc.
     "text_fingerprint" -> ((s, dir) => {
@@ -279,6 +297,21 @@ object TextQueries {
       """SELECT word, count(*) AS freq FROM (
         |  SELECT unnest(string_split_regex(text, '\s+')) AS word FROM documents)
         |GROUP BY word ORDER BY freq DESC, word ASC LIMIT 100""".stripMargin,
+
+    "text_chunks" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split_regex(text, '\s+') AS w FROM documents
+        |), idx AS (
+        |  SELECT doc_id, w,
+        |         unnest(generate_series(0,
+        |           GREATEST(0, CAST(ceil((len(w) - 32) / 24.0) AS INTEGER)))) AS chunk_idx
+        |  FROM d WHERE len(w) > 0
+        |)
+        |SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+        |       CAST(chunk_idx * 24 AS BIGINT) AS start_word,
+        |       array_to_string(w[chunk_idx * 24 + 1 : chunk_idx * 24 + 32], ' ') AS chunk_text,
+        |       CAST(len(w[chunk_idx * 24 + 1 : chunk_idx * 24 + 32]) AS BIGINT) AS chunk_words
+        |FROM idx ORDER BY doc_id, chunk_idx""".stripMargin,
 
     "text_simhash" -> {
       val bitSums = (0 until 32).map(i =>
