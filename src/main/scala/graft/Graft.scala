@@ -19,6 +19,8 @@ object Graft {
       es => JaroWinklerSimilarity(es(0), es(1)))
     GraftBridge.registerFunction(spark, "dot_product",
       es => DotProduct(es(0), es(1)))
+    GraftBridge.registerFunction(spark, "unicode_norm",
+      es => functions.UnicodeNorm(es(0), es(1)))
     GraftBridge.registerFunction(spark, "top_k_by",
       es => functions.TopKBy(es(0), es(1),
         es(2).eval().asInstanceOf[Number].intValue()).toAggregateExpression())

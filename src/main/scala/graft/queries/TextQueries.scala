@@ -104,6 +104,16 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // unicode cleaning: NFC + accent folding via the custom
+    // UnicodeNorm expression (identity on this ASCII corpus — the
+    // unicode behavior is pinned in UnicodeNormSpec).
+    "text_clean" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+        md5(graft.functions.UnicodeNorm.unicode_norm(
+          graft.functions.UnicodeNorm.unicode_norm(col("text"), "nfc"),
+          "strip_accents")).as("cleaned_hash"))
+        .orderBy("doc_id")),
+
     // corpus vocabulary: top-100 words by frequency (global sort
     // after a word-count aggregation — the BPE-training precursor).
     "text_vocab" -> ((s, dir) =>
@@ -292,6 +302,10 @@ object TextQueries {
         |  SELECT *, min(doc_id) OVER (PARTITION BY md5(text)) AS rep_id
         |  FROM documents)
         |WHERE doc_id = rep_id ORDER BY doc_id""".stripMargin,
+
+    "text_clean" ->
+      """SELECT doc_id, md5(strip_accents(nfc_normalize(text))) AS cleaned_hash
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "text_vocab" ->
       """SELECT word, count(*) AS freq FROM (
