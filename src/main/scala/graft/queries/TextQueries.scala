@@ -104,6 +104,21 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // deterministic split assignment: md5-bucketed train/val/test
+    // (90/5/5) — reproducible across engines, runs, and partitionings,
+    // unlike rand()-based sampling.
+    "text_split" -> ((s, dir) => {
+      val bucket = conv(substring(md5(concat(lit("split|"),
+        col("doc_id").cast("string"))), 1, 4), 16, 10).cast("long")
+      docs(s, dir)
+        .select(col("doc_id"), bucket.as("bucket"))
+        .withColumn("split",
+          when(col("bucket") < (65536 * 0.90).toLong, "train")
+            .when(col("bucket") < (65536 * 0.95).toLong, "val")
+            .otherwise("test"))
+        .orderBy("doc_id")
+    }),
+
     // unicode cleaning: NFC + accent folding via the custom
     // UnicodeNorm expression (identity on this ASCII corpus — the
     // unicode behavior is pinned in UnicodeNormSpec).
@@ -302,6 +317,14 @@ object TextQueries {
         |  SELECT *, min(doc_id) OVER (PARTITION BY md5(text)) AS rep_id
         |  FROM documents)
         |WHERE doc_id = rep_id ORDER BY doc_id""".stripMargin,
+
+    "text_split" ->
+      s"""SELECT doc_id,
+         |  CAST(CAST(concat('0x', substr(md5('split|' || CAST(doc_id AS VARCHAR)), 1, 4)) AS INTEGER) AS BIGINT) AS bucket,
+         |  CASE WHEN CAST(concat('0x', substr(md5('split|' || CAST(doc_id AS VARCHAR)), 1, 4)) AS INTEGER) < ${(65536 * 0.90).toLong} THEN 'train'
+         |       WHEN CAST(concat('0x', substr(md5('split|' || CAST(doc_id AS VARCHAR)), 1, 4)) AS INTEGER) < ${(65536 * 0.95).toLong} THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "text_clean" ->
       """SELECT doc_id, md5(strip_accents(nfc_normalize(text))) AS cleaned_hash
