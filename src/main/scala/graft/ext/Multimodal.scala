@@ -90,6 +90,28 @@ object Multimodal {
     }
   }
 
+  /** A "resized" payload: target size + representative bytes. */
+  case class Thumbnail(media_id: Long, target_bytes: Long, thumb_hash: String)
+
+  /** Resize stub: deterministic byte-stride downsampling to ~`target`
+    * bytes (a real implementation decodes + scales pixels; the
+    * partition-wise batch shape is identical). */
+  def resize(media: Dataset[MediaRecord], target: Int)(
+      implicit spark: SparkSession): Dataset[Thumbnail] = {
+    import spark.implicits._
+    media.mapPartitions { it =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      it.map { r =>
+        val n = r.payload.length
+        val stride = math.max(1, n / target)
+        val sampled = (0 until n by stride).map(r.payload).toArray
+        md.reset()
+        val hash = md.digest(sampled).map("%02x".format(_)).mkString
+        Thumbnail(r.media_id, sampled.length.toLong, hash)
+      }
+    }
+  }
+
   /** Adapter: wrap any (id, binary) DataFrame as a media table. */
   def asMedia(df: DataFrame, idCol: String, payloadCol: String, modality: String)(
       implicit spark: SparkSession): Dataset[MediaRecord] = {

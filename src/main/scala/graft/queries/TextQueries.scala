@@ -154,6 +154,27 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // SimHash near-dup pairs: byte-band candidate join + Hamming
+    // verification (the SimHash analogue of the MinHash LSH path).
+    "text_simhash_pairs" -> ((s, dir) => {
+      val sigs = graft.core.Memo.cached(s, s"text_simhash:$dir") {
+        queries("text_simhash")(s, dir)
+      }
+      val banded = sigs.select(col("doc_id"), col("simhash"),
+        explode(array((0 until 4).map(b =>
+          struct(lit(b).as("band"),
+            shiftright(col("simhash"), 8 * b).bitwiseAND(255).as("key"))): _*)).as("bk"))
+        .select(col("doc_id"), col("simhash"), col("bk.band"), col("bk.key"))
+      banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+          bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).cast("long").as("hamming"))
+        .distinct()
+        .filter(col("hamming") <= 8)
+        .orderBy("a_id", "b_id")
+    }),
+
     // direct n-gram Jaccard matrix over a bounded sample — the
     // brute-force baseline the LSH path approximates.
     "text_ngram_jaccard" -> ((s, dir) => {
@@ -272,6 +293,25 @@ object TextQueries {
        |  SELECT doc_id, count(*) AS n FROM sh GROUP BY 1
        |)""".stripMargin
 
+  /** SimHash signature table CTE (shared by the signature and pair
+    * queries). */
+  private val simhashCte: String = {
+    val bitSums = (0 until 32).map(i =>
+      s"sum(CASE WHEN (h >> $i) & 1 = 1 THEN cnt ELSE -cnt END) AS b$i").mkString(", ")
+    val sig = (0 until 32).map(i =>
+      s"CASE WHEN b$i > 0 THEN ${1L << i} ELSE 0 END").mkString(" + ")
+    s"""WITH wc AS (
+       |  SELECT doc_id, w, count(*) AS cnt FROM (
+       |    SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS w
+       |    FROM documents) GROUP BY 1, 2
+       |), wh AS (
+       |  SELECT doc_id, cnt,
+       |         CAST(CAST(concat('0x', substr(md5(w), 1, 8)) AS UBIGINT) AS BIGINT) AS h
+       |  FROM wc
+       |), bits AS (SELECT doc_id, $bitSums FROM wh GROUP BY 1
+       |), sigtab AS (SELECT doc_id, CAST($sig AS BIGINT) AS simhash FROM bits)""".stripMargin
+  }
+
   private val bandsCte: String = {
     val bandRows = (0 until Bands).map(b =>
       s"SELECT doc_id, $b AS band, md5('$b|' || sig_${2 * b} || sig_${2 * b + 1}) AS key FROM sigs")
@@ -350,23 +390,22 @@ object TextQueries {
         |       CAST(len(w[chunk_idx * 24 + 1 : chunk_idx * 24 + 32]) AS BIGINT) AS chunk_words
         |FROM idx ORDER BY doc_id, chunk_idx""".stripMargin,
 
-    "text_simhash" -> {
-      val bitSums = (0 until 32).map(i =>
-        s"sum(CASE WHEN (h >> $i) & 1 = 1 THEN cnt ELSE -cnt END) AS b$i").mkString(", ")
-      val sig = (0 until 32).map(i =>
-        s"CASE WHEN b$i > 0 THEN ${1L << i} ELSE 0 END").mkString(" + ")
-      s"""WITH wc AS (
-         |  SELECT doc_id, w, count(*) AS cnt FROM (
-         |    SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS w
-         |    FROM documents) GROUP BY 1, 2
-         |), wh AS (
-         |  SELECT doc_id, cnt,
-         |         CAST(CAST(concat('0x', substr(md5(w), 1, 8)) AS UBIGINT) AS BIGINT) AS h
-         |  FROM wc
-         |), bits AS (SELECT doc_id, $bitSums FROM wh GROUP BY 1)
-         |SELECT doc_id, CAST($sig AS BIGINT) AS simhash FROM bits
-         |ORDER BY doc_id""".stripMargin
-    },
+    "text_simhash" ->
+      s"""$simhashCte
+         |SELECT doc_id, simhash FROM sigtab ORDER BY doc_id""".stripMargin,
+
+    "text_simhash_pairs" ->
+      s"""$simhashCte, bands AS (
+         |  SELECT doc_id, simhash, k.k AS band,
+         |         (simhash >> (8 * k.k)) & 255 AS key
+         |  FROM sigtab CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS k) k
+         |)
+         |SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+         |       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+         |FROM bands a JOIN bands b
+         |  ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 8
+         |ORDER BY a_id, b_id""".stripMargin,
 
     "text_ngram_jaccard" ->
       s"""$shingleCte, sample AS (SELECT * FROM sh WHERE doc_id < 50),

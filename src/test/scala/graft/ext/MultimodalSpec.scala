@@ -27,4 +27,20 @@ class MultimodalSpec extends AnyFunSuite {
     // known md5("hello")
     assert(out(0).content_hash == "5d41402abc4b2a76b9719d911017c592")
   }
+
+  test("resize stub downsamples deterministically") {
+    import spark.implicits._
+    implicit val sp = spark
+    val media = Multimodal.asMedia(
+      Seq((1L, "abcdefghij"), (2L, "ab")).toDF("id", "p"), "id", "p", "image/fake")
+    val thumbs = Multimodal.resize(media, target = 5)
+      .collect().sortBy(_.media_id)
+    // 10 bytes, stride 2 -> 5 sampled bytes "acegi"
+    assert(thumbs(0).target_bytes == 5L)
+    assert(thumbs(0).thumb_hash ==
+      java.security.MessageDigest.getInstance("MD5")
+        .digest("acegi".getBytes).map("%02x".format(_)).mkString)
+    // shorter than target -> identity sampling
+    assert(thumbs(1).target_bytes == 2L)
+  }
 }
