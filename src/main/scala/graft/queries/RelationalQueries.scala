@@ -61,6 +61,32 @@ object RelationalQueries {
         .orderBy("o_custkey", "rk")
     }),
 
+    // correlated-aggregate pattern: each order's share of its
+    // customer's total, via a window total in exact DECIMAL (top-20
+    // orders by share with deterministic tie-breaks).
+    "rel_order_share" -> ((s, dir) => {
+      val byCust = Window.partitionBy("o_custkey")
+      Tables.orders(s, dir)
+        .withColumn("cust_total",
+          sum(dec(col("o_totalprice"))).over(byCust).cast("double"))
+        .withColumn("share",
+          round(col("o_totalprice") / col("cust_total"), 6))
+        .select("o_orderkey", "o_custkey", "o_totalprice", "cust_total", "share")
+        .orderBy(col("share").desc, col("o_orderkey").asc)
+        .limit(20)
+    }),
+
+    // per-type extremes: the (deterministic) argmax event by value.
+    "events_extremes" -> ((s, dir) => {
+      val w = Window.partitionBy("event_type")
+        .orderBy(col("value").desc, col("event_id").asc)
+      Tables.events(s, dir)
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .select("event_type", "event_id", "value")
+        .orderBy("event_type")
+    }),
+
     // set ops coverage (union/intersect/except): customers without
     // orders ∪ low-key customers with orders.
     "rel_setops" -> ((s, dir) => {
@@ -166,6 +192,24 @@ object RelationalQueries {
         |           ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
         |  FROM orders) t
         |WHERE rk <= 3 ORDER BY o_custkey, rk""".stripMargin,
+
+    "rel_order_share" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice, cust_total, share FROM (
+        |  SELECT o_orderkey, o_custkey, o_totalprice,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+        |      OVER (PARTITION BY o_custkey) AS DOUBLE) AS cust_total,
+        |    round(o_totalprice / CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+        |      OVER (PARTITION BY o_custkey) AS DOUBLE), 6) AS share
+        |  FROM orders)
+        |ORDER BY share DESC, o_orderkey ASC LIMIT 20""".stripMargin,
+
+    "events_extremes" ->
+      """SELECT event_type, event_id, value FROM (
+        |  SELECT event_type, event_id, value,
+        |         row_number() OVER (PARTITION BY event_type
+        |           ORDER BY value DESC, event_id ASC) AS rk
+        |  FROM events)
+        |WHERE rk = 1 ORDER BY event_type""".stripMargin,
 
     "rel_setops" ->
       """WITH c AS (SELECT c_custkey AS custkey FROM customer),
