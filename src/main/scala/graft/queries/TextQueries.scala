@@ -206,6 +206,28 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // language ID, char-trigram variant: frequency profiles matched
+    // anywhere in the text (no word boundaries) — robust to
+    // agglutinative scripts where stopword tokens don't separate.
+    "text_langid_ngram" -> ((s, dir) => {
+      val profiles = Seq(
+        "en" -> "the|and|ing|ion|ent",
+        "es" -> "que|los|ado|nte|cio",
+        "de" -> "der|ein|sch|ich|und",
+        "fr" -> "les|des|une|eur|ait")
+      val scored = profiles.foldLeft(docs(s, dir)) { case (df, (lang, pat)) =>
+        df.withColumn(s"tri_$lang",
+          regexp_count(lower(col("text")), lit(pat)).cast("long"))
+      }
+      val Seq(en, es, de, fr) = profiles.map(p => col(s"tri_${p._1}"))
+      scored.select(col("doc_id"), en, es, de, fr,
+        when(en >= es && en >= de && en >= fr, "en")
+          .when(es >= de && es >= fr, "es")
+          .when(de >= fr, "de")
+          .otherwise("fr").as("predicted_lang"))
+        .orderBy("doc_id")
+    }),
+
     // quality scoring: structural ratios + a fixed-form score.
     "text_quality" -> ((s, dir) => {
       val nChars = length(col("text")).cast("long")
@@ -432,6 +454,24 @@ object TextQueries {
         |       WHEN score_de >= score_fr THEN 'de'
         |       ELSE 'fr' END AS predicted_lang
         |FROM scored ORDER BY doc_id""".stripMargin.replace("SCORES", scores)
+    },
+
+    "text_langid_ngram" -> {
+      val profiles = Seq(
+        "en" -> "the|and|ing|ion|ent",
+        "es" -> "que|los|ado|nte|cio",
+        "de" -> "der|ein|sch|ich|und",
+        "fr" -> "les|des|une|eur|ait")
+      val scores = profiles.map { case (lang, pat) =>
+        s"len(regexp_extract_all(lower(text), '$pat')) AS tri_$lang"
+      }.mkString(", ")
+      s"""WITH scored AS (SELECT doc_id, $scores FROM documents)
+         |SELECT doc_id, tri_en, tri_es, tri_de, tri_fr,
+         |  CASE WHEN tri_en >= tri_es AND tri_en >= tri_de AND tri_en >= tri_fr THEN 'en'
+         |       WHEN tri_es >= tri_de AND tri_es >= tri_fr THEN 'es'
+         |       WHEN tri_de >= tri_fr THEN 'de'
+         |       ELSE 'fr' END AS predicted_lang
+         |FROM scored ORDER BY doc_id""".stripMargin
     },
 
     "text_quality" ->
