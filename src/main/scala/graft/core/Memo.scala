@@ -1,20 +1,52 @@
 package graft.core
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import scala.collection.mutable
 
 /** Per-session memoization of expensive shared intermediates (the
   * dedup pipeline table, LSH signature index, …). Reports over the
   * same pipeline then cost one materialization instead of N — the
   * DataFrame analogue of a materialized view. Entries are keyed by
-  * (session id, cache key) and cached via Spark's storage layer, so
-  * memory pressure falls back to recompute, never OOM. */
+  * session IDENTITY (reference equality, not a hash that could
+  * collide after GC), so two sessions can never cross-hit, and cached
+  * via Spark's storage layer, so memory pressure falls back to
+  * recompute, never OOM. Entries owned by a stopped session are
+  * pruned on the next access (their cached blocks are already gone
+  * with the context), and [[invalidate]] releases a live session's
+  * entries eagerly. */
 object Memo {
-  private val memo = mutable.Map.empty[(String, String), DataFrame]
-
-  def cached(spark: org.apache.spark.sql.SparkSession, key: String)(
-      build: => DataFrame): DataFrame = synchronized {
-    memo.getOrElseUpdate((String.valueOf(System.identityHashCode(spark)), key),
-      build.cache())
+  /** Session key with reference equality — unlike
+    * System.identityHashCode alone, equal hash never conflates two
+    * distinct live sessions. */
+  private final class SessionKey(val s: SparkSession) {
+    override def hashCode: Int = System.identityHashCode(s)
+    override def equals(o: Any): Boolean = o match {
+      case k: SessionKey => k.s eq s
+      case _ => false
+    }
   }
+  private val memo = mutable.Map.empty[(SessionKey, String), DataFrame]
+
+  private def prune(): Unit =
+    memo.filterInPlace { case ((k, _), _) => !k.s.sparkContext.isStopped }
+
+  def cached(spark: SparkSession, key: String)(
+      build: => DataFrame): DataFrame = synchronized {
+    prune()
+    memo.getOrElseUpdate((new SessionKey(spark), key), build.cache())
+  }
+
+  /** Unpersist and drop every entry owned by `spark`. Safe to call on
+    * a stopped session (entries are just dropped). */
+  def invalidate(spark: SparkSession): Unit = synchronized {
+    memo.filterInPlace { case ((k, _), df) =>
+      if (k.s eq spark) {
+        if (!spark.sparkContext.isStopped) df.unpersist()
+        false
+      } else true
+    }
+  }
+
+  /** Number of live entries (test hook). */
+  def size: Int = synchronized { prune(); memo.size }
 }

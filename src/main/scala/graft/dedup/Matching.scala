@@ -56,16 +56,43 @@ object Matching {
     * cross-chunk pairs via the strictly-smaller chunk's fan-out,
     * same-chunk pairs via the name< residual. */
   def qualifyingPairs(stats: DataFrame, settings: DedupSettings = DedupSettings(),
-      salt: Int = 0): DataFrame = {
-    // cost governor: drop over-cap blocks entirely (rows keep their
-    // singleton clusters), bounding the quadratic worst case
-    val capped = settings.maxBlockNames match {
-      case Some(cap) =>
-        val smallBlocks = stats.groupBy("block_key")
-          .agg(count(lit(1)).as("_bn")).filter(col("_bn") <= cap).drop("_bn")
-        stats.join(broadcast(smallBlocks), Seq("block_key"), "left_semi")
-      case None => stats
-    }
+      salt: Int = 0): DataFrame = settings.maxBlockNames match {
+    case Some(cap) =>
+      // cost governor (default ON): over-cap blocks switch to the
+      // sorted-neighborhood O(|b|·w) policy (or are dropped when
+      // hotBlockWindow <= 1), bounding the quadratic worst case. The
+      // block-size index is tiny (distinct block keys) — one count to
+      // size the plan, then both semi-joins broadcast from it.
+      val sizes = stats.groupBy("block_key")
+        .agg(count(lit(1)).as("_bn")).cache()
+      val hotKeys = sizes.filter(col("_bn") > cap).select("block_key")
+      val nHot = hotKeys.count()
+      if (nHot > 0) {
+        val policy =
+          if (settings.hotBlockWindow > 1)
+            s"sorted-neighborhood(window=${settings.hotBlockWindow})"
+          else "drop"
+        log.warn(s"cost governor: $nHot block(s) exceed " +
+          s"maxBlockNames=$cap — applying $policy to their pairs")
+      }
+      val small = stats.join(
+        broadcast(sizes.filter(col("_bn") <= cap).select("block_key")),
+        Seq("block_key"), "left_semi")
+      val base = allPairs(small, settings, salt)
+      if (nHot == 0 || settings.hotBlockWindow <= 1) base
+      else {
+        val hot = stats.join(broadcast(hotKeys), Seq("block_key"), "left_semi")
+        base.unionByName(
+          sortedNeighborhoodPairs(hot, settings.hotBlockWindow, settings))
+      }
+    case None => allPairs(stats, settings, salt)
+  }
+
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /** Full within-block pairing (salted; see the scaladoc above). */
+  private def allPairs(capped: DataFrame, settings: DedupSettings,
+      salt: Int): DataFrame = {
     // salt <= 0 → adaptive: tiny name sets skip the wide fan-out (a
     // 96-way shuffle of 64 names is pure scheduling overhead), big
     // ones get full parallelism. One count on the (small, cached)

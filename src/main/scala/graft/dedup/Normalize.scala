@@ -39,13 +39,31 @@ object Normalize {
     (1 to k).foldLeft(c)((acc, _) => stripOnce(acc, tokens))
 
   /** F2 — strip_suffixes (engine.py:53-60): repeatedly strip trailing
-    * legal suffixes until fixpoint. */
-  def stripSuffixes(c: Column): Column = stripFix(c, Rules.Suffixes, 6)
+    * legal suffixes until fixpoint (bound shared with the oracle via
+    * Rules.SuffixFixpointBound; see its worst-case note). */
+  def stripSuffixes(c: Column): Column =
+    stripFix(c, Rules.Suffixes, Rules.SuffixFixpointBound)
 
   /** F3 — fold_subsidiaries (engine.py:62-70): repeatedly strip
     * trailing country tokens until fixpoint; identity when disabled. */
   def foldSubsidiaries(c: Column, settings: DedupSettings = DedupSettings()): Column =
-    if (settings.noSubsidiaryFold) c else stripFix(c, Rules.Countries, 4)
+    if (settings.noSubsidiaryFold) c
+    else stripFix(c, Rules.Countries, Rules.CountryFixpointBound)
+
+  /** Residual check for the bounded fixpoints: true when a base name
+    * STILL ends in a strippable suffix/country token after the bounded
+    * passes — i.e. the bound was too shallow for this row and the
+    * result diverges from the reference's true fixpoint. Count this
+    * over a corpus (expect 0) to make the bound data-visibly
+    * sufficient rather than assumed. */
+  def residualStrippable(base: Column,
+      settings: DedupSettings = DedupSettings()): Column = {
+    val tokens =
+      if (settings.noSubsidiaryFold) Rules.Suffixes
+      else Rules.Suffixes ++ Rules.Countries
+    val alt = tokens.mkString("|")
+    base =!= stripOnce(base, Seq(alt))
+  }
 
   /** F4 — acronym-map rewrite (engine.py:34-41,190-191): exact-match
     * dictionary rewrite. The map is tiny and constant → a literal map

@@ -15,17 +15,37 @@ final case class DedupSettings(
     noSubsidiaryFold: Boolean = false,
     addMap: Map[String, String] = Map.empty,
     /** Cost governor (beyond the reference, SURVEY.md §4): blocks
-      * with more distinct names than this are excluded from pairwise
-      * matching (their rows stay singletons) — bounds the quadratic
-      * worst case on adversarial key distributions. None = reference
-      * behavior (no cap). */
-    maxBlockNames: Option[Long] = None) {
+      * with more distinct names than this switch from full O(|b|²)
+      * pairing to the [[hotBlockWindow]] policy — bounds the quadratic
+      * worst case on adversarial key distributions (a 1.5M-name block
+      * at 100× customer scale is ~1.1T pairs). The default cap keeps
+      * full reference semantics through ~2.5G pairs/block; governed
+      * block counts are logged. None = reference behavior (no cap,
+      * unbounded quadratic). */
+    maxBlockNames: Option[Long] = Some(50000L),
+    /** Policy for over-cap blocks: window > 1 compares each name to
+      * its `window - 1` sorted successors (sorted-neighborhood,
+      * O(|b|·w)); window <= 1 drops the block entirely (rows keep
+      * singleton clusters). */
+    hotBlockWindow: Int = 10) {
   /** Acronym rewrite map = defaults overridden by user entries
     * (engine.py:34-41). */
   def acronymMap: Map[String, String] = Rules.DefaultAcronyms ++ addMap
 }
 
 object Rules {
+  /** Bounded-fixpoint depths for suffix stripping / country folding,
+    * shared by the Spark expressions (Normalize.stripFix) and the
+    * DuckDB oracle (Sql.stripFix) so the two can never drift.
+    * Worst-case argument: each pass removes at least one whole
+    * trailing token, so the bound equals the deepest strippable stack
+    * handled exactly; real names stack 2-3 ("X CO PVT LTD PRIVATE
+    * LIMITED" needs 3), 8/6 leaves 2-3x headroom, and
+    * Normalize.residualStrippable gives a data-visible check that the
+    * bound sufficed on a given corpus. */
+  val SuffixFixpointBound = 8
+  val CountryFixpointBound = 6
+
   /** Legal suffixes that can match a normalized (dot-free) name,
     * longest-first so the regex alternation prefers the longest strip
     * (engine.py:19-24). */

@@ -36,5 +36,10 @@ object OfflineVerifier extends Verifier {
         .getOrElse("Diversified/Other")
     }
   }
-  override def research(name: String): Option[(String, String)] = None
+  /** W4 offline fallback: rule-based "research" over the known
+    * acronym dictionary — deterministic, and gives the trait a live
+    * code path without network (the HTTP path is [[HttpVerifier]]). */
+  override def research(name: String): Option[(String, String)] =
+    Option(name).map(_.trim.toUpperCase).flatMap(Rules.DefaultAcronyms.get)
+      .map(official => (official, s"acronym expansion of ${name.trim}"))
 }

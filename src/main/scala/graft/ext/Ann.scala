@@ -85,16 +85,40 @@ object Ann {
     * vector to ONE bucket — the 100 TB alternative to the all-pairs
     * O(n²) join), then exact cosine verification. Approximate: pairs
     * split by any plane are missed; recall rises with fewer planes or
-    * multiple tables. */
-  def lshPairs(prep: DataFrame, planes: Seq[Seq[Double]], minCos: Double): DataFrame = {
+    * multiple tables.
+    *
+    * Skew: correlated embeddings concentrate in few sign buckets, so
+    * an unsalted bucket self-join would serialize the dominant
+    * bucket's O(|b|²) pair explosion onto one partition. Same remedy
+    * as the dedup pair join (Matching.qualifyingPairs): vectors are
+    * salted into `salt` chunks, the left side fans out to every chunk
+    * ≥ its own, and the join key becomes (bucket, chunk) — `salt`-way
+    * parallelism per bucket with each unordered pair generated exactly
+    * once (cross-chunk via the smaller chunk's fan-out, same-chunk via
+    * the id< residual). */
+  def lshPairs(prep: DataFrame, planes: Seq[Seq[Double]], minCos: Double,
+      salt: Int = 16): DataFrame = {
     val bucketed = prep.withColumn("bucket", lshBucket(col("v"), planes))
-    val a = bucketed.select(col("bucket"), col("vec_id").as("a_id"), col("u").as("au"))
-    val b = bucketed.select(col("bucket"), col("vec_id").as("b_id"), col("u").as("bu"))
-    a.join(b, Seq("bucket"))
-      .where(col("a_id") < col("b_id"))
-      .withColumn("cos", cosine(col("au"), col("bu")))
+      .withColumn("chunk", pmod(hash(col("vec_id")), lit(salt)))
+    val a = bucketed.select(col("bucket"),
+      col("vec_id").as("l_id"), col("u").as("lu"), col("chunk").as("l_chunk"),
+      explode(sequence(col("chunk"), lit(salt - 1))).as("chunk"))
+    val b = bucketed.select(col("bucket"),
+      col("vec_id").as("r_id"), col("u").as("ru"), col("chunk"))
+    // pinned repartition: the pre-join shuffle is tiny, so AQE would
+    // coalesce it and serialize the pair explosion inside the join
+    val joined = a.repartition(4 * salt, col("bucket"), col("chunk"))
+      .join(b.repartition(4 * salt, col("bucket"), col("chunk")),
+        Seq("bucket", "chunk"))
+      .where(col("l_chunk") =!= col("chunk") || col("l_id") < col("r_id"))
+    // cosine is symmetric (same index-ordered sum either way), so only
+    // the ids need canonical a<b orientation
+    joined
+      .withColumn("cos", cosine(col("lu"), col("ru")))
       .filter(col("cos") >= minCos)
-      .select("a_id", "b_id", "bucket", "cos")
+      .select(least(col("l_id"), col("r_id")).as("a_id"),
+        greatest(col("l_id"), col("r_id")).as("b_id"),
+        col("bucket"), col("cos"))
   }
 
   /** Deterministic component-mean centroids per partition label:

@@ -28,25 +28,35 @@ object AsOf {
   def asofJoin(left: DataFrame, right: DataFrame, keyCols: Seq[String],
       tsCol: String, valueCols: Seq[String]): DataFrame = {
     val leftCols = left.columns
+    // one struct payload per right row (instead of last() per value
+    // column): the struct is non-null on EVERY right row even when its
+    // fields are null, so the most recent matching right row wins with
+    // its null values intact — native ASOF semantics, not a skip-back
+    // to an older non-null row.
+    val payloadType = org.apache.spark.sql.types.StructType(valueCols.map(c =>
+      org.apache.spark.sql.types.StructField(c, right.schema(c).dataType,
+        nullable = true)))
     val lTagged = left
       .withColumn("_tag", lit(1))
       .select(keyCols.map(col) ++ Seq(col(tsCol).as("_ts"), col("_tag")) ++
-        leftCols.filterNot(c => keyCols.contains(c) || c == tsCol).map(col) ++
-        valueCols.map(c => lit(null).cast(right.schema(c).dataType).as(s"asof_$c")): _*)
+        leftCols.filterNot(c => keyCols.contains(c) || c == tsCol).map(col) :+
+        lit(null).cast(payloadType).as("_asof"): _*)
     val rTagged = right
       .withColumn("_tag", lit(0))
       .select(keyCols.map(col) ++ Seq(col(tsCol).as("_ts"), col("_tag")) ++
         leftCols.filterNot(c => keyCols.contains(c) || c == tsCol)
-          .map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
-        valueCols.map(c => col(c).as(s"asof_$c")): _*)
+          .map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
+        struct(valueCols.map(c => col(c).as(c)): _*).as("_asof"): _*)
     val w = Window.partitionBy(keyCols.map(col): _*)
       .orderBy(col("_ts").asc, col("_tag").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val filled = valueCols.foldLeft(lTagged.unionByName(rTagged)) { (df, c) =>
-      df.withColumn(s"asof_$c", last(col(s"asof_$c"), ignoreNulls = true).over(w))
+    val filled = lTagged.unionByName(rTagged)
+      .withColumn("_asof", last(col("_asof"), ignoreNulls = true).over(w))
+    valueCols.foldLeft(filled) { (df, c) =>
+      df.withColumn(s"asof_$c", col("_asof").getField(c))
     }
-    filled.filter(col("_tag") === 1)
+      .filter(col("_tag") === 1)
       .withColumnRenamed("_ts", tsCol)
-      .drop("_tag")
+      .drop("_tag", "_asof")
   }
 }

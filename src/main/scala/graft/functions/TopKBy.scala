@@ -2,6 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.{Column, GraftBridge}
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.util.GenericArrayData
@@ -58,6 +59,14 @@ case class TopKBy(
   extends TypedImperativeAggregate[TopKBuffer] {
 
   override def children: Seq[Expression] = Seq(idExpr, ordExpr)
+  // a clear analysis error instead of a runtime ClassCastException on
+  // int/float/decimal id/ord columns (the Column helper below casts)
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (idExpr.dataType == LongType && ordExpr.dataType == DoubleType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"top_k_by requires (BIGINT id, DOUBLE ord), got " +
+        s"(${idExpr.dataType.simpleString}, ${ordExpr.dataType.simpleString})")
   override def nullable: Boolean = false
   override def dataType: DataType = ArrayType(StructType(Seq(
     StructField("rk", LongType, nullable = false),
@@ -113,9 +122,11 @@ case class TopKBy(
 }
 
 object TopKBy {
-  /** DataFrame-API entry: `df.groupBy(...).agg(top_k_by(id, ord, 3))`. */
+  /** DataFrame-API entry: `df.groupBy(...).agg(top_k_by(id, ord, 3))`.
+    * Casts up front so any numeric id/ord column works. */
   def top_k_by(id: Column, ord: Column, k: Int): Column =
     GraftBridge.column(
-      TopKBy(GraftBridge.expression(id), GraftBridge.expression(ord), k)
+      TopKBy(GraftBridge.expression(id.cast("long")),
+        GraftBridge.expression(ord.cast("double")), k)
         .toAggregateExpression())
 }

@@ -26,9 +26,9 @@ object Sql {
   /** F2+F3 — suffix strip then country fold, same bounded fixpoints
     * as Normalize.stripSuffixes/foldSubsidiaries. */
   def stripAndFold(inner: String, settings: DedupSettings = DedupSettings()): String = {
-    val stripped = stripFix(inner, Rules.Suffixes, 6)
+    val stripped = stripFix(inner, Rules.Suffixes, Rules.SuffixFixpointBound)
     if (settings.noSubsidiaryFold) stripped
-    else stripFix(stripped, Rules.Countries, 4)
+    else stripFix(stripped, Rules.Countries, Rules.CountryFixpointBound)
   }
 
   /** F4 — acronym rewrite as a CASE expression. */

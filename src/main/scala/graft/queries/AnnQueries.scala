@@ -9,6 +9,7 @@ import org.apache.spark.sql.functions._
 object AnnQueries {
 
   private val QueryMod = 50 // probe set: vec_id % 50 == 0
+  private val ProbeIdCap = 25000 // with QueryMod: ≤500 probes at ANY sf
   private val TopK = 5
   private val CosThreshold = 0.30
 
@@ -19,6 +20,11 @@ object AnnQueries {
       Ann.prepared(Tables.embeddings(s, dir))
     }
 
+  /** Materialize the session-shared prepared-vector index (bench
+    * warm-up hook — see TextQueries.warmIndexes). */
+  def warmIndexes(s: SparkSession, dir: String): Unit =
+    prep(s, dir).count()
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // exact cosine top-k for a probe set of queries.
     "ann_topk" -> ((s, dir) => {
@@ -27,12 +33,17 @@ object AnnQueries {
         .orderBy("query_id", "rk")
     }),
 
-    // embedding-cosine near-dup pairs above a threshold (all pairs).
+    // embedding-cosine near-dup pairs above a threshold, for a
+    // BOUNDED probe set (≤500 probe vectors at any sf, broadcast to a
+    // nested-loop scan of the corpus — O(|probe|·n), so the declared
+    // suite stays runnable at any scale; unbounded all-pairs is
+    // deliberately not a declared query).
     "ann_threshold_pairs" -> ((s, dir) => {
       val p = prep(s, dir)
-      val a = p.select(col("vec_id").as("a_id"), col("u").as("au"))
+      val a = p.filter(col("vec_id") % QueryMod === 0 && col("vec_id") < ProbeIdCap)
+        .select(col("vec_id").as("a_id"), col("u").as("au"))
       val b = p.select(col("vec_id").as("b_id"), col("u").as("bu"))
-      a.join(b, col("a_id") < col("b_id"))
+      broadcast(a).join(b, col("a_id") < col("b_id"))
         .withColumn("cos", Ann.cosine(col("au"), col("bu")))
         .filter(col("cos") >= CosThreshold)
         .select("a_id", "b_id", "cos")
@@ -112,7 +123,8 @@ object AnnQueries {
          |SELECT a.vec_id AS a_id, b.vec_id AS b_id,
          |       ${cosSql("a.v", "b.v", "a.nrm", "b.nrm")} AS cos
          |FROM n a JOIN n b ON a.vec_id < b.vec_id
-         |WHERE ${cosSql("a.v", "b.v", "a.nrm", "b.nrm")} >= $CosThreshold
+         |WHERE a.vec_id % $QueryMod = 0 AND a.vec_id < $ProbeIdCap
+         |  AND ${cosSql("a.v", "b.v", "a.nrm", "b.nrm")} >= $CosThreshold
          |ORDER BY a_id, b_id""".stripMargin,
 
     "ann_quantize" ->

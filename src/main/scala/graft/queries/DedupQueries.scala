@@ -28,6 +28,11 @@ object DedupQueries {
       Pipeline.run(Tables.part(s, dir), "p_name", "p_partkey")
     }
 
+  /** Materialize the session-shared pipeline table (bench warm-up
+    * hook — see TextQueries.warmIndexes). */
+  def warmIndexes(s: SparkSession, dir: String): Unit =
+    fullPart(s, dir).count()
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // F1-F5 + K1: full derived-column contract, row-level.
     "dedup_normalize" -> ((s, dir) =>
@@ -67,6 +72,18 @@ object DedupQueries {
           count(lit(1)).as("n_pairs"),
           sum(when(col("token_match"), 1L).otherwise(0L)).as("n_token_matches"),
           round(avg(col("ratio")), 6).as("avg_ratio"))),
+
+    // the cost governor end-to-end (default-on policy, here with a
+    // deliberately small cap so the governed path is oracle-visible):
+    // blocks over the cap switch to sorted-neighborhood pairing,
+    // blocks under it keep full reference pairing.
+    "dedup_pairs_capped" -> ((s, dir) =>
+      Matching.qualifyingPairs(
+        Matching.nameStats(
+          Normalize.withDerived(Tables.customer(s, dir), "c_name", "c_custkey")),
+        DedupSettings(maxBlockNames = Some(1000L), hotBlockWindow = 10))
+        .select("a_name", "b_name", "ratio", "token_match", "pair_conf")
+        .orderBy("a_name", "b_name")),
 
     // sorted-neighborhood blocking: the O(n·w) alternative for
     // all-distinct hot blocks — each name compared to its 4 sorted
@@ -186,6 +203,39 @@ object DedupQueries {
          |       round(avg(ratio), 6) AS avg_ratio
          |FROM pairs
          |WHERE (token_match AND ratio >= 0.85) OR ratio >= 0.90""".stripMargin,
+
+    "dedup_pairs_capped" ->
+      s"""${Sql.derivedCte("customer", "c_custkey", "c_name")},
+         |stats AS (
+         |  SELECT block_key, base_name,
+         |         ${Sql.tokenKey("base_name")} AS token_key
+         |  FROM derived WHERE base_name <> '' GROUP BY 1, 2, 3
+         |), sizes AS (
+         |  SELECT block_key, count(*) AS bn FROM stats GROUP BY 1
+         |), small AS (
+         |  SELECT s.* FROM stats s JOIN sizes z USING (block_key) WHERE z.bn <= 1000
+         |), hot AS (
+         |  SELECT s.*, row_number() OVER (PARTITION BY s.block_key
+         |    ORDER BY s.base_name) AS rnk
+         |  FROM stats s JOIN sizes z USING (block_key) WHERE z.bn > 1000
+         |), pairs AS (
+         |  SELECT a.base_name AS a_name, b.base_name AS b_name,
+         |         jaro_winkler_similarity(a.base_name, b.base_name) AS ratio,
+         |         (a.token_key = b.token_key) AS token_match
+         |  FROM small a JOIN small b
+         |    ON a.block_key = b.block_key AND a.base_name < b.base_name
+         |  UNION ALL
+         |  SELECT a.base_name, b.base_name,
+         |         jaro_winkler_similarity(a.base_name, b.base_name),
+         |         (a.token_key = b.token_key)
+         |  FROM hot a JOIN hot b
+         |    ON a.block_key = b.block_key AND b.rnk BETWEEN a.rnk + 1 AND a.rnk + 9
+         |)
+         |SELECT a_name, b_name, ratio, token_match,
+         |       ${Sql.pairConf("ratio", "token_match")} AS pair_conf
+         |FROM pairs
+         |WHERE (token_match AND ratio >= 0.85) OR ratio >= 0.90
+         |ORDER BY a_name, b_name""".stripMargin,
 
     "dedup_pairs_sorted" ->
       s"""${Sql.derivedCte("customer", "c_custkey", "c_name")},

@@ -47,6 +47,16 @@ object TextQueries {
       }.drop("sh", "digests")
     }
 
+  /** Materialize the session-shared Memo indexes (shingle sets, MinHash
+    * signatures, SimHash signatures) so per-query bench numbers measure
+    * the query, not cache-fill order. */
+  def warmIndexes(s: SparkSession, dir: String): Unit = {
+    withSigs(s, dir).count() // builds text_shingles + text_sigs
+    graft.core.Memo.cached(s, s"text_simhash:$dir") {
+      queries("text_simhash")(s, dir)
+    }.count()
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // exact dedup: hash-groupBy with min-id representative election.
     "text_exact_dedup" -> ((s, dir) => {

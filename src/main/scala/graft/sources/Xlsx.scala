@@ -29,7 +29,19 @@ object Xlsx {
   }
 
   /** Read the first worksheet into a DataFrame of string columns. */
-  def read(spark: SparkSession, path: String): DataFrame = {
+  def read(spark: SparkSession, path: String): DataFrame =
+    readImpl(spark, path, typed = false)
+
+  /** Read the first worksheet with pandas-style dtype inference
+    * (app.py:88 reads via pandas): a column whose data cells are all
+    * numeric becomes LongType (all integral) or DoubleType, everything
+    * else stays StringType. Inference looks at the cell TYPE in the
+    * workbook (shared/inline strings stay strings even when they look
+    * numeric, exactly like pandas' object dtype). */
+  def readTyped(spark: SparkSession, path: String): DataFrame =
+    readImpl(spark, path, typed = true)
+
+  private def readImpl(spark: SparkSession, path: String, typed: Boolean): DataFrame = {
     val parts = mutable.Map.empty[String, Array[Byte]]
     val zin = new ZipInputStream(new FileInputStream(path))
     try {
@@ -45,7 +57,15 @@ object Xlsx {
       }
     } finally zin.close()
 
+    // XXE/entity-expansion hardening: workbook XML is untrusted user
+    // input — no doctypes, no external entities, no xinclude.
     val dbf = DocumentBuilderFactory.newInstance()
+    dbf.setFeature("http://apache.org/xml/features/disallow-doctype-decl", true)
+    dbf.setFeature("http://xml.org/sax/features/external-general-entities", false)
+    dbf.setFeature("http://xml.org/sax/features/external-parameter-entities", false)
+    dbf.setXIncludeAware(false)
+    dbf.setExpandEntityReferences(false)
+    dbf.setFeature(javax.xml.XMLConstants.FEATURE_SECURE_PROCESSING, true)
     def parse(bytes: Array[Byte]) =
       dbf.newDocumentBuilder().parse(new java.io.ByteArrayInputStream(bytes))
 
@@ -61,7 +81,8 @@ object Xlsx {
     val sheet = parse(parts.getOrElse("xl/worksheets/sheet1.xml",
       throw new IllegalArgumentException(s"no sheet1 in $path")))
     val rowNodes = sheet.getElementsByTagName("row")
-    val rows: Seq[Seq[(Int, String)]] = (0 until rowNodes.getLength).map { i =>
+    // cell -> (column index, raw value, cell-typed-as-number)
+    val rows: Seq[Seq[(Int, String, Boolean)]] = (0 until rowNodes.getLength).map { i =>
       val cells = rowNodes.item(i).asInstanceOf[org.w3c.dom.Element]
         .getElementsByTagName("c")
       (0 until cells.getLength).flatMap { j =>
@@ -71,15 +92,17 @@ object Xlsx {
         val idx = if (rAttr.isEmpty) j else colIndex(rAttr)
         val t = c.getAttribute("t")
         val vNodes = c.getElementsByTagName("v")
-        val value: Option[String] =
+        val value: Option[(String, Boolean)] =
           if (t == "inlineStr") {
             val ts = c.getElementsByTagName("t")
-            if (ts.getLength > 0) Some(ts.item(0).getTextContent) else None
+            if (ts.getLength > 0) Some((ts.item(0).getTextContent, false)) else None
           } else if (vNodes.getLength > 0) {
             val raw = vNodes.item(0).getTextContent
-            if (t == "s") Some(shared(raw.toInt)) else Some(raw)
+            if (t == "s") Some((shared(raw.toInt), false))
+            // no type attr / t="n" = a number cell in OOXML
+            else Some((raw, t.isEmpty || t == "n"))
           } else None
-        value.map(idx -> _)
+        value.map { case (v, num) => (idx, v, num) }
       }
     }
 
@@ -88,11 +111,40 @@ object Xlsx {
     val names = (0 until nCols).map { i =>
       header.find(_._1 == i).map(_._2).getOrElse(s"_c$i")
     }
-    val data = rows.drop(1).map { r =>
-      val m = r.toMap
-      Row.fromSeq((0 until nCols).map(i => m.get(i).orNull))
+    val body = rows.drop(1)
+
+    def cellMap(r: Seq[(Int, String, Boolean)]): Map[Int, (String, Boolean)] =
+      r.map { case (i, v, n) => i -> (v, n) }.toMap
+
+    // pandas-style per-column dtype: all data cells numeric -> Long if
+    // every value is integral, else Double; anything else -> String.
+    val colTypes: IndexedSeq[org.apache.spark.sql.types.DataType] =
+      (0 until nCols).map { i =>
+        if (!typed) StringType
+        else {
+          val vals = body.flatMap(r => cellMap(r).get(i))
+          if (vals.isEmpty || vals.exists(!_._2)) StringType
+          else if (vals.forall(v => scala.util.Try(v._1.toLong).isSuccess))
+            org.apache.spark.sql.types.LongType
+          else org.apache.spark.sql.types.DoubleType
+        }
+      }
+
+    val data = body.map { r =>
+      val m = cellMap(r)
+      Row.fromSeq((0 until nCols).map { i =>
+        m.get(i).map { case (v, _) =>
+          colTypes(i) match {
+            case org.apache.spark.sql.types.LongType => v.toLong
+            case org.apache.spark.sql.types.DoubleType => v.toDouble
+            case _ => v
+          }
+        }.orNull
+      })
     }
-    val schema = StructType(names.map(n => StructField(n, StringType, nullable = true)))
+    val schema = StructType(names.zip(colTypes).map { case (n, t) =>
+      StructField(n, t, nullable = true)
+    })
     spark.createDataFrame(spark.sparkContext.parallelize(data, 1), schema)
   }
 

@@ -41,13 +41,14 @@ class MatchingSpec extends AnyFunSuite {
     }
   }
 
-  test("block-size cap excludes over-cap blocks, keeps the rest intact") {
-    val full = pairSet(Matching.qualifyingPairs(stats))
+  test("cost governor: drop policy excludes over-cap blocks, keeps the rest intact") {
+    val full = pairSet(Matching.qualifyingPairs(stats,
+      DedupSettings(maxBlockNames = None)))
     val blockSizes = stats.groupBy("block_key").count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     val cap = blockSizes.values.max - 1
     val capped = Matching.qualifyingPairs(stats,
-      DedupSettings(maxBlockNames = Some(cap)))
+      DedupSettings(maxBlockNames = Some(cap), hotBlockWindow = 0))
     assert(pairSet(capped).subsetOf(full))
     assert(pairSet(capped).size < full.size)
     // no pair from an over-cap block survives
@@ -55,6 +56,23 @@ class MatchingSpec extends AnyFunSuite {
     val cappedBlocks = capped.select("block_key").distinct().collect()
       .map(_.getString(0)).toSet
     assert(cappedBlocks.intersect(bigBlocks).isEmpty)
+  }
+
+  test("cost governor default: over-cap blocks switch to sorted-neighborhood") {
+    val blockSizes = stats.groupBy("block_key").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val cap = blockSizes.values.max - 1
+    val bigBlocks = blockSizes.filter(_._2 > cap).keySet
+    val governed = pairSet(Matching.qualifyingPairs(stats,
+      DedupSettings(maxBlockNames = Some(cap), hotBlockWindow = 10)))
+    // expected = full pairing on under-cap blocks + SNP(10) on the rest
+    val isHot = col("block_key").isin(bigBlocks.toSeq: _*)
+    val expected =
+      pairSet(Matching.qualifyingPairs(stats.filter(!isHot),
+        DedupSettings(maxBlockNames = None))) ++
+        pairSet(Matching.sortedNeighborhoodPairs(stats.filter(isHot), 10))
+    assert(governed == expected)
+    assert(governed.nonEmpty)
   }
 
   test("sorted-neighborhood pairs are a subset of full pairs and adjacent-complete") {

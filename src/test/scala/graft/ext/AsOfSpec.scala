@@ -26,4 +26,15 @@ class AsOfSpec extends AnyFunSuite {
       (2L, "c", 10.0),
       (3L, "nomatch", null)))   // key with no right rows
   }
+
+  test("most recent right row wins even when its value is null (native ASOF)") {
+    import spark.implicits._
+    val left = Seq((1L, ts(5), "probe")).toDF("k", "ts", "name")
+    // latest right row before 10:05 is 10:04 with a NULL value — the
+    // join must honor it, not skip back to 10:02's 20.0
+    val right = Seq((1L, ts(2), Some(20.0)), (1L, ts(4), Option.empty[Double]))
+      .toDF("k", "ts", "v")
+    val got = AsOf.asofJoin(left, right, Seq("k"), "ts", Seq("v")).collect()
+    assert(got.length == 1 && got(0).getAs[Any]("asof_v") == null)
+  }
 }

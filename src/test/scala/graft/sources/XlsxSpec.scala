@@ -22,6 +22,24 @@ class XlsxSpec extends AnyFunSuite {
     assert(rows.toSeq == Seq(("IBM & Co <X>", "1.5", "2"), ("Tata \"T\"", "-0.25", "7")))
   }
 
+  test("readTyped infers pandas-style dtypes from cell types") {
+    import org.apache.spark.sql.types.{DoubleType, LongType, StringType}
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_xlsx_typed").toFile
+    val path = new java.io.File(dir, "typed.xlsx").getAbsolutePath
+    // "123" is a STRING cell that looks numeric - pandas keeps object
+    val df = Seq(("IBM", 1.5, 2L, "123"), ("Tata", -0.25, 7L, "456"))
+      .toDF("name", "score", "n", "code")
+    Xlsx.write(Seq("s" -> df), path)
+    val back = Xlsx.readTyped(spark, path)
+    assert(back.schema.map(f => f.name -> f.dataType) == Seq(
+      "name" -> StringType, "score" -> DoubleType,
+      "n" -> LongType, "code" -> StringType))
+    val r = back.orderBy("n").collect()
+    assert(r(0).getString(0) == "IBM" && r(0).getDouble(1) == 1.5 &&
+      r(0).getLong(2) == 2L && r(0).getString(3) == "123")
+  }
+
   test("reference golden xlsx fixture reads and dedups correctly") {
     val ref = "/root/reference/test_input.xlsx"
     assume(new java.io.File(ref).exists())
