@@ -18,14 +18,21 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = read(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame = read(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = read(s, d, "lineitem")
-  /** events.parquet stores `ts` as INT64 TIMESTAMP(NANOS) which Spark
-    * has no native type for — read it as raw nanos (legacy conf) and
-    * convert to a microsecond timestamp (floor division, matching
-    * DuckDB's ns→µs truncation). */
+  /** The driver's events.parquet stores `ts` as INT64
+    * TIMESTAMP(NANOS) which Spark has no native type for — read it as
+    * raw nanos (legacy conf) and convert to a microsecond timestamp
+    * (floor division, matching DuckDB's ns→µs truncation). Scaled-up
+    * copies (tools.ScaleUp) already store native µs timestamps, so
+    * the conversion is dtype-conditional. */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    read(s, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    val raw = read(s, d, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts",
+          org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+      case _ => raw
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = read(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = read(s, d, "embeddings")
