@@ -89,6 +89,27 @@ object EventQueries {
         .orderBy("event_id")
     }),
 
+    // bucketed range join (graft.ext.RangeJoin): per click, the
+    // user's views in the preceding 30 minutes — an equi-join on
+    // (user, time-bucket) with a residual range filter instead of the
+    // nested-loop a naive non-equi join degenerates to. DECIMAL sum
+    // for aggregation-order independence.
+    "events_range_join" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts").as("view_ts"),
+          col("value").as("view_value"))
+      graft.ext.RangeJoin.rangeJoin(clicks, views, Seq("user_id"),
+        "ts", "view_ts", lowerSec = 1800L, upperSec = 0L)
+        .groupBy("event_id")
+        .agg(count(lit(1)).as("n_views"),
+          sum(col("view_value").cast("decimal(18,2)")).cast("double")
+            .as("view_value_sum"))
+        .orderBy("event_id")
+    }),
+
     // JSON scalar extraction + histogram over the extracted value.
     "events_json" -> ((s, dir) =>
       Tables.events(s, dir)
@@ -99,6 +120,19 @@ object EventQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "events_range_join" ->
+      """WITH clicks AS (
+        |  SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS t
+        |  FROM events WHERE event_type = 'click'),
+        |views AS (
+        |  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS t, value
+        |  FROM events WHERE event_type = 'view')
+        |SELECT c.event_id, count(*) AS n_views,
+        |       CAST(sum(CAST(v.value AS DECIMAL(18,2))) AS DOUBLE) AS view_value_sum
+        |FROM clicks c JOIN views v
+        |  ON c.user_id = v.user_id AND v.t BETWEEN c.t - 1800 AND c.t
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "events_tumbling" ->
       """SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
         |       event_type, count(*) AS n,
