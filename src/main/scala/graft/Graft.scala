@@ -39,5 +39,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("dot_product"),
       new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
       es => DotProduct(es(0), es(1))))
+    e.injectFunction((FunctionIdentifier("unicode_norm"),
+      new ExpressionInfo(classOf[functions.UnicodeNorm].getName, "unicode_norm"),
+      es => functions.UnicodeNorm(es(0), es(1))))
+    e.injectFunction((FunctionIdentifier("top_k_by"),
+      new ExpressionInfo(classOf[functions.TopKBy].getName, "top_k_by"),
+      es => functions.TopKBy(es(0), es(1),
+        es(2).eval().asInstanceOf[Number].intValue()).toAggregateExpression()))
   }
 }

@@ -40,4 +40,22 @@ object EventStreams {
         sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
       .select(col("user_id"), col("sw.start").as("session_start"),
         col("sw.end").as("session_end"), col("n_events"), col("total_value"))
+
+  /** Stream-stream interval join — the streaming twin of
+    * [[graft.ext.RangeJoin]]: each left row joined to right rows of
+    * the same key with `rightTs` in `[leftTs - lowerSec, leftTs]`.
+    * On streams, BOTH sides must be watermarked first
+    * ([[withEventTimeWatermark]]); the time-range condition lets Spark
+    * bound the join state to interval + watermark delay instead of
+    * keeping both streams forever. On batch DataFrames the same plan
+    * runs as a plain join — one code path, both semantics. */
+  def intervalJoin(left: DataFrame, right: DataFrame, keyCol: String,
+      leftTs: String, rightTs: String, lowerSec: Long): DataFrame = {
+    val r = right.withColumnRenamed(keyCol, s"_r_$keyCol")
+    left.join(r,
+      col(keyCol) === col(s"_r_$keyCol") &&
+        col(rightTs) >= col(leftTs) - expr(s"INTERVAL $lowerSec SECONDS") &&
+        col(rightTs) <= col(leftTs))
+      .drop(s"_r_$keyCol")
+  }
 }

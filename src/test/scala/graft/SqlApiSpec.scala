@@ -28,6 +28,35 @@ class SqlApiSpec extends AnyFunSuite {
     assert(dp == 6.0)
   }
 
+  test("GraftExtensions (the spark.sql.extensions class) registers the full function set") {
+    val base = spark // force-create the shared context first
+    org.apache.spark.sql.SparkSession.clearActiveSession()
+    org.apache.spark.sql.SparkSession.clearDefaultSession()
+    try {
+      // same class a cluster user names in --conf spark.sql.extensions;
+      // withExtensions() because that static conf is fixed at
+      // SparkContext creation and tests share one context
+      val s2 = org.apache.spark.sql.SparkSession.builder()
+        .master("local[4]")
+        .withExtensions(new GraftExtensions)
+        .getOrCreate()
+      val r = s2.sql(
+        """SELECT round(jaro_winkler('MICROSOFT', 'MICROSUFT'), 4) AS jw,
+          |       unicode_norm('café', 'strip_accents') AS u,
+          |       dot_product(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS dp""".stripMargin)
+        .collect()(0)
+      assert(r.getDouble(0) == 0.9556 && r.getString(1) == "cafe" &&
+        r.getDouble(2) == 11.0)
+      val k = s2.sql(
+        "SELECT top_k_by(id, s, 1)[0].id FROM VALUES (1L, 1.0d), (2L, 9.0d) AS t(id, s)")
+        .collect()(0).getLong(0)
+      assert(k == 2L)
+    } finally {
+      org.apache.spark.sql.SparkSession.setDefaultSession(base)
+      org.apache.spark.sql.SparkSession.setActiveSession(base)
+    }
+  }
+
   test("custom aggregate via SQL: top_k_by") {
     import spark.implicits._
     Graft.install(spark)
