@@ -18,6 +18,23 @@ object RelationalQueries {
   private def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(18,2)")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // approximate sketches — the 100 TB profiling path: HLL++
+    // distinct counts and approximate percentiles are single-pass
+    // with small mergeable state (map-side partials), vs the full
+    // shuffle an exact distinct/percentile needs. Sketch outputs are
+    // algorithm-specific, so there is deliberately no DuckDB twin
+    // (driver records a rows-only check); accuracy bounds are pinned
+    // in SketchSpec against exact answers.
+    "rel_sketch_stats" -> ((s, dir) =>
+      Tables.orders(s, dir)
+        .groupBy("o_orderpriority")
+        .agg(
+          approx_count_distinct(col("o_custkey"), rsd = 0.02).as("approx_customers"),
+          percentile_approx(col("o_totalprice"), lit(0.5), lit(1000))
+            .as("approx_median_price"),
+          count(lit(1)).as("n"))
+        .orderBy("o_orderpriority")),
+
     // TPC-H Q1-flavored scan+filter+aggregate; filter + pruning push
     // into the parquet scan.
     "rel_pricing_summary" -> ((s, dir) =>

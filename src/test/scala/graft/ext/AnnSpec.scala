@@ -47,4 +47,50 @@ class AnnSpec extends AnyFunSuite {
     val labels = res.map(_.getLong(2) % 4).toSet
     assert(labels.size <= 2) // neighbors come from at most 2 buckets
   }
+
+  test("salted LSH pair join: correct and balanced on a single dominant bucket") {
+    import spark.implicits._
+    // adversarial skew: 120 near-identical vectors -> ONE sign bucket
+    val rnd = new scala.util.Random(5)
+    val skewed = (0L until 120L).map { i =>
+      (i, Array.tabulate(8)(d => 1.0f + rnd.nextFloat() * 0.01f), 0)
+    }.toDF("vec_id", "embedding", "label")
+    val p = Ann.prepared(skewed).cache()
+    val planes = Ann.hyperplanes(4, 8)
+
+    // ground truth: brute-force pairs within the same bucket
+    val b = p.withColumn("bucket", Ann.lshBucket(col("v"), planes))
+    val naive = b.as("a").join(b.as("b"),
+      col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+      .withColumn("cos", Ann.cosine(col("a.u"), col("b.u")))
+      .filter(col("cos") >= 0.5)
+      .select(col("a.vec_id"), col("b.vec_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(naive.size == 120 * 119 / 2) // all in one bucket, all similar
+
+    for (salt <- Seq(1, 4, 16)) {
+      val got = Ann.lshPairs(p, planes, minCos = 0.5, salt = salt)
+        .select("a_id", "b_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == naive, s"salt=$salt")
+    }
+
+    // balance: with salt=4 the pair generation spreads across chunks —
+    // no (bucket, chunk) join group holds more than ~2x the mean.
+    // Reconstruct the per-chunk pair counts the join produces.
+    val salt = 4
+    val chunks = p.withColumn("bucket", Ann.lshBucket(col("v"), planes))
+      .withColumn("chunk", pmod(hash(col("vec_id")), lit(salt)))
+      .groupBy("chunk").count().collect()
+      .map(r => r.getLong(1)).sorted
+    val perGroup = (0 until salt).flatMap { lo =>
+      (lo until salt).map { hi =>
+        val nLo = chunks(lo); val nHi = chunks(hi)
+        if (lo == hi) nLo * (nLo - 1) / 2 else nLo * nHi
+      }
+    }
+    val mean = perGroup.sum.toDouble / perGroup.size
+    assert(perGroup.max <= 2 * mean,
+      s"skewed pair groups: $perGroup (mean $mean)")
+  }
 }
