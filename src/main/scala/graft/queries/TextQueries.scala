@@ -181,7 +181,11 @@ object TextQueries {
         .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
           bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).cast("long").as("hamming"))
         .distinct()
-        .filter(col("hamming") <= 8)
+        // tight near-dup bound: <= 3 of 32 bits. A loose bound (8/32)
+        // looked fine on 500 docs but exploded to 170M pairs on a 50k
+        // corpus whose docs share vocabulary — pair output must be
+        // threshold-bounded, not candidate-bounded, to survive scale.
+        .filter(col("hamming") <= 3)
         .orderBy("a_id", "b_id")
     }),
 
@@ -436,7 +440,7 @@ object TextQueries {
          |       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
          |FROM bands a JOIN bands b
          |  ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
-         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 8
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
          |ORDER BY a_id, b_id""".stripMargin,
 
     "text_ngram_jaccard" ->

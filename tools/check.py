@@ -16,9 +16,12 @@ SKIP_VERIFY = "--no-verify" in sys.argv
 # --skip=q1,q2: exclude queries whose ORACLE is infeasible at this
 # scale (e.g. the deliberately-ungoverned quadratic twin at sf1)
 SKIP = set()
+ONLY = set()
 for a in sys.argv[1:]:
     if a.startswith("--skip="):
         SKIP.update(a[len("--skip="):].split(","))
+    if a.startswith("--only="):  # restrict the compare to these names
+        ONLY.update(a[len("--only="):].split(","))
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
@@ -42,8 +45,9 @@ for t in TABLES:
 oracle = json.loads((OUT / "oracle_sql.json").read_text())
 fails = 0
 for name, sql in sorted(oracle.items()):
-    if name in SKIP:
-        print(f"SKIP {name} (--skip)")
+    if name in SKIP or (ONLY and name not in ONLY):
+        if name in SKIP:
+            print(f"SKIP {name} (--skip)")
         continue
     pdir = OUT / name
     if not pdir.exists():
