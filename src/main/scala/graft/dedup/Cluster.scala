@@ -6,19 +6,34 @@ import org.apache.spark.sql.functions._
 /** C1 — distributed connected components (engine.py:229-268's
   * union-find, re-expressed as an iterative DataFrame algorithm).
   *
-  * Min-label propagation with pointer jumping: each iteration (a)
-  * takes the min label over the 1-hop neighborhood, (b) shortcuts
-  * `label := label(label)`. The shortcut gives the O(log n)-round
-  * behavior of pointer-jumping CC algorithms (vs O(diameter) for
-  * plain propagation — a chain graph would otherwise need n rounds).
-  * Lineage is truncated with eager `localCheckpoint` every round, and
-  * the driver-side loop converges when no label changes — the one
-  * place control intentionally returns to the driver (SURVEY.md §3).
+  * Three regimes, chosen by measured size, cheapest first:
+  *
+  *  1. **Edges fit on the driver** (≤ `localThreshold`): one collect +
+  *     path-compressed union-find. The node set here is DISTINCT
+  *     NAMES, not rows — usually tiny after the distinct-name
+  *     reduction — and one collect beats ~6 Spark jobs of iteration
+  *     latency.
+  *  2. **Edges huge, nodes small** (the dedup worst case: a dense
+  *     near-clique of similar names — 10k nodes can carry 50M edges):
+  *     per round, aggregate to each node's MIN neighbor (≤ |nodes|
+  *     rows), union-find that on the driver, and relabel the big edge
+  *     set through an explicitly `broadcast` map — map-side only, no
+  *     sort-merge join of the edge set. A clique finishes in one
+  *     round; Borůvka-style halving bounds the rest. (An earlier
+  *     join-based contraction ran the relabels as sort-merge joins —
+  *     checkpointed frames carry no size stats, so nothing broadcast
+  *     — and was 3× slower than the label loop on the clique.)
+  *  3. **Nodes too big to collect**: min-label propagation with
+  *     pointer jumping (`label := label(label)`), the O(log n)-round
+  *     distributed loop. Lineage is truncated with eager
+  *     `localCheckpoint` every round; the driver-side convergence
+  *     loop is the one place control intentionally returns to the
+  *     driver (SURVEY.md §3).
   */
 object Cluster {
 
   /** @param edges undirected edges, columns (src: long, dst: long);
-    *              either direction suffices.
+    *              either direction suffices; duplicates tolerated.
     * @return (id: long, component: long) for every node appearing in
     *         an edge, with component = min node id in the component.
     *         Isolated nodes (no edges) simply don't appear — callers
@@ -27,36 +42,90 @@ object Cluster {
       localThreshold: Long = 2000000): DataFrame = {
     val sym = edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct()
+      .filter(col("src") =!= col("dst"))
       .localCheckpoint(true)
-
-    // Small-graph fast path: the node set here is DISTINCT NAMES, not
-    // rows — usually tiny after the distinct-name reduction. Below
-    // the threshold, one collect + path-compressed union-find beats
-    // ~6 Spark jobs of iteration latency; above it, fall through to
-    // the distributed loop.
     val edgeCount = sym.count()
-    if (edgeCount <= localThreshold) {
-      val pairs = sym.collect().map(r => (r.getLong(0), r.getLong(1)))
-      val parent = scala.collection.mutable.Map.empty[Long, Long]
-      def find(x: Long): Long = {
-        var r = x
-        while (parent(r) != r) r = parent(r)
-        var c = x
-        while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
-        r
-      }
-      pairs.foreach { case (a, b) =>
-        parent.getOrElseUpdate(a, a)
-        parent.getOrElseUpdate(b, b)
-        val (ra, rb) = (find(a), find(b))
-        if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
-      }
-      val spark = edges.sparkSession
-      import spark.implicits._
-      return parent.keys.toSeq.map(k => (k, find(k))).toDF("id", "component")
-    }
 
+    if (edgeCount <= localThreshold) return localEdgeCC(sym)
+
+    // both directions are present, so src alone covers every node
+    val nodeCount = sym.agg(approx_count_distinct(col("src"), 0.02))
+      .head().getLong(0)
+    if (nodeCount <= localThreshold) minEdgeContractionCC(sym, maxIter)
+    else labelPropagationCC(sym, maxIter)
+  }
+
+  /** Regime 1: collect + path-compressed union-find. */
+  private def localEdgeCC(sym: DataFrame): DataFrame = {
+    val pairs = sym.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    pairs.foreach { case (a, b) =>
+      parent.getOrElseUpdate(a, a)
+      parent.getOrElseUpdate(b, b)
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+    }
+    val spark = sym.sparkSession
+    import spark.implicits._
+    parent.keys.toSeq.map(k => (k, find(k))).toDF("id", "component")
+  }
+
+  /** Regime 2: driver union-find over per-node min edges + broadcast
+    * relabel of the (huge) edge set, iterated to fixpoint. */
+  private def minEdgeContractionCC(sym0: DataFrame, maxIter: Int): DataFrame = {
+    val spark = sym0.sparkSession
+    import spark.implicits._
+    var e = sym0
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    def union(a: Long, b: Long): Unit = {
+      parent.getOrElseUpdate(a, a)
+      parent.getOrElseUpdate(b, b)
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+    }
+    var iter = 0
+    var done = false
+    while (!done && iter < maxIter) {
+      // ≤ |nodes| rows: each remaining rep's min remaining neighbor
+      val mins = e.groupBy("src").agg(min(col("dst")).as("dst")).collect()
+      if (mins.isEmpty) done = true
+      else {
+        mins.foreach(r => union(r.getLong(0), r.getLong(1)))
+        val mapping = parent.keys.toSeq.map(k => (k, find(k)))
+        val mapDf = broadcast(mapping.toDF("_n", "_r"))
+        // map-side relabel: two broadcast hash joins, no edge shuffle;
+        // distinct's map-side partial agg shrinks the shuffle to the
+        // contracted edge set
+        e = e.join(mapDf, col("src") === col("_n"), "left")
+          .select(coalesce(col("_r"), col("src")).as("src"), col("dst"))
+          .join(mapDf, col("dst") === col("_n"), "left")
+          .select(col("src"), coalesce(col("_r"), col("dst")).as("dst"))
+          .filter(col("src") =!= col("dst"))
+          .distinct()
+          .localCheckpoint(true)
+        done = e.isEmpty
+        iter += 1
+      }
+    }
+    parent.keys.toSeq.map(k => (k, find(k))).toDF("id", "component")
+  }
+
+  /** Regime 3: min-label propagation + pointer jumping. */
+  private def labelPropagationCC(sym: DataFrame, maxIter: Int): DataFrame = {
     var labels = sym.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
       .localCheckpoint(true)

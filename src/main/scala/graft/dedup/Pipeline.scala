@@ -53,10 +53,18 @@ object Pipeline {
       .select("row_order", "original_name", "normalized_name", "base_name", "block_key")
 
     val stats = Matching.nameStats(derived)
-    val pairs = Matching.qualifyingPairs(stats, settings).localCheckpoint(true)
+    // NOT checkpointed: a dense block makes this O(|b|²) rows — tens
+    // of millions of wide rows whose materialized blocks would
+    // pressure storage for the rest of the session. Both consumers
+    // below reduce it to name-level size immediately, so the join is
+    // simply computed twice (cheaper than holding 6 GB of pair rows
+    // at the 10×-scale stress test).
+    val pairs = Matching.qualifyingPairs(stats, settings)
 
     // --- C1: components over the distinct-name graph; node id = the
     // name's min_row, so a component id IS min(row_order) in-cluster.
+    // (connectedComponents eagerly checkpoints the compact
+    // (long, long) edge set internally.)
     val edges = pairs.select(col("a_min_row").as("src"), col("b_min_row").as("dst"))
     val comps = Cluster.connectedComponents(edges)
     val nameCluster = stats
@@ -73,6 +81,12 @@ object Pipeline {
     val crossCand = pairs.select(col("a_name").as("cand_name"),
         col("pair_conf").as("cand_conf"), col("b_max_row").as("partner_max_row"))
       .union(pairs.select(col("b_name"), col("pair_conf"), col("a_max_row")))
+      // exact O(pairs) -> O(names) reduction: for a (name, conf) only
+      // the FURTHEST partner matters — `partner_max_row > row_order`
+      // holds for some candidate iff it holds for the max. Collapses
+      // the candidate join input from |pairs|·2 to ≤ 3 rows per name.
+      .groupBy("cand_name", "cand_conf")
+      .agg(max(col("partner_max_row")).as("partner_max_row"))
     val candidates = selfCand.union(crossCand)
 
     val withConf = derived

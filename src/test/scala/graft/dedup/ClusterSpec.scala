@@ -32,4 +32,26 @@ class ClusterSpec extends AnyFunSuite {
     val got = cc(edges)
     assert(got.values.toSet == Set(0L, 6L, 7L, 8L, 9L))
   }
+
+  test("contraction + distributed path agree with union-find on random graphs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    // mixed shapes: a dense clique, long chains, stars, isolated pairs
+    val clique = for (a <- 100L to 130L; b <- (a + 1) to 130L) yield (a, b)
+    val chain = (200L until 240L).map(i => (i, i + 1))
+    val random = (1 to 150).map(_ => (rnd.nextInt(60).toLong, rnd.nextInt(60).toLong))
+      .filter { case (a, b) => a != b }
+    val edges = clique ++ chain ++ random
+    // ground truth: local union-find (localThreshold = huge)
+    val want = cc(edges)
+    // threshold between node count (~130) and edge count (~1300)
+    // forces the min-edge contraction regime; threshold 1 forces the
+    // distributed label-propagation regime — both must agree
+    for (threshold <- Seq(200L, 1L)) {
+      val forced = Cluster.connectedComponents(
+        edges.toDF("src", "dst"), localThreshold = threshold)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(forced == want, s"localThreshold=$threshold")
+    }
+  }
 }
