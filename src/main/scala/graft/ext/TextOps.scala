@@ -23,14 +23,18 @@ object TextOps {
   def bpeishCount(text: Column): Column =
     regexp_count(text, lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"))
 
-  /** Distinct word k-shingles ("a b c" strings). Empty array when the
-    * doc has fewer than k words (guards sequence() against negative
-    * bounds). */
-  def shingles(wordsCol: Column, k: Int): Column =
+  /** All word k-grams in order (NOT deduped — repetition scoring
+    * needs the multiplicity). Empty array when the doc has fewer than
+    * k words (guards sequence() against negative bounds). */
+  def ngrams(wordsCol: Column, k: Int): Column =
     when(size(wordsCol) >= k,
-      array_distinct(transform(sequence(lit(0), size(wordsCol) - k),
-        i => concat_ws(" ", (0 until k).map(j => element_at(wordsCol, i + j + 1)): _*))))
+      transform(sequence(lit(0), size(wordsCol) - k),
+        i => concat_ws(" ", (0 until k).map(j => element_at(wordsCol, i + j + 1)): _*)))
       .otherwise(array().cast("array<string>"))
+
+  /** Distinct word k-shingles ("a b c" strings). */
+  def shingles(wordsCol: Column, k: Int): Column =
+    array_distinct(ngrams(wordsCol, k))
 
   /** One MinHash signature: min over shingles of md5(seed|shingle).
     * Hex-string min ≡ unsigned-hash min. */

@@ -129,6 +129,44 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // repetition scoring (Gopher-style quality signal): fraction of
+    // duplicate word 3-grams per document — high dup_frac = boilerplate
+    // or looping text. Pure array expressions, no shuffle at all.
+    "text_repetition" -> ((s, dir) => {
+      val g = TextOps.ngrams(TextOps.words(col("text")), 3)
+      docs(s, dir)
+        .withColumn("g", g)
+        .select(col("doc_id"),
+          size(col("g")).cast("long").as("n_3grams"),
+          size(array_distinct(col("g"))).cast("long").as("n_distinct"),
+          round(when(size(col("g")) > 0,
+            lit(1.0) - size(array_distinct(col("g"))) /
+              size(col("g")).cast("double"))
+            .otherwise(lit(0.0)), 6).as("dup_frac"))
+        .orderBy("doc_id")
+    }),
+
+    // benchmark decontamination: train-split docs sharing any exact
+    // word 4-gram with a test-split doc. The overlap check is a
+    // hash semi-join on the 4-gram string — shuffles by gram, never
+    // compares documents pairwise, so it scales like any equi-join.
+    "text_contamination" -> ((s, dir) => {
+      val bucket = conv(substring(md5(concat(lit("split|"),
+        col("doc_id").cast("string"))), 1, 4), 16, 10).cast("long")
+      val withSplit = docs(s, dir)
+        .withColumn("split",
+          when(bucket < (65536 * 0.90).toLong, "train")
+            .when(bucket < (65536 * 0.95).toLong, "val")
+            .otherwise("test"))
+      val grams = withSplit.select(col("doc_id"), col("split"),
+        explode(TextOps.shingles(TextOps.words(col("text")), 4)).as("g"))
+      grams.filter(col("split") === "train")
+        .join(grams.filter(col("split") === "test").select("g").distinct(),
+          Seq("g"), "left_semi")
+        .select("doc_id").distinct()
+        .orderBy("doc_id")
+    }),
+
     // unicode cleaning: NFC + accent folding via the custom
     // UnicodeNorm expression (identity on this ASCII corpus — the
     // unicode behavior is pinned in UnicodeNormSpec).
@@ -401,6 +439,47 @@ object TextQueries {
          |       WHEN CAST(concat('0x', substr(md5('split|' || CAST(doc_id AS VARCHAR)), 1, 4)) AS INTEGER) < ${(65536 * 0.95).toLong} THEN 'val'
          |       ELSE 'test' END AS split
          |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "text_repetition" ->
+      """WITH w AS (
+        |  SELECT doc_id, string_split_regex(text, '\s+') AS ws FROM documents
+        |), g AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(ws) >= 3 THEN
+        |      list_transform(generate_series(1, len(ws) - 2),
+        |        i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+        |    ELSE CAST([] AS VARCHAR[]) END AS g
+        |  FROM w
+        |)
+        |SELECT doc_id, CAST(len(g) AS BIGINT) AS n_3grams,
+        |       CAST(len(list_distinct(g)) AS BIGINT) AS n_distinct,
+        |       round(CASE WHEN len(g) > 0
+        |         THEN 1.0 - len(list_distinct(g)) / CAST(len(g) AS DOUBLE)
+        |         ELSE 0.0 END, 6) AS dup_frac
+        |FROM g ORDER BY doc_id""".stripMargin,
+
+    "text_contamination" ->
+      s"""WITH w AS (
+         |  SELECT doc_id, string_split_regex(text, '\\s+') AS ws FROM documents
+         |), g AS (
+         |  SELECT doc_id, unnest(list_distinct(
+         |    CASE WHEN len(ws) >= 4 THEN
+         |      list_transform(generate_series(1, len(ws) - 3),
+         |        i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3])
+         |    ELSE CAST([] AS VARCHAR[]) END)) AS g
+         |  FROM w
+         |), lab AS (
+         |  SELECT doc_id,
+         |    CASE WHEN CAST(concat('0x', substr(md5('split|' || CAST(doc_id AS VARCHAR)), 1, 4)) AS INTEGER) < ${(65536 * 0.90).toLong} THEN 'train'
+         |         WHEN CAST(concat('0x', substr(md5('split|' || CAST(doc_id AS VARCHAR)), 1, 4)) AS INTEGER) < ${(65536 * 0.95).toLong} THEN 'val'
+         |         ELSE 'test' END AS split
+         |  FROM documents
+         |), tg AS (
+         |  SELECT DISTINCT g.g FROM g JOIN lab USING (doc_id) WHERE split = 'test'
+         |)
+         |SELECT DISTINCT g.doc_id FROM g JOIN lab USING (doc_id)
+         |WHERE split = 'train' AND g.g IN (SELECT g FROM tg)
+         |ORDER BY doc_id""".stripMargin,
 
     "text_clean" ->
       """SELECT doc_id, md5(strip_accents(nfc_normalize(text))) AS cleaned_hash
