@@ -20,10 +20,25 @@ object Sources {
   def readXlsx(spark: SparkSession, path: String): DataFrame =
     Xlsx.read(spark, path)
 
+  /** JSONL scan — the standard LLM-corpus interchange format (one
+    * JSON object per line). Schema inference needs a full pass; pass
+    * an explicit schema at scale so the read is single-pass and
+    * pruned columns never parse. */
+  def readJsonl(spark: SparkSession, path: String,
+      schema: Option[StructType] = None): DataFrame = {
+    val r = spark.read
+    schema.fold(r)(r.schema).json(path)
+  }
+
+  /** JSONL sink (line-delimited JSON, the `spark.write.json` layout). */
+  def writeJsonl(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").json(path)
+
   /** Generic reader dispatched on extension (S4's per-file loop). */
   def read(spark: SparkSession, path: String): DataFrame =
     if (path.endsWith(".csv")) readCsv(spark, path)
     else if (path.endsWith(".xlsx")) readXlsx(spark, path)
+    else if (path.endsWith(".jsonl") || path.endsWith(".json")) readJsonl(spark, path)
     else spark.read.parquet(path)
 
   /** S3 — schema peek without scanning data. */

@@ -55,6 +55,27 @@ class SourcesSpec extends AnyFunSuite {
     assert(mapping("Ltd") == "LTD")
   }
 
+  test("jsonl write -> read round-trip, schema-pinned and inferred") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_jsonl").toFile
+    val path = new java.io.File(dir, "docs.jsonl").getAbsolutePath
+    val df = Seq((0L, "alpha beta", "en"), (1L, "gamma", "es"))
+      .toDF("doc_id", "text", "lang")
+    Sources.writeJsonl(df, path)
+    // inferred
+    val back = Sources.readJsonl(spark, path)
+      .select("doc_id", "text", "lang").orderBy("doc_id").collect()
+    assert(back.map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq ==
+      Seq((0L, "alpha beta", "en"), (1L, "gamma", "es")))
+    // schema-pinned (single-pass at scale) + extension dispatch
+    val pinned = Sources.read(spark, path)
+    assert(pinned.count() == 2)
+    val typed = Sources.readJsonl(spark, path, Some(df.schema))
+    // JSON columns are always nullable on read — compare names+types
+    assert(typed.schema.map(f => f.name -> f.dataType) ==
+      df.schema.map(f => f.name -> f.dataType))
+  }
+
   test("SQL surface: registered jaro_winkler and dot_product") {
     graft.Graft.install(spark)
     val r = spark.sql(
