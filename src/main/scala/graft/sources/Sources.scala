@@ -16,9 +16,13 @@ object Sources {
   def readCsv(spark: SparkSession, path: String): DataFrame =
     spark.read.option("header", "true").option("inferSchema", "true").csv(path)
 
-  /** S2 — XLSX scan (dependency-free, see [[Xlsx]]). */
+  /** S2 — XLSX scan (dependency-free, see [[Xlsx]]), with
+    * pandas-style dtype inference so [[detectNameColumn]] skips
+    * numeric id columns exactly like the reference's pandas read
+    * (app.py:88) — an all-string read would misdetect a leading
+    * numeric column as the name column. */
   def readXlsx(spark: SparkSession, path: String): DataFrame =
-    Xlsx.read(spark, path)
+    Xlsx.readTyped(spark, path)
 
   /** JSONL scan — the standard LLM-corpus interchange format (one
     * JSON object per line). Schema inference needs a full pass; pass

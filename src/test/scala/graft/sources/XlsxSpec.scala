@@ -40,6 +40,18 @@ class XlsxSpec extends AnyFunSuite {
       r(0).getLong(2) == 2L && r(0).getString(3) == "123")
   }
 
+  test("typed xlsx read keeps name detection off numeric id columns") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_xlsx_detect").toFile
+    val path = new java.io.File(dir, "ids.xlsx").getAbsolutePath
+    // numeric first column: pandas (the reference) types it, so the
+    // first STRING column is the company name — typed read preserves
+    // that; an all-string read would misdetect "id"
+    Xlsx.write(Seq("s" -> Seq((1L, "IBM"), (2L, "TCS")).toDF("id", "company")), path)
+    assert(Sources.detectNameColumn(Sources.readXlsx(spark, path))
+      .contains("company"))
+  }
+
   test("reference golden xlsx fixture reads and dedups correctly") {
     val ref = "/root/reference/test_input.xlsx"
     assume(new java.io.File(ref).exists())
