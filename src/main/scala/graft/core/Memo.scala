@@ -11,9 +11,14 @@ import scala.collection.mutable
   * collide after GC), so two sessions can never cross-hit, and cached
   * via Spark's storage layer, so memory pressure falls back to
   * recompute, never OOM. Entries owned by a stopped session are
-  * pruned on the next access (their cached blocks are already gone
-  * with the context), and [[invalidate]] releases a live session's
-  * entries eagerly. */
+  * pruned on the next access from ANY session — cached()/size/
+  * invalidate all sweep first — their cached blocks are already gone
+  * with the context, so the sweep only drops driver-side references.
+  * [[invalidate]] releases a live session's entries eagerly;
+  * long-lived hosts that stop sessions should call
+  * `Memo.invalidate(spark)` before `spark.stop()` so the driver-side
+  * references go with the session rather than waiting for the next
+  * Memo access. */
 object Memo {
   /** Session key with reference equality — unlike
     * System.identityHashCode alone, equal hash never conflates two
@@ -39,6 +44,7 @@ object Memo {
   /** Unpersist and drop every entry owned by `spark`. Safe to call on
     * a stopped session (entries are just dropped). */
   def invalidate(spark: SparkSession): Unit = synchronized {
+    prune()
     memo.filterInPlace { case ((k, _), df) =>
       if (k.s eq spark) {
         if (!spark.sparkContext.isStopped) df.unpersist()

@@ -32,6 +32,8 @@ import org.apache.spark.sql.functions._
   */
 object Cluster {
 
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   /** @param edges undirected edges, columns (src: long, dst: long);
     *              either direction suffices; duplicates tolerated.
     * @return (id: long, component: long) for every node appearing in
@@ -121,6 +123,12 @@ object Cluster {
         iter += 1
       }
     }
+    // Borůvka halving makes maxIter=50 unreachable in practice, but an
+    // exhausted loop would silently return under-merged components —
+    // make non-convergence observable (ADVICE r2).
+    if (!done) log.warn(
+      s"connectedComponents (min-edge contraction) exhausted maxIter=$maxIter " +
+        "before convergence — returned components may be under-merged")
     parent.keys.toSeq.map(k => (k, find(k))).toDF("id", "component")
   }
 
@@ -156,6 +164,9 @@ object Cluster {
       converged = changed == 0
       iter += 1
     }
+    if (!converged) log.warn(
+      s"connectedComponents (label propagation) exhausted maxIter=$maxIter " +
+        "before convergence — returned components may be under-merged")
     labels.withColumnRenamed("label", "component")
   }
 }

@@ -55,50 +55,88 @@ object Matching {
     * parallelism with each unordered pair generated exactly once:
     * cross-chunk pairs via the strictly-smaller chunk's fan-out,
     * same-chunk pairs via the name< residual. */
-  def qualifyingPairs(stats: DataFrame, settings: DedupSettings = DedupSettings(),
-      salt: Int = 0): DataFrame = settings.maxBlockNames match {
-    case Some(cap) =>
-      // cost governor (default ON): over-cap blocks switch to the
-      // sorted-neighborhood O(|b|·w) policy (or are dropped when
-      // hotBlockWindow <= 1), bounding the quadratic worst case. The
-      // block-size index is tiny (distinct block keys) — one count to
-      // size the plan, then both semi-joins broadcast from it.
-      val sizes = stats.groupBy("block_key")
-        .agg(count(lit(1)).as("_bn")).cache()
-      val hotKeys = sizes.filter(col("_bn") > cap).select("block_key")
-      val nHot = hotKeys.count()
-      if (nHot > 0) {
-        val policy =
-          if (settings.hotBlockWindow > 1)
-            s"sorted-neighborhood(window=${settings.hotBlockWindow})"
-          else "drop"
-        log.warn(s"cost governor: $nHot block(s) exceed " +
-          s"maxBlockNames=$cap — applying $policy to their pairs")
-      }
-      val small = stats.join(
-        broadcast(sizes.filter(col("_bn") <= cap).select("block_key")),
-        Seq("block_key"), "left_semi")
-      val base = allPairs(small, settings, salt)
-      if (nHot == 0 || settings.hotBlockWindow <= 1) base
-      else {
-        val hot = stats.join(broadcast(hotKeys), Seq("block_key"), "left_semi")
-        base.unionByName(
-          sortedNeighborhoodPairs(hot, settings.hotBlockWindow, settings))
-      }
-    case None => allPairs(stats, settings, salt)
+  def qualifyingPairs(stats0: DataFrame, settings: DedupSettings = DedupSettings(),
+      salt: Int = 0): DataFrame = {
+    // The name-level index feeds every branch below (sizing aggregate,
+    // small/hot split, both join sides) — materialize it ONCE with an
+    // eager localCheckpoint. Unlike cache() entries, which live in the
+    // CacheManager until an explicit unpersist (and were accumulating
+    // per pipeline invocation — ADVICE r2), local-checkpoint blocks
+    // are released by the ContextCleaner when the frame becomes
+    // unreferenced.
+    val stats = stats0.localCheckpoint(true)
+    settings.maxBlockNames match {
+      case Some(cap) =>
+        // cost governor (default ON): over-cap blocks switch to the
+        // sorted-neighborhood O(|b|·w) policy (or are dropped when
+        // hotBlockWindow <= 1), bounding the quadratic worst case.
+        // One single-row aggregate sizes the whole plan: the over-cap
+        // key list is bounded (each hot block holds > cap names, so
+        // ≤ |names|/cap keys) and the small-side name count picks the
+        // salt without another job.
+        val sized = stats.groupBy("block_key").agg(count(lit(1)).as("_bn"))
+          .agg(
+            collect_list(when(col("_bn") > cap, col("block_key"))).as("_hot"),
+            sum(when(col("_bn") <= cap, col("_bn"))).as("_small"))
+          .head()
+        val hotKeys = sized.getSeq[String](0)
+        val smallNames = if (sized.isNullAt(1)) 0L else sized.getLong(1)
+        if (hotKeys.nonEmpty) {
+          val policy =
+            if (settings.hotBlockWindow > 1)
+              s"sorted-neighborhood(window=${settings.hotBlockWindow})"
+            else "drop"
+          log.warn(s"cost governor: ${hotKeys.length} block(s) exceed " +
+            s"maxBlockNames=$cap — applying $policy to their pairs")
+        }
+        if (hotKeys.isEmpty) allPairs(stats, settings, salt, smallNames)
+        else {
+          val spark = stats.sparkSession
+          import spark.implicits._
+          val hotDf = broadcast(hotKeys.toDF("block_key"))
+          val small = stats.join(hotDf, Seq("block_key"), "left_anti")
+          val base = allPairs(small, settings, salt, smallNames)
+          if (settings.hotBlockWindow <= 1) base
+          else base.unionByName(sortedNeighborhoodPairs(
+            stats.join(hotDf, Seq("block_key"), "left_semi"),
+            settings.hotBlockWindow, settings))
+        }
+      case None => allPairs(stats, settings, salt)
+    }
   }
 
   private val log = org.slf4j.LoggerFactory.getLogger(getClass)
 
-  /** Full within-block pairing (salted; see the scaladoc above). */
+  /** Data-visible cost-governor report (ADVICE r2: divergence from
+    * exact reference semantics should be observable in data, not only
+    * a warn line). One row: how many blocks exist, how many exceed
+    * `settings.maxBlockNames` (and thus run under the hot-block
+    * policy instead of full pairing), and how many distinct names
+    * those governed blocks hold. */
+  def governorStats(stats: DataFrame,
+      settings: DedupSettings = DedupSettings()): DataFrame = {
+    val cap = settings.maxBlockNames.getOrElse(Long.MaxValue)
+    stats.groupBy("block_key").agg(count(lit(1)).as("n_names"))
+      .agg(
+        count(lit(1)).as("total_blocks"),
+        coalesce(sum(when(col("n_names") > cap, 1L).otherwise(0L)), lit(0L))
+          .as("governed_blocks"),
+        coalesce(sum(when(col("n_names") > cap, col("n_names")).otherwise(0L)), lit(0L))
+          .as("governed_names"))
+  }
+
+  /** Full within-block pairing (salted; see the scaladoc above).
+    * `capped` is (derived from) the checkpointed name index, so the
+    * two join sides re-read materialized blocks, not the upstream
+    * aggregation. `knownNames` < 0 → count here (one cheap job over
+    * the checkpoint). */
   private def allPairs(capped: DataFrame, settings: DedupSettings,
-      salt: Int): DataFrame = {
+      salt: Int, knownNames: Long = -1L): DataFrame = {
     // salt <= 0 → adaptive: tiny name sets skip the wide fan-out (a
     // 96-way shuffle of 64 names is pure scheduling overhead), big
-    // ones get full parallelism. One count on the (small, cached)
-    // name-stats index.
+    // ones get full parallelism.
     val s = if (salt > 0) salt else {
-      val n = capped.cache().count()
+      val n = if (knownNames >= 0) knownNames else capped.count()
       if (n < 500) 4 else 96
     }
     val salted = capped.withColumn("chunk", pmod(hash(col("base_name")), lit(s)))

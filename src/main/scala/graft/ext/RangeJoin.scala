@@ -17,7 +17,17 @@ import org.apache.spark.sql.functions._
   * join shuffles and parallelizes like any hash join — each right row
   * is examined only by left rows in adjacent buckets, never the whole
   * key group. This is the standard interval-bucketing decomposition
-  * used by stream processors for interval joins. */
+  * used by stream processors for interval joins.
+  *
+  * Buckets are computed from second-truncated times (the bucket id
+  * only needs to be consistent, not exact — truncation keeps it an
+  * integer) but the residual filter runs on the RAW timestamp
+  * columns, so containment in `[left.ts - lowerSec, left.ts +
+  * upperSec]` is exact at full timestamp precision. Coverage still
+  * holds under truncation: floor is monotone, so a right row inside
+  * the raw window has `floor(epoch(rightTs)) ∈ [floor(epoch(leftTs))
+  * - lowerSec, floor(epoch(leftTs)) + upperSec]`, which is exactly
+  * the bucket range the left side fans out to. */
 object RangeJoin {
 
   /** @param left     probe side
@@ -43,8 +53,8 @@ object RangeJoin {
         floor((unix_timestamp(col(leftTs)) + upperSec).cast("double") / width).cast("long"))))
     val r = right.withColumn("_bucket", bucketOf(col(rightTs)).cast("long"))
     l.join(r, keyCols :+ "_bucket")
-      .where(unix_timestamp(col(rightTs)) >= unix_timestamp(col(leftTs)) - lowerSec &&
-        unix_timestamp(col(rightTs)) <= unix_timestamp(col(leftTs)) + upperSec)
+      .where(col(rightTs) >= col(leftTs) - expr(s"INTERVAL $lowerSec SECONDS") &&
+        col(rightTs) <= col(leftTs) + expr(s"INTERVAL $upperSec SECONDS"))
       .drop("_bucket")
   }
 }

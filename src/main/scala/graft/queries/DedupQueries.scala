@@ -85,6 +85,16 @@ object DedupQueries {
         .select("a_name", "b_name", "ratio", "token_match", "pair_conf")
         .orderBy("a_name", "b_name")),
 
+    // the governor's divergence report: how many blocks (and names)
+    // ran under the hot-block policy instead of exact reference
+    // pairing — same cap as dedup_pairs_capped so the governed path
+    // is non-trivially exercised.
+    "dedup_governor" -> ((s, dir) =>
+      Matching.governorStats(
+        Matching.nameStats(
+          Normalize.withDerived(Tables.customer(s, dir), "c_name", "c_custkey")),
+        DedupSettings(maxBlockNames = Some(1000L)))),
+
     // sorted-neighborhood blocking: the O(n·w) alternative for
     // all-distinct hot blocks — each name compared to its 4 sorted
     // successors only.
@@ -236,6 +246,21 @@ object DedupQueries {
          |FROM pairs
          |WHERE (token_match AND ratio >= 0.85) OR ratio >= 0.90
          |ORDER BY a_name, b_name""".stripMargin,
+
+    "dedup_governor" ->
+      s"""${Sql.derivedCte("customer", "c_custkey", "c_name")},
+         |stats AS (
+         |  SELECT block_key, base_name FROM derived
+         |  WHERE base_name <> '' GROUP BY 1, 2
+         |), sizes AS (
+         |  SELECT block_key, count(*) AS n_names FROM stats GROUP BY 1
+         |)
+         |SELECT count(*) AS total_blocks,
+         |       CAST(coalesce(sum(CASE WHEN n_names > 1000 THEN 1 ELSE 0 END), 0) AS BIGINT)
+         |         AS governed_blocks,
+         |       CAST(coalesce(sum(CASE WHEN n_names > 1000 THEN n_names ELSE 0 END), 0) AS BIGINT)
+         |         AS governed_names
+         |FROM sizes""".stripMargin,
 
     "dedup_pairs_sorted" ->
       s"""${Sql.derivedCte("customer", "c_custkey", "c_name")},

@@ -122,15 +122,17 @@ object EventQueries {
   val oracle: Map[String, String] = Map(
     "events_range_join" ->
       """WITH clicks AS (
-        |  SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS t
+        |  SELECT event_id, user_id, ts
         |  FROM events WHERE event_type = 'click'),
         |views AS (
-        |  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS t, value
+        |  SELECT user_id, ts AS view_ts, value
         |  FROM events WHERE event_type = 'view')
         |SELECT c.event_id, count(*) AS n_views,
         |       CAST(sum(CAST(v.value AS DECIMAL(18,2))) AS DOUBLE) AS view_value_sum
         |FROM clicks c JOIN views v
-        |  ON c.user_id = v.user_id AND v.t BETWEEN c.t - 1800 AND c.t
+        |  ON c.user_id = v.user_id
+        | AND v.view_ts >= c.ts - INTERVAL 1800 SECOND
+        | AND v.view_ts <= c.ts
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "events_tumbling" ->
