@@ -53,19 +53,27 @@ object Pipeline {
       .select("row_order", "original_name", "normalized_name", "base_name", "block_key")
 
     val stats = Matching.nameStats(derived)
-    // NOT checkpointed: a dense block makes this O(|b|²) rows — tens
-    // of millions of wide rows whose materialized blocks would
-    // pressure storage for the rest of the session. Both consumers
-    // below reduce it to name-level size immediately, so the join is
-    // simply computed twice (cheaper than holding 6 GB of pair rows
-    // at the 10×-scale stress test).
-    val pairs = Matching.qualifyingPairs(stats, settings)
+    // The pair join (the Jaro-Winkler work) has two consumers — the
+    // CC edge set and the confidence candidates. Materializing the
+    // full pair rows is off the table (a dense block makes them tens
+    // of millions of WIDE rows — 6 GB at the 10×-scale stress test),
+    // but the similarity compute itself must not run twice either
+    // (round 2 paid a double JW pass here: once for the eager CC
+    // build, once in the final DAG). Resolution: checkpoint ONLY the
+    // compact (a_min_row, b_min_row, pair_conf) projection — 24
+    // bytes/pair — and recover the name-level fields by joining back
+    // to `stats` on min_row, which uniquely identifies a distinct
+    // name (each row belongs to exactly one (block_key, base_name)
+    // group, so group minima never collide).
+    val pairsCompact = Matching.qualifyingPairs(stats, settings)
+      .select(col("a_min_row"), col("b_min_row"), col("pair_conf"))
+      .localCheckpoint(true)
 
     // --- C1: components over the distinct-name graph; node id = the
     // name's min_row, so a component id IS min(row_order) in-cluster.
     // (connectedComponents eagerly checkpoints the compact
     // (long, long) edge set internally.)
-    val edges = pairs.select(col("a_min_row").as("src"), col("b_min_row").as("dst"))
+    val edges = pairsCompact.select(col("a_min_row").as("src"), col("b_min_row").as("dst"))
     val comps = Cluster.connectedComponents(edges)
     val nameCluster = stats
       .join(comps.withColumnRenamed("id", "min_row"), Seq("min_row"), "left")
@@ -78,9 +86,19 @@ object Pipeline {
       .select(col("base_name").as("cand_name"),
         lit(Rules.ConfTokenAndRatio).as("cand_conf"),
         col("max_row").as("partner_max_row"))
-    val crossCand = pairs.select(col("a_name").as("cand_name"),
+    // name fields recovered from the compact checkpoint: AQE turns
+    // both min_row joins into broadcasts (the name index is tiny
+    // relative to pairs), so this costs two map-side probes of
+    // already-computed conf rows, not a second similarity join.
+    val nameByMin = stats.select(col("min_row"), col("base_name"), col("max_row"))
+    val rejoined = pairsCompact
+      .join(nameByMin.select(col("min_row").as("a_min_row"),
+        col("base_name").as("a_name"), col("max_row").as("a_max_row")), Seq("a_min_row"))
+      .join(nameByMin.select(col("min_row").as("b_min_row"),
+        col("base_name").as("b_name"), col("max_row").as("b_max_row")), Seq("b_min_row"))
+    val crossCand = rejoined.select(col("a_name").as("cand_name"),
         col("pair_conf").as("cand_conf"), col("b_max_row").as("partner_max_row"))
-      .union(pairs.select(col("b_name"), col("pair_conf"), col("a_max_row")))
+      .union(rejoined.select(col("b_name"), col("pair_conf"), col("a_max_row")))
       // exact O(pairs) -> O(names) reduction: for a (name, conf) only
       // the FURTHEST partner matters — `partner_max_row > row_order`
       // holds for some candidate iff it holds for the max. Collapses

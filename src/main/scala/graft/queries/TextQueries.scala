@@ -26,12 +26,22 @@ object TextQueries {
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
 
+  /** At test SF the documents table is a single small parquet split,
+    * so narrow transforms inherit ONE partition — fine for per-row
+    * projections, a serialization point for cpu-heavy array/hash
+    * work (shingling, md5 signature builds). Spread the scan first:
+    * the shuffle moves only the raw text (tiny), the expensive
+    * compute then runs cluster-wide. At production scale the scan
+    * has many splits already and this is shape-preserving. */
+  private def docsSpread(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).repartition(col("doc_id"))
+
   /** doc_id + distinct word-shingle set. Materialized once per
     * session: the self-joins downstream would otherwise recompute the
     * shingling 4× (this is the "LSH index build" step at scale). */
   private def withShingles(s: SparkSession, dir: String): DataFrame =
     graft.core.Memo.cached(s, s"text_shingles:$dir") {
-      docs(s, dir)
+      docsSpread(s, dir)
         .withColumn("w", TextOps.words(col("text")))
         .select(col("doc_id"), TextOps.shingles(col("w"), ShingleK).as("sh"))
     }
@@ -153,13 +163,19 @@ object TextQueries {
     "text_contamination" -> ((s, dir) => {
       val bucket = conv(substring(md5(concat(lit("split|"),
         col("doc_id").cast("string"))), 1, 4), 16, 10).cast("long")
-      val withSplit = docs(s, dir)
+      val withSplit = docsSpread(s, dir)
         .withColumn("split",
           when(bucket < (65536 * 0.90).toLong, "train")
             .when(bucket < (65536 * 0.95).toLong, "val")
             .otherwise("test"))
+      // per-doc array_distinct shrinks the gram table before the
+      // explode (the oracle's list_distinct — semantics unchanged:
+      // train output is distinct doc_ids, test side is distinct
+      // grams); the checkpoint makes both join sides read ONE gram
+      // materialization instead of re-running the explode each.
       val grams = withSplit.select(col("doc_id"), col("split"),
-        explode(TextOps.shingles(TextOps.words(col("text")), 4)).as("g"))
+        explode(array_distinct(TextOps.shingles(TextOps.words(col("text")), 4))).as("g"))
+        .localCheckpoint(true)
       grams.filter(col("split") === "train")
         .join(grams.filter(col("split") === "test").select("g").distinct(),
           Seq("g"), "left_semi")
