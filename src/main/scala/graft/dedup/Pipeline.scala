@@ -15,10 +15,22 @@ import org.apache.spark.sql.functions._
   *  - canonical tie-break = (count desc, length asc, base_name asc)
   *    (A.3)
   *
-  * Everything except the CC driver loop is a single Catalyst-optimized
-  * DAG. Name-level intermediates (stats, pairs, components,
-  * candidates) are tiny relative to the row table, so every join back
-  * to rows is AQE-broadcastable. */
+  * Name-level intermediates (stats, pairs, components, candidates)
+  * are tiny relative to the row table, so every join back to rows is
+  * AQE-broadcastable.
+  *
+  * Execution semantics: [[run]] is NOT fully lazy — the compact pair
+  * projection and the CC edge set are eagerly materialized via
+  * `localCheckpoint(true)` (the Jaro-Winkler pair join runs inside
+  * this call, once, before the caller acts on the result). Local
+  * checkpoints trade fault tolerance for lineage truncation: the
+  * blocks live on executors with no recompute path, so an executor
+  * loss between materialization and consumption fails the job instead
+  * of recomputing. On a single-JVM deployment (this harness) that is
+  * free; on a multi-executor cluster where mid-query executor loss
+  * must be survivable, switch to reliable `checkpoint()` with
+  * `spark.sparkContext.setCheckpointDir` on durable storage — same
+  * plan shape, one extra write. */
 object Pipeline {
 
   /** Typed row of the pipeline output — for callers who want

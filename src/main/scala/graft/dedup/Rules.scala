@@ -28,9 +28,23 @@ final case class DedupSettings(
       * O(|b|·w)); window <= 1 drops the block entirely (rows keep
       * singleton clusters). */
     hotBlockWindow: Int = 10) {
+  // The governor sizing aggregate collects the over-cap key list into
+  // one driver row, bounded by |distinct blocks| / cap — a degenerate
+  // cap (e.g. 1) would degrade that bound to every block key in a
+  // single row. Floor it so the list stays a small fraction of blocks
+  // (≤ |names|/8 keys — a few MB even at 100× customer scale).
+  maxBlockNames.foreach(cap => require(cap >= DedupSettings.MinBlockNamesCap,
+    s"maxBlockNames=$cap below sanity floor ${DedupSettings.MinBlockNamesCap}: " +
+      "the governor's hot-key list is bounded by |blocks|/cap rows on the driver"))
+
   /** Acronym rewrite map = defaults overridden by user entries
     * (engine.py:34-41). */
   def acronymMap: Map[String, String] = Rules.DefaultAcronyms ++ addMap
+}
+
+object DedupSettings {
+  /** Smallest accepted [[DedupSettings.maxBlockNames]] cap. */
+  val MinBlockNamesCap: Long = 8L
 }
 
 object Rules {

@@ -32,9 +32,14 @@ object TextQueries {
     * work (shingling, md5 signature builds). Spread the scan first:
     * the shuffle moves only the raw text (tiny), the expensive
     * compute then runs cluster-wide. At production scale the scan
-    * has many splits already and this is shape-preserving. */
-  private def docsSpread(s: SparkSession, dir: String): DataFrame =
-    docs(s, dir).repartition(col("doc_id"))
+    * already has ≥ one split per core, so the repartition is gated on
+    * the scan's split count — a 100 TB read never pays a gratuitous
+    * full-corpus shuffle just to reach a parallelism it already has. */
+  private def docsSpread(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    if (d.rdd.getNumPartitions >= s.sparkContext.defaultParallelism) d
+    else d.repartition(col("doc_id"))
+  }
 
   /** doc_id + distinct word-shingle set. Materialized once per
     * session: the self-joins downstream would otherwise recompute the
@@ -171,14 +176,19 @@ object TextQueries {
       // per-doc array_distinct shrinks the gram table before the
       // explode (the oracle's list_distinct — semantics unchanged:
       // train output is distinct doc_ids, test side is distinct
-      // grams); the checkpoint makes both join sides read ONE gram
-      // materialization instead of re-running the explode each.
-      val grams = withSplit.select(col("doc_id"), col("split"),
-        explode(array_distinct(TextOps.shingles(TextOps.words(col("text")), 4))).as("g"))
-        .localCheckpoint(true)
-      grams.filter(col("split") === "train")
-        .join(grams.filter(col("split") === "test").select("g").distinct(),
-          Seq("g"), "left_semi")
+      // grams). Only the TEST side — ~5% of docs, then gram-distinct —
+      // is materialized (checkpointing the full exploded gram table
+      // would write O(total 4-grams) rows, far larger than the corpus
+      // itself — the same pattern Pipeline rules out for pair rows);
+      // the train side streams its explode straight into the
+      // semi-join, which shuffles by gram and never compares docs
+      // pairwise.
+      def grams(split: org.apache.spark.sql.Column => org.apache.spark.sql.Column) =
+        withSplit.filter(split(col("split"))).select(col("doc_id"),
+          explode(array_distinct(TextOps.shingles(TextOps.words(col("text")), 4))).as("g"))
+      val testGrams = grams(_ === "test").select("g").distinct().localCheckpoint(true)
+      grams(_ === "train")
+        .join(testGrams, Seq("g"), "left_semi")
         .select("doc_id").distinct()
         .orderBy("doc_id")
     }),

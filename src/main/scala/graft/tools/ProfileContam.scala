@@ -1,7 +1,14 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
+
 import graft.ext.TextOps
 
-package graft.tools
+/** One-off profiling harness for the benchmark-decontamination path
+  * (gram explode vs checkpoint vs semi-join shapes). Not part of the
+  * library surface; kept for reproducing the round-2 measurements.
+  */
 object ProfileContam {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")
