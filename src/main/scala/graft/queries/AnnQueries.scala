@@ -72,6 +72,29 @@ object AnnQueries {
         .orderBy("vec_id")
     }),
 
+    // embedding-cosine near-dup DEDUP: sign-LSH candidate pairs above
+    // the cosine threshold become edges, connected components merge
+    // transitive near-dups, min vec_id elects the canonical vector.
+    // The full near-dup-removal composition for an embedding corpus:
+    // candidates are bucket-local (never all-pairs), CC runs on the
+    // tiny pair set, and the final join back to ids broadcasts — the
+    // same shape survives a 100 TB embedding table.
+    "ann_dedup_clusters" -> ((s, dir) => {
+      val p = prep(s, dir)
+      val edges = Ann.lshPairs(p, Planes, minCos = CosThreshold)
+        .select(col("a_id").as("src"), col("b_id").as("dst"))
+      val comps = graft.dedup.Cluster.connectedComponents(edges)
+        .withColumnRenamed("id", "vec_id")
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("cluster_id")
+      p.select(col("vec_id"))
+        .join(comps, Seq("vec_id"), "left")
+        .select(col("vec_id"),
+          coalesce(col("component"), col("vec_id")).as("cluster_id"))
+        .withColumn("cluster_size", count(lit(1)).over(w))
+        .withColumn("is_canonical", col("vec_id") === col("cluster_id"))
+        .orderBy("vec_id")
+    }),
+
     // IVF: probe the 2 nearest coarse partitions, exact top-k inside.
     "ann_ivf" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
@@ -156,6 +179,38 @@ object AnnQueries {
          |  ON a.bucket = b.bucket AND a.vec_id < b.vec_id
          |WHERE ${cosSql("a.v", "b.v", "a.nrm", "b.nrm")} >= 0.20
          |ORDER BY a_id, b_id""".stripMargin
+    },
+
+    "ann_dedup_clusters" -> {
+      val bucketTerms = Planes.zipWithIndex.map { case (p, j) =>
+        s"(CASE WHEN list_sum(list_transform(generate_series(1, len(v)), " +
+          s"i -> v[i] * (${planeLit(p)})[i])) > 0 THEN CAST(${1L << j} AS BIGINT) " +
+          s"ELSE CAST(0 AS BIGINT) END)"
+      }.mkString(" + ")
+      // same candidate semantics as ann_lsh_pairs; components via a
+      // recursive label-reachability closure (min reachable vec_id =
+      // the Spark side's min-label component id)
+      s"""WITH RECURSIVE ${prepCte.stripPrefix("WITH ")}, bucketed AS (
+         |  SELECT vec_id, v, nrm, ($bucketTerms) AS bucket FROM n
+         |), pairs AS (
+         |  SELECT a.vec_id AS a_id, b.vec_id AS b_id
+         |  FROM bucketed a JOIN bucketed b
+         |    ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+         |  WHERE ${cosSql("a.v", "b.v", "a.nrm", "b.nrm")} >= $CosThreshold
+         |), edges AS (
+         |  SELECT a_id AS src, b_id AS dst FROM pairs
+         |  UNION ALL SELECT b_id, a_id FROM pairs
+         |), reach(id, lbl) AS (
+         |  SELECT vec_id, vec_id FROM n
+         |  UNION
+         |  SELECT e2.dst, r.lbl FROM reach r JOIN edges e2 ON e2.src = r.id
+         |), cc AS (
+         |  SELECT id AS vec_id, min(lbl) AS cluster_id FROM reach GROUP BY id
+         |)
+         |SELECT vec_id, cluster_id,
+         |       count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+         |       vec_id = cluster_id AS is_canonical
+         |FROM cc ORDER BY vec_id""".stripMargin
     },
 
     "ann_ivf" ->
