@@ -25,12 +25,23 @@ object TextOps {
 
   /** All word k-grams in order (NOT deduped — repetition scoring
     * needs the multiplicity). Empty array when the doc has fewer than
-    * k words (guards sequence() against negative bounds). */
+    * k words (guards sequence() against negative bounds).
+    *
+    * The single-element outer transform is a let-binding: higher-order
+    * lambdas are interpreted (not codegen'd) and interpreted mode has
+    * no common-subexpression elimination, so a caller passing a
+    * computed `wordsCol` (e.g. `words(col)` = a regex split) would
+    * otherwise re-evaluate it on EVERY element access inside the
+    * lambda — measured 15× slower on the shingle path. Binding it as
+    * a lambda variable evaluates it exactly once per row no matter
+    * what expression the caller passes. */
   def ngrams(wordsCol: Column, k: Int): Column =
-    when(size(wordsCol) >= k,
-      transform(sequence(lit(0), size(wordsCol) - k),
-        i => concat_ws(" ", (0 until k).map(j => element_at(wordsCol, i + j + 1)): _*)))
-      .otherwise(array().cast("array<string>"))
+    transform(array(wordsCol), w =>
+      when(size(w) >= k,
+        transform(sequence(lit(0), size(w) - k),
+          i => array_join(slice(w, i + 1, lit(k)), " ")))
+        .otherwise(array().cast("array<string>")))
+      .getItem(0)
 
   /** Distinct word k-shingles ("a b c" strings). */
   def shingles(wordsCol: Column, k: Int): Column =

@@ -37,8 +37,13 @@ object TextQueries {
     * full-corpus shuffle just to reach a parallelism it already has. */
   private def docsSpread(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir)
-    if (d.rdd.getNumPartitions >= s.sparkContext.defaultParallelism) d
-    else d.repartition(col("doc_id"))
+    val target = s.sparkContext.defaultParallelism
+    // explicit partition count: a bare repartition(col) is an AQE
+    // coalescing target, and the post-shuffle byte size of the raw
+    // text is tiny — AQE would fold it back to ONE partition and
+    // serialize exactly the cpu-heavy compute the spread is for
+    if (d.rdd.getNumPartitions >= target) d
+    else d.repartition(target, col("doc_id"))
   }
 
   /** doc_id + distinct word-shingle set. Materialized once per

@@ -48,4 +48,21 @@ class EnrichmentSpec extends AnyFunSuite {
     assert(out(2).getAs[String]("industry") == "FINANCE") // BANK keyword
     assert(out(0).getAs[String]("industry") == "Diversified/Other")
   }
+
+  test("offline research: layered acronym + suffix/country rules") {
+    // 1. direct acronym hit
+    assert(OfflineVerifier.research("tcs") ===
+      Some(("TATA CONSULTANCY SERVICES", "acronym expansion of tcs")))
+    // 2. suffix + country canonicalization
+    assert(OfflineVerifier.research("ACME COMPONENTS PVT LTD INDIA") ===
+      Some(("ACME COMPONENTS", "legal-suffix/country canonicalization")))
+    // 3. acronym re-check after the strip
+    assert(OfflineVerifier.research("TCS LTD") ===
+      Some(("TATA CONSULTANCY SERVICES",
+        "acronym expansion of canonical base TCS")))
+    // abstains when no rule applies, or on strip-to-empty
+    assert(OfflineVerifier.research("UNKNOWN NAME") === None)
+    assert(OfflineVerifier.research("LTD") === None)
+    assert(OfflineVerifier.research("  ") === None)
+  }
 }
