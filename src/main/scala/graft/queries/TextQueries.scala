@@ -67,6 +67,35 @@ object TextQueries {
       }.drop("sh", "digests")
     }
 
+  /** Verified MinHash-LSH near-dup pairs (a_id, b_id, jaccard):
+    * band-bucket candidate equi-join over the cached signature index,
+    * then exact-Jaccard verification against the cached shingle sets.
+    * Shared by `text_lsh_pairs` (pair surface) and
+    * `text_neardup_clusters` (doc→cluster mapping). */
+  private def lshPairs(s: SparkSession, dir: String): DataFrame = {
+    val sigs = withSigs(s, dir)
+    val banded = sigs.select(col("doc_id") +: (0 until Bands).map(b =>
+      TextOps.bandKey(b, Seq(col(s"sig_${2 * b}"), col(s"sig_${2 * b + 1}")))
+        .as(s"band_$b")): _*)
+    val bandRows = banded.select(col("doc_id"), explode(array(
+      (0 until Bands).map(b => struct(lit(b).as("band"), col(s"band_$b").as("key"))): _*))
+      .as("bk"))
+      .select(col("doc_id"), col("bk.band"), col("bk.key"))
+    val cand = bandRows.as("a")
+      .join(bandRows.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .distinct()
+    val sh = withShingles(s, dir)
+    cand
+      .join(sh.select(col("doc_id").as("a_id"), col("sh").as("a_sh")), Seq("a_id"))
+      .join(sh.select(col("doc_id").as("b_id"), col("sh").as("b_sh")), Seq("b_id"))
+      .withColumn("jaccard", TextOps.jaccard(col("a_sh"), col("b_sh")))
+      .filter(col("jaccard") >= JaccardThreshold)
+      .select("a_id", "b_id", "jaccard")
+  }
+
   /** Materialize the session-shared Memo indexes (shingle sets, MinHash
     * signatures, SimHash signatures) so per-query bench numbers measure
     * the query, not cache-fill order. */
@@ -97,29 +126,29 @@ object TextQueries {
     // exact-Jaccard verification. The LSH join touches only bucket
     // collisions — at scale this is the difference between O(n²) and
     // O(candidates).
-    "text_lsh_pairs" -> ((s, dir) => {
-      val sigs = withSigs(s, dir)
-      val banded = sigs.select(col("doc_id") +: (0 until Bands).map(b =>
-        TextOps.bandKey(b, Seq(col(s"sig_${2 * b}"), col(s"sig_${2 * b + 1}")))
-          .as(s"band_$b")): _*)
-      val bandRows = banded.select(col("doc_id"), explode(array(
-        (0 until Bands).map(b => struct(lit(b).as("band"), col(s"band_$b").as("key"))): _*))
-        .as("bk"))
-        .select(col("doc_id"), col("bk.band"), col("bk.key"))
-      val cand = bandRows.as("a")
-        .join(bandRows.as("b"),
-          col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
-            col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
-        .distinct()
-      val sh = withShingles(s, dir)
-      cand
-        .join(sh.select(col("doc_id").as("a_id"), col("sh").as("a_sh")), Seq("a_id"))
-        .join(sh.select(col("doc_id").as("b_id"), col("sh").as("b_sh")), Seq("b_id"))
-        .withColumn("jaccard", TextOps.jaccard(col("a_sh"), col("b_sh")))
-        .filter(col("jaccard") >= JaccardThreshold)
-        .select("a_id", "b_id", "jaccard")
-        .orderBy("a_id", "b_id")
+    "text_lsh_pairs" -> ((s, dir) =>
+      lshPairs(s, dir).orderBy("a_id", "b_id")),
+
+    // near-dup DEDUP applied to documents: verified LSH pairs become
+    // edges, connected components merge transitive near-dup families,
+    // min doc_id elects the canonical doc — doc→cluster mapping a
+    // training pipeline consumes directly. Candidates stay
+    // bucket-local and CC runs on the tiny verified-pair set, so the
+    // shape survives a 100 TB corpus (see ann_dedup_clusters for the
+    // embedding-space counterpart).
+    "text_neardup_clusters" -> ((s, dir) => {
+      val edges = lshPairs(s, dir)
+        .select(col("a_id").as("src"), col("b_id").as("dst"))
+      val comps = graft.dedup.Cluster.connectedComponents(edges)
+        .withColumnRenamed("id", "doc_id")
+      val w = Window.partitionBy("cluster_id")
+      docs(s, dir).select(col("doc_id"))
+        .join(comps, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("component"), col("doc_id")).as("cluster_id"))
+        .withColumn("cluster_size", count(lit(1)).over(w))
+        .withColumn("is_canonical", col("doc_id") === col("cluster_id"))
+        .orderBy("doc_id")
     }),
 
     // dedup APPLIED: the canonical-only corpus (anti-join of exact
@@ -456,6 +485,38 @@ object TextQueries {
          |JOIN shcnt cb ON cb.doc_id = i.b_id
          |WHERE i.i / (ca.n + cb.n - i.i) >= $JaccardThreshold
          |ORDER BY a_id, b_id""".stripMargin,
+
+    "text_neardup_clusters" ->
+      s"""WITH RECURSIVE ${shingleCte.stripPrefix("WITH ")}, $bandsCte, cand AS (
+         |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+         |), inter AS (
+         |  SELECT c.a_id, c.b_id, count(*) AS i
+         |  FROM cand c
+         |  JOIN sh sa ON sa.doc_id = c.a_id
+         |  JOIN sh sb ON sb.doc_id = c.b_id AND sa.s = sb.s
+         |  GROUP BY 1, 2
+         |), pairs AS (
+         |  SELECT i.a_id, i.b_id
+         |  FROM inter i
+         |  JOIN shcnt ca ON ca.doc_id = i.a_id
+         |  JOIN shcnt cb ON cb.doc_id = i.b_id
+         |  WHERE i.i / (ca.n + cb.n - i.i) >= $JaccardThreshold
+         |), edges AS (
+         |  SELECT a_id AS src, b_id AS dst FROM pairs
+         |  UNION ALL SELECT b_id, a_id FROM pairs
+         |), reach(id, lbl) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id
+         |), cc AS (
+         |  SELECT id AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY id
+         |)
+         |SELECT doc_id, cluster_id,
+         |       count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+         |       doc_id = cluster_id AS is_canonical
+         |FROM cc ORDER BY doc_id""".stripMargin,
 
     "text_dedup_apply" ->
       """SELECT doc_id, lang, source, n_chars FROM (
