@@ -72,8 +72,11 @@ object TextQueries {
     * then exact-Jaccard verification against the cached shingle sets.
     * Shared by `text_lsh_pairs` (pair surface) and
     * `text_neardup_clusters` (doc→cluster mapping). */
-  private def lshPairs(s: SparkSession, dir: String): DataFrame = {
-    val sigs = withSigs(s, dir)
+  private def lshPairs(s: SparkSession, dir: String,
+      onlyDocs: Option[DataFrame] = None): DataFrame = {
+    val sigs0 = withSigs(s, dir)
+    val sigs = onlyDocs.fold(sigs0)(ids =>
+      sigs0.join(ids.select("doc_id"), Seq("doc_id"), "left_semi"))
     val banded = sigs.select(col("doc_id") +: (0 until Bands).map(b =>
       TextOps.bandKey(b, Seq(col(s"sig_${2 * b}"), col(s"sig_${2 * b + 1}")))
         .as(s"band_$b")): _*)
@@ -137,15 +140,33 @@ object TextQueries {
     // shape survives a 100 TB corpus (see ann_dedup_clusters for the
     // embedding-space counterpart).
     "text_neardup_clusters" -> ((s, dir) => {
-      val edges = lshPairs(s, dir)
+      // Exact-dedup pre-pass (the standard order at corpus scale:
+      // exact THEN near-dup): identical texts have identical shingle
+      // sets, signatures and band keys, so LSH over one representative
+      // per distinct content yields byte-identical clusters while
+      // collapsing the degenerate O(|copies|²) buckets exact
+      // duplicates would otherwise form. Shingle-less docs (fewer
+      // than ShingleK words) can never LSH-pair — even with identical
+      // content — so they keep per-doc "content" keys and stay
+      // singletons, exactly as the all-pairs semantics leaves them.
+      val hw = Window.partitionBy("h")
+      val byContent = docs(s, dir)
+        .select(col("doc_id"),
+          when(size(TextOps.words(col("text"))) >= ShingleK, md5(col("text")))
+            .otherwise(concat(lit("uniq|"), col("doc_id"))).as("h"))
+        .withColumn("rep_id", min(col("doc_id")).over(hw))
+        .select("doc_id", "rep_id")
+      val repIds = byContent.filter(col("doc_id") === col("rep_id"))
+        .select("doc_id")
+      val edges = lshPairs(s, dir, Some(repIds))
         .select(col("a_id").as("src"), col("b_id").as("dst"))
       val comps = graft.dedup.Cluster.connectedComponents(edges)
-        .withColumnRenamed("id", "doc_id")
+        .withColumnRenamed("id", "rep_id")
       val w = Window.partitionBy("cluster_id")
-      docs(s, dir).select(col("doc_id"))
-        .join(comps, Seq("doc_id"), "left")
+      byContent
+        .join(comps, Seq("rep_id"), "left")
         .select(col("doc_id"),
-          coalesce(col("component"), col("doc_id")).as("cluster_id"))
+          coalesce(col("component"), col("rep_id")).as("cluster_id"))
         .withColumn("cluster_size", count(lit(1)).over(w))
         .withColumn("is_canonical", col("doc_id") === col("cluster_id"))
         .orderBy("doc_id")
