@@ -216,6 +216,32 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // composed cleaning filter (C4-style): the keep/drop verdict a
+    // training pipeline applies before tokenization — length band,
+    // alphabetic ratio, stopword density, repetition cap — all pure
+    // per-row expressions (no shuffle; the orderBy is presentation
+    // only), so the filter streams over a 100 TB corpus at scan speed.
+    "text_filter_pipeline" -> ((s, dir) => {
+      val nChars = length(col("text")).cast("long")
+      val nAlpha = regexp_count(col("text"), lit("[A-Za-z]")).cast("long")
+      val nWords = size(TextOps.words(col("text"))).cast("long")
+      val nStops = regexp_count(lower(col("text")),
+        lit("\\b(the|a|of|and|in|to|is)\\b")).cast("long")
+      val dupFrac = round(when(size(col("g")) > 0,
+        lit(1.0) - size(array_distinct(col("g"))) / size(col("g")).cast("double"))
+        .otherwise(lit(0.0)), 6)
+      docs(s, dir)
+        .withColumn("g", TextOps.ngrams(TextOps.words(col("text")), 3))
+        .select(col("doc_id"),
+          (nWords >= 20 && nWords <= 5000).as("len_ok"),
+          ((nAlpha / nChars) >= 0.6).as("alpha_ok"),
+          ((nStops / nWords) >= 0.05).as("stop_ok"),
+          (dupFrac <= 0.05).as("rep_ok"))
+        .withColumn("keep",
+          col("len_ok") && col("alpha_ok") && col("stop_ok") && col("rep_ok"))
+        .orderBy("doc_id")
+    }),
+
     // benchmark decontamination: train-split docs sharing any exact
     // word 4-gram with a test-split doc. The overlap check is a
     // hash semi-join on the 4-gram string — shuffles by gram, never
@@ -552,6 +578,36 @@ object TextQueries {
          |       WHEN CAST(concat('0x', substr(md5('split|' || CAST(doc_id AS VARCHAR)), 1, 4)) AS INTEGER) < ${(65536 * 0.95).toLong} THEN 'val'
          |       ELSE 'test' END AS split
          |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "text_filter_pipeline" ->
+      """WITH w AS (
+        |  SELECT doc_id, text, string_split_regex(text, '\s+') AS ws FROM documents
+        |), g AS (
+        |  SELECT doc_id, text, ws,
+        |    CASE WHEN len(ws) >= 3 THEN
+        |      list_transform(generate_series(1, len(ws) - 2),
+        |        i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+        |    ELSE CAST([] AS VARCHAR[]) END AS g
+        |  FROM w
+        |), s AS (
+        |  SELECT doc_id,
+        |    len(ws) AS nw,
+        |    length(text) AS nc,
+        |    len(regexp_extract_all(text, '[A-Za-z]')) AS na,
+        |    len(regexp_extract_all(lower(text), '\b(the|a|of|and|in|to|is)\b')) AS ns,
+        |    round(CASE WHEN len(g) > 0
+        |      THEN 1.0 - len(list_distinct(g)) / CAST(len(g) AS DOUBLE)
+        |      ELSE 0.0 END, 6) AS dup_frac
+        |  FROM g
+        |)
+        |SELECT doc_id,
+        |  nw >= 20 AND nw <= 5000 AS len_ok,
+        |  na / nc >= 0.6 AS alpha_ok,
+        |  ns / nw >= 0.05 AS stop_ok,
+        |  dup_frac <= 0.05 AS rep_ok,
+        |  (nw >= 20 AND nw <= 5000) AND na / nc >= 0.6
+        |    AND ns / nw >= 0.05 AND dup_frac <= 0.05 AS keep
+        |FROM s ORDER BY doc_id""".stripMargin,
 
     "text_repetition" ->
       """WITH w AS (
