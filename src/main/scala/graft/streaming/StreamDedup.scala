@@ -1,7 +1,9 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, Trigger}
+import org.apache.spark.sql.Row
 
 /** Streaming exact deduplication — the continuous counterpart of the
   * batch `text_exact_dedup` hash-groupBy. State is bounded by the
@@ -18,4 +20,51 @@ object StreamDedup {
       .withColumn("content_hash", md5(col(textCol).cast("string")))
       .withWatermark(tsCol, delay)
       .dropDuplicatesWithinWatermark("content_hash")
+
+  /** Cross-RUN incremental dedup: drop records whose content hash
+    * exists in a persistent parquet index, emit the survivors through
+    * `sink`, and append their hashes to the index — so a restarted
+    * (or daily-batch) ingestion keeps deduplicating against
+    * everything it has ever shipped, which watermark-bounded state
+    * deliberately cannot (its state is O(window), this index is
+    * O(distinct history) ON DISK, not in executor memory).
+    *
+    * Scale shape: the per-batch anti-join shuffles by hash like any
+    * equi-join, and the index is just a parquet table — partition or
+    * bucket it by a hash prefix when history outgrows one directory
+    * listing. Delivery: foreachBatch's usual contract — `sink` must
+    * be idempotent on (batchId) for exactly-once output; the index
+    * append is safe against replays because re-appended hashes only
+    * create duplicates INSIDE the index, which the anti-join + the
+    * in-batch dropDuplicates tolerate.
+    *
+    * Returns the started query (memory/parquet/any sink decided by
+    * the caller inside `sink`). */
+  def incrementalDedup(stream: DataFrame, textCol: String, indexPath: String,
+      checkpoint: String)(sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    val writer: DataStreamWriter[Row] = stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val hashed = batch.withColumn("content_hash", md5(col(textCol).cast("string")))
+        val seen = readIndex(spark, indexPath)
+        val fresh = hashed
+          .join(seen, Seq("content_hash"), "left_anti")
+          .dropDuplicates("content_hash")
+          .localCheckpoint(true) // decouple sink + index writes from re-planning
+        sink(fresh.drop("content_hash"), batchId)
+        fresh.select("content_hash")
+          .write.mode("append").parquet(indexPath)
+      }
+    writer.start()
+  }
+
+  /** The hash index, or an empty frame before the first append. */
+  private def readIndex(spark: SparkSession, path: String): DataFrame =
+    if (new java.io.File(path).exists()) spark.read.parquet(path).select("content_hash")
+    else {
+      import spark.implicits._
+      Seq.empty[String].toDF("content_hash")
+    }
 }
