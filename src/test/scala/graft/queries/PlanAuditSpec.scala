@@ -38,6 +38,14 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), p.take(2000))
   }
 
+  test("filter pipeline is shuffle-free up to the presentation sort") {
+    assume(new java.io.File(s"$sfDir/documents.parquet").exists())
+    val p = plan("text_filter_pipeline")
+    // pure per-row expressions: the only Exchange allowed is the
+    // rangepartitioning for the final orderBy
+    assert(!p.contains("Exchange hashpartitioning"), p.take(2000))
+  }
+
   test("no declared query degenerates to a cartesian product") {
     assume(new java.io.File(s"$sfDir/lineitem.parquet").exists())
     // ann_threshold_pairs and ann_topk are DELIBERATE probe-set
