@@ -72,6 +72,22 @@ object AnnQueries {
         .orderBy("vec_id")
     }),
 
+    // RAG-style retrieval: top-k neighbors per probe, hydrated with
+    // document metadata (embeddings.vec_id aligns with
+    // documents.doc_id). The k×|probes| result side is tiny, so the
+    // metadata join broadcasts/AQE-shuffles like any small-to-big
+    // equi-join — the retrieval pattern a vector-augmented pipeline
+    // runs per batch.
+    "ann_doc_topk" -> ((s, dir) => {
+      val p = prep(s, dir)
+      val topk = Ann.bruteForceTopK(p.filter(col("vec_id") % QueryMod === 0), p, TopK)
+      val meta = Tables.documents(s, dir)
+        .select(col("doc_id").as("neighbor_id"), col("lang"), col("source"))
+      topk.join(meta, Seq("neighbor_id"))
+        .select("query_id", "rk", "neighbor_id", "cos", "lang", "source")
+        .orderBy("query_id", "rk")
+    }),
+
     // embedding-cosine near-dup DEDUP: sign-LSH candidate pairs above
     // the cosine threshold become edges, connected components merge
     // transitive near-dups, min vec_id elects the canonical vector.
@@ -180,6 +196,21 @@ object AnnQueries {
          |WHERE ${cosSql("a.v", "b.v", "a.nrm", "b.nrm")} >= 0.20
          |ORDER BY a_id, b_id""".stripMargin
     },
+
+    "ann_doc_topk" ->
+      s"""$prepCte, q AS (SELECT * FROM n WHERE vec_id % $QueryMod = 0),
+         |scored AS (
+         |  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+         |         ${cosSql("q.v", "n.v", "q.nrm", "n.nrm")} AS cos
+         |  FROM q JOIN n ON n.vec_id <> q.vec_id),
+         |topk AS (
+         |  SELECT query_id, rk, neighbor_id, cos FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id
+         |      ORDER BY cos DESC, neighbor_id ASC) AS rk
+         |    FROM scored) WHERE rk <= $TopK)
+         |SELECT query_id, rk, neighbor_id, cos, d.lang, d.source
+         |FROM topk JOIN documents d ON d.doc_id = topk.neighbor_id
+         |ORDER BY query_id, rk""".stripMargin,
 
     "ann_dedup_clusters" -> {
       val bucketTerms = Planes.zipWithIndex.map { case (p, j) =>

@@ -163,6 +163,22 @@ object RelationalQueries {
           col("revenue"), col("n"))
         .orderBy("status", "priority")),
 
+    // CUBE: all 2^k grouping combinations in ONE pass over the fact
+    // table (vs 4 separate scans at 100 TB); grouping indicators
+    // disambiguate the 'ALL' sentinel from a real value.
+    "rel_cube" -> ((s, dir) =>
+      Tables.orders(s, dir)
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(sum(dec(col("o_totalprice"))).cast("double").as("revenue"),
+          count(lit(1)).as("n"),
+          grouping(col("o_orderstatus")).cast("long").as("g_status"),
+          grouping(col("o_orderpriority")).cast("long").as("g_priority"))
+        .select(
+          coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+          col("g_status"), col("g_priority"), col("revenue"), col("n"))
+        .orderBy("g_status", "g_priority", "status", "priority")),
+
     // semi/anti joins: per nation, customers with vs without orders.
     "rel_customer_activity" -> ((s, dir) => {
       val c = Tables.customer(s, dir)
@@ -271,6 +287,17 @@ object RelationalQueries {
         |FROM orders
         |GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
         |ORDER BY status, priority""".stripMargin,
+
+    "rel_cube" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+        |       coalesce(o_orderpriority, 'ALL') AS priority,
+        |       CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
+        |       CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_priority,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |       count(*) AS n
+        |FROM orders
+        |GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY g_status, g_priority, status, priority""".stripMargin,
 
     "rel_customer_activity" ->
       """WITH active AS (
