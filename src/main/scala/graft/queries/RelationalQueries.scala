@@ -163,6 +163,27 @@ object RelationalQueries {
           col("revenue"), col("n"))
         .orderBy("status", "priority")),
 
+    // RANGE-frame window: trailing-7-day moving revenue over the
+    // daily aggregate. Two-level: the decimal day aggregation
+    // shrinks the fact table to one row per day FIRST, so the
+    // unpartitioned window sorts ~thousands of rows, not the fact
+    // table (at 100 TB add a coarse partition key — year — to the
+    // window if the day count itself grows unbounded). Decimal sums
+    // keep both the day and window totals order-independent.
+    "rel_moving_revenue" -> ((s, dir) => {
+      val daily = Tables.orders(s, dir)
+        .groupBy(to_date(col("o_orderdate")).as("d"))
+        .agg(sum(dec(col("o_totalprice"))).as("day_rev_dec"),
+          count(lit(1)).as("n_orders"))
+      val w = Window.orderBy(col("epoch_d")).rangeBetween(-6, 0)
+      daily
+        .withColumn("epoch_d", datediff(col("d"), lit("1970-01-01").cast("date")).cast("long"))
+        .withColumn("rev_7d", sum(col("day_rev_dec")).over(w).cast("double"))
+        .select(col("d"), col("day_rev_dec").cast("double").as("day_rev"),
+          col("n_orders"), col("rev_7d"))
+        .orderBy("d")
+    }),
+
     // CUBE: all 2^k grouping combinations in ONE pass over the fact
     // table (vs 4 separate scans at 100 TB); grouping indicators
     // disambiguate the 'ALL' sentinel from a real value.
@@ -287,6 +308,18 @@ object RelationalQueries {
         |FROM orders
         |GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
         |ORDER BY status, priority""".stripMargin,
+
+    "rel_moving_revenue" ->
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS d,
+        |         sum(CAST(o_totalprice AS DECIMAL(18,2))) AS day_rev_dec,
+        |         count(*) AS n_orders
+        |  FROM orders GROUP BY 1)
+        |SELECT d, CAST(day_rev_dec AS DOUBLE) AS day_rev, n_orders,
+        |       CAST(sum(day_rev_dec) OVER (ORDER BY d
+        |         RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW)
+        |         AS DOUBLE) AS rev_7d
+        |FROM daily ORDER BY d""".stripMargin,
 
     "rel_cube" ->
       """SELECT coalesce(o_orderstatus, 'ALL') AS status,
