@@ -132,6 +132,26 @@ object TextQueries {
     "text_lsh_pairs" -> ((s, dir) =>
       lshPairs(s, dir).orderBy("a_id", "b_id")),
 
+    // data-visible skew audit of the LSH band join (the text
+    // counterpart of dedup_governor): bucket-count distribution and
+    // the candidate-pair volume it implies. At 100 TB this one row
+    // is how an operator notices a degenerate band (shared boilerplate,
+    // exact-copy floods) BEFORE paying the candidate explosion.
+    "text_lsh_bucket_stats" -> ((s, dir) => {
+      val sigs = withSigs(s, dir)
+      val bandRows = sigs.select(col("doc_id"), explode(array(
+        (0 until Bands).map(b => struct(lit(b).as("band"),
+          TextOps.bandKey(b, Seq(col(s"sig_${2 * b}"), col(s"sig_${2 * b + 1}")))
+            .as("key"))): _*)).as("bk"))
+        .select(col("doc_id"), col("bk.band"), col("bk.key"))
+      bandRows.groupBy("band", "key").agg(count(lit(1)).as("n"))
+        .agg(
+          count(lit(1)).as("n_buckets"),
+          sum(when(col("n") === 1, 1L).otherwise(0L)).as("singleton_buckets"),
+          max(col("n")).as("max_bucket"),
+          sum(col("n") * (col("n") - 1) / 2).cast("long").as("candidate_pairs"))
+    }),
+
     // near-dup DEDUP applied to documents: verified LSH pairs become
     // edges, connected components merge transitive near-dup families,
     // min doc_id elects the canonical doc — doc→cluster mapping a
@@ -532,6 +552,17 @@ object TextQueries {
          |JOIN shcnt cb ON cb.doc_id = i.b_id
          |WHERE i.i / (ca.n + cb.n - i.i) >= $JaccardThreshold
          |ORDER BY a_id, b_id""".stripMargin,
+
+    "text_lsh_bucket_stats" ->
+      s"""$shingleCte, $bandsCte, bs AS (
+         |  SELECT band, key, count(*) AS n FROM bands GROUP BY 1, 2
+         |)
+         |SELECT count(*) AS n_buckets,
+         |       CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |         AS singleton_buckets,
+         |       max(n) AS max_bucket,
+         |       CAST(sum(n * (n - 1) / 2) AS BIGINT) AS candidate_pairs
+         |FROM bs""".stripMargin,
 
     "text_neardup_clusters" ->
       s"""WITH RECURSIVE ${shingleCte.stripPrefix("WITH ")}, $bandsCte, cand AS (
