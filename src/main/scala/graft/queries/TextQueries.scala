@@ -242,7 +242,12 @@ object TextQueries {
     // per-row expressions (no shuffle; the orderBy is presentation
     // only), so the filter streams over a 100 TB corpus at scan speed.
     "text_filter_pipeline" -> ((s, dir) => {
-      val nChars = length(col("text")).cast("long")
+      // nullif guards: an empty doc has n_chars = 0 and under ANSI
+      // mode (Spark 4 default) a long division by zero FAILS THE JOB
+      // — a 100 TB crawl always contains empty docs, so the ratios go
+      // through a null divisor (→ null) and every verdict coalesces
+      // to a drop instead of an error.
+      val nChars = nullif(length(col("text")).cast("long"), lit(0L))
       val nAlpha = regexp_count(col("text"), lit("[A-Za-z]")).cast("long")
       val nWords = size(TextOps.words(col("text"))).cast("long")
       val nStops = regexp_count(lower(col("text")),
@@ -253,10 +258,10 @@ object TextQueries {
       docs(s, dir)
         .withColumn("g", TextOps.ngrams(TextOps.words(col("text")), 3))
         .select(col("doc_id"),
-          (nWords >= 20 && nWords <= 5000).as("len_ok"),
-          ((nAlpha / nChars) >= 0.6).as("alpha_ok"),
-          ((nStops / nWords) >= 0.05).as("stop_ok"),
-          (dupFrac <= 0.05).as("rep_ok"))
+          coalesce(nWords >= 20 && nWords <= 5000, lit(false)).as("len_ok"),
+          coalesce((nAlpha / nChars) >= 0.6, lit(false)).as("alpha_ok"),
+          coalesce((nStops / nullif(nWords, lit(0L))) >= 0.05, lit(false)).as("stop_ok"),
+          coalesce(dupFrac <= 0.05, lit(false)).as("rep_ok"))
         .withColumn("keep",
           col("len_ok") && col("alpha_ok") && col("stop_ok") && col("rep_ok"))
         .orderBy("doc_id")
@@ -414,11 +419,16 @@ object TextQueries {
       val nWords = size(TextOps.words(col("text"))).cast("long")
       val nStops = regexp_count(lower(col("text")), lit("\\b(the|a|of|and|in|to|is)\\b"))
         .cast("long")
+      // null divisors (not zero): ANSI-mode long division by zero
+      // fails the job on the empty docs every real crawl contains;
+      // ratios are null for degenerate docs instead
+      val safeChars = nullif(nChars, lit(0L))
+      val safeWords = nullif(nWords, lit(0L))
       docs(s, dir).select(col("doc_id"), nChars.as("n_chars"),
         nWords.as("n_words"),
-        (nAlpha / nChars).as("alpha_ratio"),
-        (nStops / nWords).as("stop_ratio"),
-        ((nAlpha / nChars) * 0.5 + (nStops / nWords) * 0.5).as("quality_score"))
+        (nAlpha / safeChars).as("alpha_ratio"),
+        (nStops / safeWords).as("stop_ratio"),
+        ((nAlpha / safeChars) * 0.5 + (nStops / safeWords) * 0.5).as("quality_score"))
         .orderBy("doc_id")
     }),
 
@@ -632,12 +642,14 @@ object TextQueries {
         |  FROM g
         |)
         |SELECT doc_id,
-        |  nw >= 20 AND nw <= 5000 AS len_ok,
-        |  na / nc >= 0.6 AS alpha_ok,
-        |  ns / nw >= 0.05 AS stop_ok,
-        |  dup_frac <= 0.05 AS rep_ok,
-        |  (nw >= 20 AND nw <= 5000) AND na / nc >= 0.6
-        |    AND ns / nw >= 0.05 AND dup_frac <= 0.05 AS keep
+        |  coalesce(nw >= 20 AND nw <= 5000, false) AS len_ok,
+        |  coalesce(na / nullif(nc, 0) >= 0.6, false) AS alpha_ok,
+        |  coalesce(ns / nullif(nw, 0) >= 0.05, false) AS stop_ok,
+        |  coalesce(dup_frac <= 0.05, false) AS rep_ok,
+        |  coalesce(nw >= 20 AND nw <= 5000, false)
+        |    AND coalesce(na / nullif(nc, 0) >= 0.6, false)
+        |    AND coalesce(ns / nullif(nw, 0) >= 0.05, false)
+        |    AND coalesce(dup_frac <= 0.05, false) AS keep
         |FROM s ORDER BY doc_id""".stripMargin,
 
     "text_repetition" ->
@@ -770,10 +782,10 @@ object TextQueries {
     "text_quality" ->
       """SELECT doc_id, length(text) AS n_chars,
         |  len(string_split_regex(text, '\s+')) AS n_words,
-        |  len(regexp_extract_all(text, '[A-Za-z]')) / length(text) AS alpha_ratio,
+        |  len(regexp_extract_all(text, '[A-Za-z]')) / nullif(length(text), 0) AS alpha_ratio,
         |  len(regexp_extract_all(lower(text), '\b(the|a|of|and|in|to|is)\b'))
         |    / len(string_split_regex(text, '\s+')) AS stop_ratio,
-        |  (len(regexp_extract_all(text, '[A-Za-z]')) / length(text)) * 0.5 +
+        |  (len(regexp_extract_all(text, '[A-Za-z]')) / nullif(length(text), 0)) * 0.5 +
         |  (len(regexp_extract_all(lower(text), '\b(the|a|of|and|in|to|is)\b'))
         |    / len(string_split_regex(text, '\s+'))) * 0.5 AS quality_score
         |FROM documents ORDER BY doc_id""".stripMargin,
