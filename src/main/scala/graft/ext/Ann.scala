@@ -38,12 +38,19 @@ object Ann {
 
   /** (vec_id, v, nrm, u) projection of an embeddings table, with
     * u = v/||v|| precomputed once per vector so the O(pairs) join does
-    * only dot products. */
+    * only dot products.
+    *
+    * Zero-norm vectors (empty docs, padding rows — every large
+    * embedding table has some) normalize to the zero vector rather
+    * than dividing by zero, which under ANSI mode (Spark 4 default)
+    * would fail the whole job: cos(0⃗, ·) = 0, so they can never clear
+    * a similarity threshold and rank behind any positive match. */
   def prepared(emb: DataFrame, idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
     val v = toDouble(col(embCol))
     emb.select(col(idCol).as("vec_id"), v.as("v"))
       .withColumn("nrm", l2Norm(col("v")))
-      .withColumn("u", transform(col("v"), x => x / col("nrm")))
+      .withColumn("u", transform(col("v"),
+        x => x / when(col("nrm") === 0.0, lit(1.0)).otherwise(col("nrm"))))
   }
 
   /** Exact top-k cosine neighbors for each query vector. */

@@ -93,4 +93,18 @@ class AnnSpec extends AnyFunSuite {
     assert(perGroup.max <= 2 * mean,
       s"skewed pair groups: $perGroup (mean $mean)")
   }
+
+  test("zero-norm vectors normalize to zero instead of failing the job") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Seq(0.0f, 0.0f, 0.0f), 0),
+      (2L, Seq(3.0f, 0.0f, 4.0f), 0)).toDF("vec_id", "embedding", "label")
+    val p = Ann.prepared(df).orderBy("vec_id").collect()
+    // ANSI mode raises on x/0 — the zero vector must survive as 0⃗
+    assert(p(0).getSeq[Double](3) == Seq(0.0, 0.0, 0.0))
+    assert(p(1).getSeq[Double](3) == Seq(0.6, 0.0, 0.8))
+    // and it can never clear a similarity threshold
+    val pairs = Ann.lshPairs(Ann.prepared(df), Ann.hyperplanes(4, 3), minCos = 0.1)
+    assert(pairs.count() == 0)
+  }
 }
