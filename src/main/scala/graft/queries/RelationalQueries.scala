@@ -86,8 +86,10 @@ object RelationalQueries {
       Tables.orders(s, dir)
         .withColumn("cust_total",
           sum(dec(col("o_totalprice"))).over(byCust).cast("double"))
-        .withColumn("share",
-          round(col("o_totalprice") / col("cust_total"), 6))
+        .withColumn("share", // nullif: a zero customer total (all
+          // zero-price orders) must yield a null share, not an
+          // ANSI division-by-zero job failure
+          round(col("o_totalprice") / nullif(col("cust_total"), lit(0.0)), 6))
         .select("o_orderkey", "o_custkey", "o_totalprice", "cust_total", "share")
         .orderBy(col("share").desc, col("o_orderkey").asc)
         .limit(20)
@@ -252,8 +254,8 @@ object RelationalQueries {
         |  SELECT o_orderkey, o_custkey, o_totalprice,
         |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
         |      OVER (PARTITION BY o_custkey) AS DOUBLE) AS cust_total,
-        |    round(o_totalprice / CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
-        |      OVER (PARTITION BY o_custkey) AS DOUBLE), 6) AS share
+        |    round(o_totalprice / nullif(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+        |      OVER (PARTITION BY o_custkey) AS DOUBLE), 0), 6) AS share
         |  FROM orders)
         |ORDER BY share DESC, o_orderkey ASC LIMIT 20""".stripMargin,
 
