@@ -64,7 +64,15 @@ object Matching {
     // per pipeline invocation — ADVICE r2), local-checkpoint blocks
     // are released by the ContextCleaner when the frame becomes
     // unreferenced.
-    val stats = stats0.localCheckpoint(true)
+    qualifyingPairsPrepared(stats0.localCheckpoint(true), settings, salt)
+  }
+
+  /** [[qualifyingPairs]] for a caller that has ALREADY materialized
+    * the name index (avoids a second checkpoint job when the caller
+    * needs the index for its own sizing, e.g. Pipeline's driver
+    * fast-path gate). */
+  private[dedup] def qualifyingPairsPrepared(stats: DataFrame,
+      settings: DedupSettings = DedupSettings(), salt: Int = 0): DataFrame = {
     settings.maxBlockNames match {
       case Some(cap) =>
         // cost governor (default ON): over-cap blocks switch to the
@@ -106,6 +114,90 @@ object Matching {
   }
 
   private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /** Driver fast path for SMALL name indexes: computes the pair join,
+    * connected components, and the per-name confidence candidates in
+    * one driver pass over the collected index, replacing ~6 tiny
+    * Spark jobs (pair checkpoint, CC checkpoint/count/collect, sizing
+    * aggregate) whose fixed scheduling overhead dominates at test
+    * scale. Semantics are bit-identical to the distributed path: the
+    * SAME [[graft.functions.JaroWinklerAlgo.similarity]] doubles, the
+    * same predicate and confidence ladder, min-label components, and
+    * the same O(names) candidate reduction (max partner row per
+    * (name, conf)).
+    *
+    * Returns None — caller must use the distributed path — when the
+    * index exceeds `settings.driverFastPathNames`, any block exceeds
+    * the governor cap (the hot-block policy is a distributed
+    * concern), or the implied pair count exceeds `maxPairEstimate`
+    * (driver pairing is single-threaded; 2M pairs ≈ 1–2 s is the
+    * break-even against executor parallelism). */
+  private[dedup] def driverPairsAndCandidates(statsCk: DataFrame,
+      settings: DedupSettings = DedupSettings(), maxPairEstimate: Long = 2000000L)
+      : Option[(Seq[(Long, Long)], Seq[(String, Double, Long)])] = {
+    import org.apache.spark.unsafe.types.UTF8String
+    val limit = settings.driverFastPathNames
+    if (limit <= 0 || statsCk.count() > limit) return None
+    val rows = statsCk
+      .select("block_key", "base_name", "min_row", "max_row", "token_key").collect()
+    val byBlock = rows.groupBy(_.getString(0))
+    val pairEst = byBlock.valuesIterator
+      .map(b => b.length.toLong * (b.length - 1) / 2).sum
+    val underCap = settings.maxBlockNames
+      .forall(cap => byBlock.valuesIterator.forall(_.length <= cap))
+    if (pairEst > maxPairEstimate || !underCap) return None
+
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    val nodes = scala.collection.mutable.Set.empty[Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent(r)
+      var c = x
+      while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    def union(a: Long, b: Long): Unit = {
+      nodes += a; nodes += b
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val cand = scala.collection.mutable.Map.empty[(String, Double), Long]
+    def offer(name: String, conf: Double, partnerMax: Long): Unit = {
+      val k = (name, conf)
+      if (cand.getOrElse(k, Long.MinValue) < partnerMax) cand(k) = partnerMax
+    }
+    byBlock.valuesIterator.foreach { block =>
+      val ns = block.map(r =>
+        (r.getString(1), r.getLong(2), r.getLong(3), r.getString(4)))
+      var i = 0
+      while (i < ns.length) {
+        var j = i + 1
+        while (j < ns.length) {
+          val a = ns(i); val b = ns(j)
+          val ratio = graft.functions.JaroWinklerAlgo.similarity(
+            UTF8String.fromString(a._1), UTF8String.fromString(b._1))
+          val tok = a._4 == b._4
+          if ((tok && ratio >= settings.softThreshold) ||
+            ratio >= settings.hardThreshold) {
+            val conf =
+              if (tok && ratio >= 0.90) Rules.ConfTokenAndRatio
+              else if (ratio >= 0.90) Rules.ConfHardRatio
+              else if (ratio >= 0.85) Rules.ConfSoftRatio
+              else Rules.ConfDefault
+            union(a._2, b._2)
+            offer(a._1, conf, b._3)
+            offer(b._1, conf, a._3)
+          }
+          j += 1
+        }
+        i += 1
+      }
+    }
+    // min-label component per edge-connected node (same contract as
+    // Cluster.connectedComponents: nodes without edges are absent)
+    val comps = nodes.iterator.map(n => (n, find(n))).toSeq
+    Some((comps, cand.iterator.map { case ((n, c), m) => (n, c, m) }.toSeq))
+  }
 
   /** Data-visible cost-governor report (ADVICE r2: divergence from
     * exact reference semantics should be observable in data, not only

@@ -64,7 +64,11 @@ object Pipeline {
     val derived = Normalize.withDerived(df, nameCol, rowOrderCol, settings)
       .select("row_order", "original_name", "normalized_name", "base_name", "block_key")
 
-    val stats = Matching.nameStats(derived)
+    val spark = df.sparkSession
+    // Name index materialized ONCE; every branch below (fast-path
+    // sizing, pair join sides, row-level joins) reads the blocks.
+    val stats = Matching.nameStats(derived).localCheckpoint(true)
+
     // The pair join (the Jaro-Winkler work) has two consumers — the
     // CC edge set and the confidence candidates. Materializing the
     // full pair rows is off the table (a dense block makes them tens
@@ -76,17 +80,50 @@ object Pipeline {
     // bytes/pair — and recover the name-level fields by joining back
     // to `stats` on min_row, which uniquely identifies a distinct
     // name (each row belongs to exactly one (block_key, base_name)
-    // group, so group minima never collide).
-    val pairsCompact = Matching.qualifyingPairs(stats, settings)
-      .select(col("a_min_row"), col("b_min_row"), col("pair_conf"))
-      .localCheckpoint(true)
+    // group, so group minima never collide). Small name indexes skip
+    // all of it: Matching.driverPairsAndCandidates computes the same
+    // (components, candidates) in one driver pass — bit-identical
+    // results, ~6 fewer jobs (the Cluster.localEdgeCC philosophy
+    // applied to the whole name-level stage).
+    val (comps, crossCand) =
+      Matching.driverPairsAndCandidates(stats, settings) match {
+        case Some((compsLocal, candLocal)) =>
+          import spark.implicits._
+          (compsLocal.toDF("id", "component"),
+            candLocal.toDF("cand_name", "cand_conf", "partner_max_row"))
+        case None =>
+          val pairsCompact = Matching.qualifyingPairsPrepared(stats, settings)
+            .select(col("a_min_row"), col("b_min_row"), col("pair_conf"))
+            .localCheckpoint(true)
+          // --- C1 (distributed): node id = the name's min_row, so a
+          // component id IS min(row_order) in-cluster.
+          val edges = pairsCompact
+            .select(col("a_min_row").as("src"), col("b_min_row").as("dst"))
+          val compsDist = Cluster.connectedComponents(edges)
+          // name fields recovered from the compact checkpoint: AQE
+          // turns both min_row joins into broadcasts (the name index
+          // is tiny relative to pairs), so this costs two map-side
+          // probes of already-computed conf rows, not a second
+          // similarity join.
+          val nameByMin = stats.select(col("min_row"), col("base_name"), col("max_row"))
+          val rejoined = pairsCompact
+            .join(nameByMin.select(col("min_row").as("a_min_row"),
+              col("base_name").as("a_name"), col("max_row").as("a_max_row")), Seq("a_min_row"))
+            .join(nameByMin.select(col("min_row").as("b_min_row"),
+              col("base_name").as("b_name"), col("max_row").as("b_max_row")), Seq("b_min_row"))
+          val crossDist = rejoined.select(col("a_name").as("cand_name"),
+              col("pair_conf").as("cand_conf"), col("b_max_row").as("partner_max_row"))
+            .union(rejoined.select(col("b_name"), col("pair_conf"), col("a_max_row")))
+            // exact O(pairs) -> O(names) reduction: for a (name, conf)
+            // only the FURTHEST partner matters — `partner_max_row >
+            // row_order` holds for some candidate iff it holds for the
+            // max. Collapses the candidate join input from |pairs|·2
+            // to ≤ 3 rows per name.
+            .groupBy("cand_name", "cand_conf")
+            .agg(max(col("partner_max_row")).as("partner_max_row"))
+          (compsDist, crossDist)
+      }
 
-    // --- C1: components over the distinct-name graph; node id = the
-    // name's min_row, so a component id IS min(row_order) in-cluster.
-    // (connectedComponents eagerly checkpoints the compact
-    // (long, long) edge set internally.)
-    val edges = pairsCompact.select(col("a_min_row").as("src"), col("b_min_row").as("dst"))
-    val comps = Cluster.connectedComponents(edges)
     val nameCluster = stats
       .join(comps.withColumnRenamed("id", "min_row"), Seq("min_row"), "left")
       .select(col("base_name"),
@@ -98,25 +135,6 @@ object Pipeline {
       .select(col("base_name").as("cand_name"),
         lit(Rules.ConfTokenAndRatio).as("cand_conf"),
         col("max_row").as("partner_max_row"))
-    // name fields recovered from the compact checkpoint: AQE turns
-    // both min_row joins into broadcasts (the name index is tiny
-    // relative to pairs), so this costs two map-side probes of
-    // already-computed conf rows, not a second similarity join.
-    val nameByMin = stats.select(col("min_row"), col("base_name"), col("max_row"))
-    val rejoined = pairsCompact
-      .join(nameByMin.select(col("min_row").as("a_min_row"),
-        col("base_name").as("a_name"), col("max_row").as("a_max_row")), Seq("a_min_row"))
-      .join(nameByMin.select(col("min_row").as("b_min_row"),
-        col("base_name").as("b_name"), col("max_row").as("b_max_row")), Seq("b_min_row"))
-    val crossCand = rejoined.select(col("a_name").as("cand_name"),
-        col("pair_conf").as("cand_conf"), col("b_max_row").as("partner_max_row"))
-      .union(rejoined.select(col("b_name"), col("pair_conf"), col("a_max_row")))
-      // exact O(pairs) -> O(names) reduction: for a (name, conf) only
-      // the FURTHEST partner matters — `partner_max_row > row_order`
-      // holds for some candidate iff it holds for the max. Collapses
-      // the candidate join input from |pairs|·2 to ≤ 3 rows per name.
-      .groupBy("cand_name", "cand_conf")
-      .agg(max(col("partner_max_row")).as("partner_max_row"))
     val candidates = selfCand.union(crossCand)
 
     val withConf = derived

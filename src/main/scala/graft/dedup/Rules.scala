@@ -27,7 +27,13 @@ final case class DedupSettings(
       * its `window - 1` sorted successors (sorted-neighborhood,
       * O(|b|·w)); window <= 1 drops the block entirely (rows keep
       * singleton clusters). */
-    hotBlockWindow: Int = 10) {
+    hotBlockWindow: Int = 10,
+    /** Driver fast path gate (execution knob, not semantics): name
+      * indexes at most this large — with a bounded implied pair count
+      * — run pairing + components + candidates on the driver instead
+      * of ~6 tiny distributed jobs (Matching.driverPairsAndCandidates;
+      * results are bit-identical). 0 disables. */
+    driverFastPathNames: Long = 4096L) {
   // The governor sizing aggregate collects the over-cap key list into
   // one driver row, bounded by |distinct blocks| / cap — a degenerate
   // cap (e.g. 1) would degrade that bound to every block key in a

@@ -75,4 +75,22 @@ class PipelineSpec extends AnyFunSuite {
     val review = Outputs.review(fullDf).collect().map(_.getLong(0)).toSeq
     assert(review == Seq(0L, 2L))
   }
+
+  test("driver fast path and distributed path agree bit-for-bit") {
+    import spark.implicits._
+    // 60 names engineered for near-dup structure: shared stems with
+    // typos (soft/hard matches), duplicated rows, empty names, and
+    // multi-block spread
+    val stems = Seq("GLOBEX CORP", "GLOBEX CORPS", "INITECH LTD", "INITECH INC",
+      "ACME WIDGETS", "ACME WIDGET", "UMBRELLA PHARMA", "UMBRELA PHARMA",
+      "STARK INDUSTRIES", "STARK INDUSTRIE", "WAYNE ENTERPRISES", "")
+    val rows = (0 until 60).map { i =>
+      (i.toLong, stems(i % stems.length) + (if (i % 5 == 0) "" else s" ${i % 3}"))
+    }
+    val df = rows.toDF("id", "nm")
+    val fast = Pipeline.run(df, "nm", "id").orderBy("row_order").collect()
+    val dist = Pipeline.run(df, "nm", "id",
+      DedupSettings(driverFastPathNames = 0L)).orderBy("row_order").collect()
+    assert(fast.length == 60 && fast.toSeq == dist.toSeq)
+  }
 }
