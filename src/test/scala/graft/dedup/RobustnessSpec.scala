@@ -68,4 +68,24 @@ class RobustnessSpec extends AnyFunSuite {
         s"foldSubsidiaries not a fixpoint on '${r.getAs[String]("name")}'")
     }
   }
+
+  test("driver fast path == distributed pipeline on random corpora (3 seeds)") {
+    import spark.implicits._
+    val tokens = Seq("ACME", "GLOBAL", "WIDGET", "WIDGETS", "INITECH",
+      "INITEC", "UMBRELLA", "UMBRELA", "SYSTEMS", "SISTEMS", "LTD",
+      "PVT LTD", "INC", "INDIA", "&", "9")
+    for (seed <- Seq(7, 21, 99)) {
+      val rnd = new scala.util.Random(seed)
+      val names = (0 until 150).map { i =>
+        (i.toLong,
+          (0 until (1 + rnd.nextInt(4)))
+            .map(_ => tokens(rnd.nextInt(tokens.size))).mkString(" "))
+      }
+      val df = names.toDF("id", "name")
+      val fast = Pipeline.run(df, "name", "id").orderBy("row_order").collect()
+      val dist = Pipeline.run(df, "name", "id",
+        DedupSettings(driverFastPathNames = 0L)).orderBy("row_order").collect()
+      assert(fast.toSeq == dist.toSeq, s"paths diverge for seed $seed")
+    }
+  }
 }
