@@ -236,6 +236,41 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // sequence packing (training-batch assembly): assign docs to
+    // fixed token-budget packs via an exclusive running token sum.
+    // The window is PER SOURCE shard — a global cumsum would
+    // serialize 100 TB through one partition; per-shard packing is
+    // what a real pipeline does anyway (packs never mix shards).
+    "text_pack_assign" -> ((s, dir) => {
+      val budget = 512L
+      val w = Window.partitionBy("source").orderBy("doc_id")
+      docs(s, dir)
+        .select(col("doc_id"), col("source"),
+          size(TextOps.words(col("text"))).cast("long").as("n_tokens"))
+        .withColumn("cum_excl",
+          coalesce(sum(col("n_tokens")).over(
+            w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .withColumn("pack_id", floor(col("cum_excl") / budget).cast("long"))
+        .select("doc_id", "source", "n_tokens", "pack_id")
+        .orderBy("doc_id")
+    }),
+
+    // stratified mixture sampling: deterministic md5-bucketed keep
+    // decision with a per-language rate — the data-mixing/reweighting
+    // step of corpus assembly, reproducible across engines, runs and
+    // partitionings (no rand()).
+    "text_sample_stratified" -> ((s, dir) => {
+      val bucket = conv(substring(md5(concat(lit("mix|"),
+        col("doc_id").cast("string"))), 1, 4), 16, 10).cast("long")
+      val rate = when(col("lang") === "en", lit(1.0))
+        .when(col("lang") === "zh", lit(0.25))
+        .otherwise(lit(0.5))
+      docs(s, dir)
+        .select(col("doc_id"), col("lang"), bucket.as("bucket"),
+          (bucket < rate * 65536).as("keep"))
+        .orderBy("doc_id")
+    }),
+
     // composed cleaning filter (C4-style): the keep/drop verdict a
     // training pipeline applies before tokenization — length band,
     // alphabetic ratio, stopword density, repetition cap — all pure
@@ -619,6 +654,29 @@ object TextQueries {
          |       WHEN CAST(concat('0x', substr(md5('split|' || CAST(doc_id AS VARCHAR)), 1, 4)) AS INTEGER) < ${(65536 * 0.95).toLong} THEN 'val'
          |       ELSE 'test' END AS split
          |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "text_pack_assign" ->
+      """SELECT doc_id, source, n_tokens,
+        |  CAST(coalesce(sum(n_tokens) OVER (PARTITION BY source
+        |    ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    // 512 AS BIGINT) AS pack_id
+        |FROM (
+        |  SELECT doc_id, source,
+        |    len(string_split_regex(text, '\s+')) AS n_tokens
+        |  FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+
+    "text_sample_stratified" ->
+      """SELECT doc_id, lang, bucket,
+        |  bucket < CASE WHEN lang = 'en' THEN 1.0
+        |                WHEN lang = 'zh' THEN 0.25
+        |                ELSE 0.5 END * 65536 AS keep
+        |FROM (
+        |  SELECT doc_id, lang,
+        |    CAST(CAST(concat('0x', substr(md5('mix|' || CAST(doc_id AS VARCHAR)), 1, 4))
+        |      AS INTEGER) AS BIGINT) AS bucket
+        |  FROM documents)
+        |ORDER BY doc_id""".stripMargin,
 
     "text_filter_pipeline" ->
       """WITH w AS (
