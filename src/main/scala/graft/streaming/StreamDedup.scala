@@ -60,11 +60,18 @@ object StreamDedup {
     writer.start()
   }
 
-  /** The hash index, or an empty frame before the first append. */
-  private def readIndex(spark: SparkSession, path: String): DataFrame =
-    if (new java.io.File(path).exists()) spark.read.parquet(path).select("content_hash")
+  /** The hash index, or an empty frame before the first append.
+    * Existence is probed through the path's own Hadoop FileSystem —
+    * a local File check would silently report "missing" for every
+    * HDFS/S3 index path and break dedup on exactly the deployments
+    * that need it. */
+  private def readIndex(spark: SparkSession, path: String): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) spark.read.parquet(path).select("content_hash")
     else {
       import spark.implicits._
       Seq.empty[String].toDF("content_hash")
     }
+  }
 }
