@@ -10,11 +10,13 @@ import org.apache.spark.sql.functions._
   * `mapPartitions` pass over typed records, amortizing
   * per-partition setup such as a decoder handle).
   *
-  * The actual media decode is STUBBED — this container has no
-  * image/audio codecs — behind [[Decoder]]; `FakeDecoder` is a
-  * deterministic stand-in so the Spark-side plumbing (schema, batch
-  * shape, partitioning) is real and testable end-to-end. Swap in a
-  * JNI/library-backed Decoder for production. */
+  * Decode backends, behind [[Decoder]]: [[ImageIoDecoder]] REALLY
+  * decodes images via the JDK's `javax.imageio` readers (PNG, BMP,
+  * GIF, JPEG — no external codecs needed); `FakeDecoder` is a
+  * deterministic md5-derived stand-in for modalities this container
+  * has no codecs for (audio/video), keeping the plumbing (schema,
+  * batch shape, partitioning) testable end-to-end. Swap in a
+  * JNI/library-backed Decoder for those in production. */
 object Multimodal {
 
   /** An opaque media payload + metadata, as read from a lakehouse
@@ -43,6 +45,63 @@ object Multimodal {
         ((b0 << 8 | b1).toFloat / 65535.0f) * 2.0f - 1.0f
       }.toArray
     }
+  }
+
+  /** REAL image decode via `javax.imageio` (JDK-native readers: PNG,
+    * BMP, GIF, JPEG — no external codecs needed). Features are
+    * [width, height, meanR, meanG, meanB, meanLuma(BT.601), aspect,
+    * nPixels]: dimensions plus per-channel means over genuinely
+    * decoded pixels. Deterministic per byte-content (PNG/BMP/GIF are
+    * lossless decodes); an undecodable payload fails loudly rather
+    * than producing silent garbage features. */
+  object ImageIoDecoder extends Decoder {
+    def features(modality: String, payload: Array[Byte]): Array[Float] = {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      require(img != null, s"undecodable image payload ($modality, ${payload.length} bytes)")
+      val w = img.getWidth
+      val h = img.getHeight
+      var sr = 0L; var sg = 0L; var sb = 0L
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          sr += (rgb >> 16) & 0xff
+          sg += (rgb >> 8) & 0xff
+          sb += rgb & 0xff
+          x += 1
+        }
+        y += 1
+      }
+      val n = (w.toLong * h).toFloat
+      Array(w.toFloat, h.toFloat, sr / n, sg / n, sb / n,
+        (0.299f * (sr / n) + 0.587f * (sg / n) + 0.114f * (sb / n)),
+        w.toFloat / h, n)
+    }
+  }
+
+  /** Deterministic synthetic PNG payload for id `id`: a solid-color
+    * image whose dimensions and RGB derive arithmetically from the
+    * id, round-tripped through a REAL PNG encode. Decoding it with
+    * [[ImageIoDecoder]] must recover exactly (width, height,
+    * id%256, (id*7)%256, (id*13)%256) — which a SQL oracle can
+    * compute from the id without decoding anything. */
+  def syntheticPng(id: Long): Array[Byte] = {
+    val w = 8 + (id % 8).toInt
+    val h = 8
+    val rgb = ((id % 256).toInt << 16) | (((id * 7) % 256).toInt << 8) |
+      ((id * 13) % 256).toInt
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { img.setRGB(x, y, rgb); x += 1 }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
   }
 
   /** The partition-wise decode stage. One Decoder instance per

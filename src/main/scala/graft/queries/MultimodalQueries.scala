@@ -27,6 +27,31 @@ object MultimodalQueries {
         .orderBy("media_id")
     }),
 
+    // REAL image decode end-to-end: deterministic solid-color PNGs
+    // (dimensions + RGB derived from doc_id) are encoded in one
+    // partition-wise stage and decoded by the javax.imageio-backed
+    // ImageIoDecoder in the next — the same extractFeatures stage as
+    // mm_features, but over genuinely decoded pixels. Because the
+    // images are solid, the per-channel means are exactly the source
+    // bytes, so the DuckDB twin recomputes every output column from
+    // doc_id arithmetic without decoding anything.
+    "mm_decode" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      import s.implicits._
+      val media = Tables.documents(s, dir)
+        .select(col("doc_id").cast("long")).as[Long]
+        .mapPartitions(_.map(id =>
+          Multimodal.MediaRecord(id, "image/png", Multimodal.syntheticPng(id))))
+      val feats = Multimodal.extractFeatures(media, Multimodal.ImageIoDecoder).toDF()
+      feats.select(col("media_id"),
+        element_at(col("feature"), 1).cast("long").as("width"),
+        element_at(col("feature"), 2).cast("long").as("height"),
+        round(element_at(col("feature"), 3)).cast("long").as("mean_r"),
+        round(element_at(col("feature"), 4)).cast("long").as("mean_g"),
+        round(element_at(col("feature"), 5)).cast("long").as("mean_b"))
+        .orderBy("media_id")
+    }),
+
     // frame sampling: each payload fans out to 4 byte-slice "frames"
     // via the flatMap stage (video frame-extraction plumbing).
     "mm_frames" -> ((s, dir) => {
@@ -48,6 +73,17 @@ object MultimodalQueries {
          |  md5(text) AS content_hash, $ks
          |FROM documents ORDER BY media_id""".stripMargin
     },
+
+    // the twin never decodes: solid-color construction makes every
+    // decoded statistic a pure function of doc_id.
+    "mm_decode" ->
+      """SELECT doc_id AS media_id,
+        |  CAST(8 + doc_id % 8 AS BIGINT) AS width,
+        |  CAST(8 AS BIGINT) AS height,
+        |  CAST(doc_id % 256 AS BIGINT) AS mean_r,
+        |  CAST((doc_id * 7) % 256 AS BIGINT) AS mean_g,
+        |  CAST((doc_id * 13) % 256 AS BIGINT) AS mean_b
+        |FROM documents ORDER BY media_id""".stripMargin,
 
     "mm_frames" ->
       """WITH f AS (

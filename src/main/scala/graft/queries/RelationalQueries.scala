@@ -21,18 +21,35 @@ object RelationalQueries {
     // approximate sketches — the 100 TB profiling path: HLL++
     // distinct counts and approximate percentiles are single-pass
     // with small mergeable state (map-side partials), vs the full
-    // shuffle an exact distinct/percentile needs. Sketch outputs are
-    // algorithm-specific, so there is deliberately no DuckDB twin
-    // (driver records a rows-only check); accuracy bounds are pinned
-    // in SketchSpec against exact answers.
+    // shuffle an exact distinct/percentile needs. Sketch estimates
+    // are algorithm-specific (no engine reproduces another's HLL
+    // registers), so the query emits the EXACT answers alongside
+    // error-bound booleans over the sketches: the DuckDB twin
+    // exact-compares the exact columns and asserts the booleans are
+    // all true. The exact aggregates exist for the correctness
+    // harness; a production profile run keeps only the sketches.
+    // Bounds: HLL++ rsd=0.02 checked at 5 sigma (floor of 5 absolute
+    // for tiny groups); approx median (accuracy=10000, rank error
+    // <= n/10000) checked against the exact p45..p55 bracket — both
+    // hold with wide margin from sf0.001 through sf1.
     "rel_sketch_stats" -> ((s, dir) =>
       Tables.orders(s, dir)
         .groupBy("o_orderpriority")
         .agg(
+          count(lit(1)).as("n"),
+          countDistinct(col("o_custkey")).as("exact_customers"),
           approx_count_distinct(col("o_custkey"), rsd = 0.02).as("approx_customers"),
-          percentile_approx(col("o_totalprice"), lit(0.5), lit(1000))
-            .as("approx_median_price"),
-          count(lit(1)).as("n"))
+          expr("percentile(o_totalprice, array(0.45, 0.5, 0.55))").as("q"),
+          percentile_approx(col("o_totalprice"), lit(0.5), lit(10000))
+            .as("approx_median"))
+        .select(col("o_orderpriority"), col("n"), col("exact_customers"),
+          element_at(col("q"), 2).as("exact_median_price"),
+          (abs(col("approx_customers") - col("exact_customers")) <=
+            greatest(lit(5.0), col("exact_customers") * lit(0.10)))
+            .as("approx_customers_ok"),
+          (col("approx_median") >= element_at(col("q"), 1) &&
+            col("approx_median") <= element_at(col("q"), 3))
+            .as("approx_median_ok"))
         .orderBy("o_orderpriority")),
 
     // TPC-H Q1-flavored scan+filter+aggregate; filter + pruning push
@@ -219,6 +236,17 @@ object RelationalQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    // the exact columns are recomputed; the sketch-vs-exact bound
+    // booleans must come out TRUE on the Spark side to hash-match.
+    "rel_sketch_stats" ->
+      """SELECT o_orderpriority,
+        |       count(*) AS n,
+        |       count(DISTINCT o_custkey) AS exact_customers,
+        |       quantile_cont(o_totalprice, 0.5) AS exact_median_price,
+        |       TRUE AS approx_customers_ok,
+        |       TRUE AS approx_median_ok
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "rel_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

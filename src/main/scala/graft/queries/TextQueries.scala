@@ -238,20 +238,31 @@ object TextQueries {
 
     // sequence packing (training-batch assembly): assign docs to
     // fixed token-budget packs via an exclusive running token sum.
-    // The window is PER SOURCE shard — a global cumsum would
-    // serialize 100 TB through one partition; per-shard packing is
-    // what a real pipeline does anyway (packs never mix shards).
+    // The window is PER (source, shard): `source` alone is
+    // low-cardinality, so at 100 TB every source's doc stream would
+    // serialize its cumulative sum through ONE partition. The shard
+    // is a deterministic md5 bucket of doc_id (same idiom as
+    // text_sample_stratified — reproducible across engines, runs and
+    // partitionings, no rand()), so window-key cardinality scales
+    // with the shard count, not the source count. Packs never mix
+    // (source, shard) streams, which is what a real pipeline does
+    // anyway — packs are a batching artifact, not a semantic group.
     "text_pack_assign" -> ((s, dir) => {
       val budget = 512L
-      val w = Window.partitionBy("source").orderBy("doc_id")
+      val shards = 16 // at 100 TB raise to O(cluster cores); any
+      // value keeps per-shard packing exact and deterministic
+      val shard = (conv(substring(md5(concat(lit("pack|"),
+        col("doc_id").cast("string"))), 1, 4), 16, 10).cast("long") % shards)
+      val w = Window.partitionBy("source", "shard").orderBy("doc_id")
       docs(s, dir)
         .select(col("doc_id"), col("source"),
           size(TextOps.words(col("text"))).cast("long").as("n_tokens"))
+        .withColumn("shard", shard)
         .withColumn("cum_excl",
           coalesce(sum(col("n_tokens")).over(
             w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
         .withColumn("pack_id", floor(col("cum_excl") / budget).cast("long"))
-        .select("doc_id", "source", "n_tokens", "pack_id")
+        .select("doc_id", "source", "shard", "n_tokens", "pack_id")
         .orderBy("doc_id")
     }),
 
@@ -656,12 +667,14 @@ object TextQueries {
          |FROM documents ORDER BY doc_id""".stripMargin,
 
     "text_pack_assign" ->
-      """SELECT doc_id, source, n_tokens,
-        |  CAST(coalesce(sum(n_tokens) OVER (PARTITION BY source
+      """SELECT doc_id, source, shard, n_tokens,
+        |  CAST(coalesce(sum(n_tokens) OVER (PARTITION BY source, shard
         |    ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
         |    // 512 AS BIGINT) AS pack_id
         |FROM (
         |  SELECT doc_id, source,
+        |    CAST(CAST(concat('0x', substr(md5('pack|' || CAST(doc_id AS VARCHAR)), 1, 4))
+        |      AS INTEGER) % 16 AS BIGINT) AS shard,
         |    len(string_split_regex(text, '\s+')) AS n_tokens
         |  FROM documents)
         |ORDER BY doc_id""".stripMargin,

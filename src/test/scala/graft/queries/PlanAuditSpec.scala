@@ -46,6 +46,48 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("Exchange hashpartitioning"), p.take(2000))
   }
 
+  test("bucketed layout: co-located join plans without an Exchange and prunes buckets") {
+    // Bucketed.scala's two scale claims, pinned as plan assertions so
+    // a Spark upgrade that silently re-shuffles the join (or stops
+    // pruning) fails here: (1) co-bucketed join has NO Exchange on
+    // either side; (2) an equality predicate on the bucket key scans
+    // one bucket; (3) a groupBy on the bucket key also reuses the
+    // layout (no Exchange before the final aggregate).
+    import graft.sources.Bucketed
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("plan_bkt")
+    dir.toFile.deleteOnExit()
+    val facts = (1L to 2000L).map(i => (i % 100, i, i * 1.5)).toDF("k", "id", "v")
+    val dims = (0L until 100L).map(i => (i, s"dim_$i")).toDF("k", "label")
+    Bucketed.write(facts, "plan_bkt_facts", s"$dir/facts", 8, Seq("k"))
+    Bucketed.write(dims, "plan_bkt_dims", s"$dir/dims", 8, Seq("k"))
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevScan = spark.conf.get("spark.sql.sources.bucketing.autoBucketedScan.enabled")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", -1)
+      spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", false)
+      val joined = Bucketed.read(spark, "plan_bkt_facts")
+        .join(Bucketed.read(spark, "plan_bkt_dims"), "k")
+      joined.collect() // AQE finalizes the plan on execution
+      val jp = joined.queryExecution.executedPlan.toString
+      assert(!jp.contains("Exchange"), s"co-bucketed join shuffled:\n$jp")
+      val pruned = Bucketed.read(spark, "plan_bkt_facts").where("k = 42")
+      pruned.collect()
+      val pp = pruned.queryExecution.executedPlan.toString
+      assert(pp.contains("SelectedBucketsCount: 1 out of 8"),
+        s"expected bucket pruning in:\n$pp")
+      val agg = Bucketed.read(spark, "plan_bkt_facts").groupBy("k").count()
+      agg.collect()
+      val ap = agg.queryExecution.executedPlan.toString
+      assert(!ap.contains("Exchange"), s"bucket-key aggregation shuffled:\n$ap")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+      spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", prevScan)
+      spark.sql("DROP TABLE IF EXISTS plan_bkt_facts")
+      spark.sql("DROP TABLE IF EXISTS plan_bkt_dims")
+    }
+  }
+
   test("no declared query degenerates to a cartesian product") {
     assume(new java.io.File(s"$sfDir/lineitem.parquet").exists())
     // ann_threshold_pairs and ann_topk are DELIBERATE probe-set
