@@ -68,18 +68,28 @@ object Bench {
       s""""$name":{"reps":[${times.map(fmt).mkString(",")}],"median":${fmt(median)},""" +
         s""""min":${fmt(times.head)},"max":${fmt(times.last)},"spread":${fmt(spread)}}"""
     }.mkString("{", ",", "}")
+    // "method" distinguishes this median-of-N metric from rounds 1-5's
+    // single cold run: same "total" name, systematically lower value —
+    // downstream trend tooling must not compare them silently.
+    val method = s"median-of-$reps"
     val artifact =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","index_build":${fmt(indexBuild)},""" +
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","method":"$method","index_build":${fmt(indexBuild)},""" +
         s""""n_reps":$reps,"cpus":$cpus,"sf":"$sfDir","queries":$qDetail}"""
     try {
       val p = java.nio.file.Paths.get(outPath)
+      // delete any stale artifact first: if the write below fails, a
+      // leftover file from a previous run must not masquerade as fresh
+      java.nio.file.Files.deleteIfExists(p)
       java.nio.file.Files.write(p, (artifact + "\n").getBytes("UTF-8"))
-    } catch { case _: Throwable => () }
+    } catch {
+      case t: Throwable =>
+        System.err.println(s"WARN Bench: failed to write $outPath: $t")
+    }
     // compact stdout line (must fit the driver's 2KB stdout tail):
     // medians only, 3 decimals
     val qs = detail.map { case (name, _, median) => s""""$name":${fmt(median)}""" }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","index_build":${fmt(indexBuild)},"queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","method":"$method","index_build":${fmt(indexBuild)},"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -87,6 +87,11 @@ object Multimodal {
     * id%256, (id*7)%256, (id*13)%256) — which a SQL oracle can
     * compute from the id without decoding anything. */
   def syntheticPng(id: Long): Array[Byte] = {
+    // Explicit contract: the channel/width arithmetic below and the
+    // mm_decode DuckDB oracle both assume non-negative ids (Scala's
+    // `%` wraps a negative remainder into the packed channel byte,
+    // the SQL twin emits it as-is — they'd silently diverge).
+    require(id >= 0, s"syntheticPng requires a non-negative id, got $id")
     val w = 8 + (id % 8).toInt
     val h = 8
     val rgb = ((id % 256).toInt << 16) | (((id * 7) % 256).toInt << 8) |

@@ -15,6 +15,11 @@ object TextQueries {
   private val Bands = 6 // LSH bands (r = 2 rows/band)
   private val ShingleK = 2 // word shingle width
   private val JaccardThreshold = 0.08
+  // Sequence-packing constants, shared between the Spark query and
+  // its DuckDB oracle twin (interpolated into the SQL string below)
+  // so the two can't silently drift apart.
+  private val PackShards = 16 // at 100 TB raise to O(cluster cores)
+  private val PackBudget = 512L // tokens per pack
 
   /** Stopword lists for the n-gram language heuristic. */
   private val LangStops: Seq[(String, Seq[String])] = Seq(
@@ -248,9 +253,9 @@ object TextQueries {
     // (source, shard) streams, which is what a real pipeline does
     // anyway — packs are a batching artifact, not a semantic group.
     "text_pack_assign" -> ((s, dir) => {
-      val budget = 512L
-      val shards = 16 // at 100 TB raise to O(cluster cores); any
-      // value keeps per-shard packing exact and deterministic
+      val budget = PackBudget
+      val shards = PackShards // any value keeps per-shard packing
+      // exact and deterministic
       val shard = (conv(substring(md5(concat(lit("pack|"),
         col("doc_id").cast("string"))), 1, 4), 16, 10).cast("long") % shards)
       val w = Window.partitionBy("source", "shard").orderBy("doc_id")
@@ -667,15 +672,15 @@ object TextQueries {
          |FROM documents ORDER BY doc_id""".stripMargin,
 
     "text_pack_assign" ->
-      """SELECT doc_id, source, shard, n_tokens,
+      s"""SELECT doc_id, source, shard, n_tokens,
         |  CAST(coalesce(sum(n_tokens) OVER (PARTITION BY source, shard
         |    ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-        |    // 512 AS BIGINT) AS pack_id
+        |    // $PackBudget AS BIGINT) AS pack_id
         |FROM (
         |  SELECT doc_id, source,
         |    CAST(CAST(concat('0x', substr(md5('pack|' || CAST(doc_id AS VARCHAR)), 1, 4))
-        |      AS INTEGER) % 16 AS BIGINT) AS shard,
-        |    len(string_split_regex(text, '\s+')) AS n_tokens
+        |      AS INTEGER) % $PackShards AS BIGINT) AS shard,
+        |    len(string_split_regex(text, '\\s+')) AS n_tokens
         |  FROM documents)
         |ORDER BY doc_id""".stripMargin,
 
