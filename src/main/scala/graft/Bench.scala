@@ -40,12 +40,21 @@ object Bench {
     // (dedup pipeline, LSH signature indexes, prepared vectors) so
     // per-query numbers measure the query, not cache-fill order. The
     // build cost is reported separately and included in the total.
+    // The three builds touch disjoint Memo keys and disjoint input
+    // tables, so they run as concurrent Spark jobs from separate
+    // threads: each build's early stages are small (few partitions),
+    // so run serially they'd leave most of the cluster idle — the
+    // same overlap a multi-tenant production driver gets for free.
     val ti = System.nanoTime()
-    try {
-      graft.queries.DedupQueries.warmIndexes(spark, sfDir)
-      graft.queries.TextQueries.warmIndexes(spark, sfDir)
-      graft.queries.AnnQueries.warmIndexes(spark, sfDir)
-    } catch { case _: Throwable => () }
+    val builders: Seq[() => Unit] = Seq(
+      () => graft.queries.DedupQueries.warmIndexes(spark, sfDir),
+      () => graft.queries.TextQueries.warmIndexes(spark, sfDir),
+      () => graft.queries.AnnQueries.warmIndexes(spark, sfDir))
+    val threads = builders.map { b =>
+      val t = new Thread(() => try b() catch { case _: Throwable => () })
+      t.start(); t
+    }
+    threads.foreach(_.join())
     val indexBuild = (System.nanoTime() - ti) / 1e9
     // reps consecutive timed runs per query; the median is the
     // reported number, min/max bound the dispersion

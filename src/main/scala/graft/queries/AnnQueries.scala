@@ -116,6 +116,27 @@ object AnnQueries {
       val emb = Tables.embeddings(s, dir)
       val q = prep(s, dir).filter(col("vec_id") % QueryMod === 0)
       Ann.ivfSearch(emb, q, nProbe = 2, k = TopK).orderBy("query_id", "rk")
+    }),
+
+    // recall@k audit of the IVF path against brute-force ground
+    // truth: per probe query, how many of the true top-k the
+    // probe-bounded search recovered. "Measure, don't guess" for
+    // approximate search — the number that decides whether nProbe
+    // is set right BEFORE a 100 TB corpus is indexed with it. Cost
+    // is one brute pass + one IVF pass over the BOUNDED probe set
+    // (never all-pairs), so the audit itself scales like ann_topk.
+    "ann_recall" -> ((s, dir) => {
+      val p = prep(s, dir)
+      val q = p.filter(col("vec_id") % QueryMod === 0)
+      val truth = Ann.bruteForceTopK(q, p, TopK)
+        .select("query_id", "neighbor_id")
+      val approx = Ann.ivfSearch(Tables.embeddings(s, dir), q, nProbe = 2, k = TopK)
+        .select(col("query_id"), col("neighbor_id"), lit(1).as("hit"))
+      truth.join(approx, Seq("query_id", "neighbor_id"), "left")
+        .groupBy("query_id")
+        .agg(count(col("hit")).as("n_hits"),
+          round(count(col("hit")) / count(lit(1)), 6).as("recall"))
+        .orderBy("query_id")
     })
   )
 
@@ -277,6 +298,60 @@ object AnnQueries {
          |  SELECT *, row_number() OVER (PARTITION BY query_id
          |    ORDER BY cos DESC, neighbor_id ASC) AS rk
          |  FROM scored) WHERE rk <= $TopK
-         |ORDER BY query_id, rk""".stripMargin
+         |ORDER BY query_id, rk""".stripMargin,
+
+    // recall@k: brute-force truth and IVF result computed in the same
+    // statement, joined per (query, neighbor). count(hit-col) counts
+    // non-nulls in both engines; BIGINT/BIGINT division is DOUBLE in
+    // both.
+    "ann_recall" ->
+      s"""$prepCte, q AS (SELECT * FROM n WHERE vec_id % $QueryMod = 0),
+         |tscored AS (
+         |  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+         |         ${cosSql("q.v", "n.v", "q.nrm", "n.nrm")} AS cos
+         |  FROM q JOIN n ON n.vec_id <> q.vec_id),
+         |truth AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id
+         |      ORDER BY cos DESC, neighbor_id ASC) AS rk
+         |    FROM tscored) WHERE rk <= $TopK),
+         |comp AS (
+         |  SELECT label, dim - 1 AS dim, x FROM (
+         |    SELECT label, unnest(v) AS x, generate_subscripts(v, 1) AS dim FROM e)
+         |), cent AS (
+         |  SELECT label, dim,
+         |         CAST(sum(CAST(x AS DECIMAL(28,12))) AS DOUBLE) / count(*) AS cval
+         |  FROM comp GROUP BY 1, 2
+         |), qdim AS (
+         |  SELECT vec_id AS query_id, dim - 1 AS dim, qx FROM (
+         |    SELECT vec_id, unnest(v) AS qx, generate_subscripts(v, 1) AS dim FROM q)
+         |), dist AS (
+         |  SELECT query_id, c.label,
+         |         round(sum((qx - cval) * (qx - cval)), 4) AS d2
+         |  FROM qdim JOIN cent c ON qdim.dim = c.dim
+         |  GROUP BY 1, 2
+         |), probed AS (
+         |  SELECT query_id, label FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id
+         |      ORDER BY d2 ASC, label ASC) AS crk FROM dist)
+         |  WHERE crk <= 2
+         |), iscored AS (
+         |  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+         |         ${cosSql("q.v", "n.v", "q.nrm", "n.nrm")} AS cos
+         |  FROM probed p
+         |  JOIN n ON n.label = p.label
+         |  JOIN q ON q.vec_id = p.query_id
+         |  WHERE n.vec_id <> q.vec_id),
+         |ivf AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id
+         |      ORDER BY cos DESC, neighbor_id ASC) AS rk
+         |    FROM iscored) WHERE rk <= $TopK)
+         |SELECT t.query_id,
+         |       CAST(count(i.neighbor_id) AS BIGINT) AS n_hits,
+         |       round(count(i.neighbor_id) / count(*), 6) AS recall
+         |FROM truth t LEFT JOIN ivf i
+         |  ON i.query_id = t.query_id AND i.neighbor_id = t.neighbor_id
+         |GROUP BY t.query_id ORDER BY t.query_id""".stripMargin
   )
 }

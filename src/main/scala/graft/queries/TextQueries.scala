@@ -114,6 +114,35 @@ object TextQueries {
     }.count()
   }
 
+  /** Shared derivation for the two decontamination variants: docs
+    * labeled train/val/test by the deterministic md5 split bucket,
+    * then (doc_id, distinct word 4-gram) rows for one split. The
+    * per-doc array_distinct shrinks the gram table before the
+    * explode (the oracle's list_distinct — semantics unchanged:
+    * train output is distinct doc_ids, test side is distinct
+    * grams); the train side streams its explode straight into the
+    * downstream filter/join, never materializing O(total 4-grams)
+    * rows. */
+  private def contamGrams(s: SparkSession, dir: String, split: String): DataFrame = {
+    val bucket = conv(substring(md5(concat(lit("split|"),
+      col("doc_id").cast("string"))), 1, 4), 16, 10).cast("long")
+    val lab = when(bucket < (65536 * 0.90).toLong, "train")
+      .when(bucket < (65536 * 0.95).toLong, "val")
+      .otherwise("test")
+    docsSpread(s, dir)
+      .filter(lab === split)
+      .select(col("doc_id"),
+        explode(array_distinct(TextOps.shingles(TextOps.words(col("text")), 4))).as("g"))
+  }
+
+  /** The distinct TEST-side grams, materialized: ~5% of docs then
+    * gram-distinct — bounded by the benchmark suite's size, not the
+    * corpus (checkpointing the full exploded gram table would write
+    * far more than the corpus itself — the same pattern Pipeline
+    * rules out for pair rows). */
+  private def contamTestGrams(s: SparkSession, dir: String): DataFrame =
+    contamGrams(s, dir, "test").select("g").distinct().localCheckpoint(true)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // exact dedup: hash-groupBy with min-id representative election.
     "text_exact_dedup" -> ((s, dir) => {
@@ -323,28 +352,37 @@ object TextQueries {
     // hash semi-join on the 4-gram string — shuffles by gram, never
     // compares documents pairwise, so it scales like any equi-join.
     "text_contamination" -> ((s, dir) => {
-      val bucket = conv(substring(md5(concat(lit("split|"),
-        col("doc_id").cast("string"))), 1, 4), 16, 10).cast("long")
-      val withSplit = docsSpread(s, dir)
-        .withColumn("split",
-          when(bucket < (65536 * 0.90).toLong, "train")
-            .when(bucket < (65536 * 0.95).toLong, "val")
-            .otherwise("test"))
-      // per-doc array_distinct shrinks the gram table before the
-      // explode (the oracle's list_distinct — semantics unchanged:
-      // train output is distinct doc_ids, test side is distinct
-      // grams). Only the TEST side — ~5% of docs, then gram-distinct —
-      // is materialized (checkpointing the full exploded gram table
-      // would write O(total 4-grams) rows, far larger than the corpus
-      // itself — the same pattern Pipeline rules out for pair rows);
-      // the train side streams its explode straight into the
-      // semi-join, which shuffles by gram and never compares docs
-      // pairwise.
-      def grams(split: org.apache.spark.sql.Column => org.apache.spark.sql.Column) =
-        withSplit.filter(split(col("split"))).select(col("doc_id"),
-          explode(array_distinct(TextOps.shingles(TextOps.words(col("text")), 4))).as("g"))
-      val testGrams = grams(_ === "test").select("g").distinct().localCheckpoint(true)
-      grams(_ === "train")
+      val testGrams = contamTestGrams(s, dir)
+      contamGrams(s, dir, "train")
+        .join(testGrams, Seq("g"), "left_semi")
+        .select("doc_id").distinct()
+        .orderBy("doc_id")
+    }),
+
+    // the same decontamination with a broadcast Bloom-filter
+    // pre-filter on the train side — the 100 TB path. The semi-join
+    // above already never compares docs pairwise, but it still
+    // SHUFFLES every distinct train 4-gram (O(corpus tokens) rows —
+    // at 100 TB that exchange dwarfs the test side by orders of
+    // magnitude). The benchmark/test set is small and bounded by
+    // construction, so: build a Bloom filter over the distinct test
+    // grams ON THE DRIVER (one aggregate; a few MB for millions of
+    // grams at 1% fpp), broadcast it, and drop non-candidate train
+    // grams at the SCAN, before the exchange. The exact semi-join
+    // then runs on the survivors only, killing Bloom false
+    // positives — output is bit-identical to text_contamination
+    // (same oracle SQL), only the shuffle volume changes. The
+    // membership probe is a Scala UDF: Spark exposes no builtin for
+    // sketch membership, and the probe sits in the pre-shuffle
+    // filter where it prunes, not inside an aggregation loop.
+    "text_contamination_bloom" -> ((s, dir) => {
+      val testGrams = contamTestGrams(s, dir)
+      val n = math.max(testGrams.count(), 1000L)
+      val bloom = s.sparkContext.broadcast(
+        testGrams.stat.bloomFilter("g", n, 0.01))
+      val mightContain = udf((g: String) => bloom.value.mightContainString(g))
+      contamGrams(s, dir, "train")
+        .filter(mightContain(col("g")))
         .join(testGrams, Seq("g"), "left_semi")
         .select("doc_id").distinct()
         .orderBy("doc_id")
@@ -746,7 +784,16 @@ object TextQueries {
         |         ELSE 0.0 END, 6) AS dup_frac
         |FROM g ORDER BY doc_id""".stripMargin,
 
-    "text_contamination" ->
+    "text_contamination" -> ContaminationSql,
+
+    // the Bloom pre-filter is an exact-output optimization (false
+    // positives die in the verify semi-join), so the oracle is the
+    // SAME query — any divergence means the Bloom path dropped or
+    // invented a contaminated doc.
+    "text_contamination_bloom" -> ContaminationSql,
+  ) ++ oracleTail
+
+  private lazy val ContaminationSql: String =
       s"""WITH w AS (
          |  SELECT doc_id, string_split_regex(text, '\\s+') AS ws FROM documents
          |), g AS (
@@ -767,8 +814,9 @@ object TextQueries {
          |)
          |SELECT DISTINCT g.doc_id FROM g JOIN lab USING (doc_id)
          |WHERE split = 'train' AND g.g IN (SELECT g FROM tg)
-         |ORDER BY doc_id""".stripMargin,
+         |ORDER BY doc_id""".stripMargin
 
+  private lazy val oracleTail: Map[String, String] = Map(
     "text_clean" ->
       """SELECT doc_id, md5(strip_accents(nfc_normalize(text))) AS cleaned_hash
         |FROM documents ORDER BY doc_id""".stripMargin,
