@@ -88,29 +88,30 @@ object Ann {
       when(dot_product(v, typedLit(p)) > 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
 
-  /** LSH-bucketed near-dup pairs: bucket equi-join (shuffles each
-    * vector to ONE bucket — the 100 TB alternative to the all-pairs
-    * O(n²) join), then exact cosine verification. Approximate: pairs
-    * split by any plane are missed; recall rises with fewer planes or
-    * multiple tables.
+  /** Salted within-bucket cosine pair join over rows carrying
+    * (bucket, vec_id, u): every unordered pair sharing a bucket, with
+    * cos ≥ `minCos`, each generated exactly once as (a_id < b_id).
     *
-    * Skew: correlated embeddings concentrate in few sign buckets, so
-    * an unsalted bucket self-join would serialize the dominant
-    * bucket's O(|b|²) pair explosion onto one partition. Same remedy
-    * as the dedup pair join (Matching.qualifyingPairs): vectors are
-    * salted into `salt` chunks, the left side fans out to every chunk
-    * ≥ its own, and the join key becomes (bucket, chunk) — `salt`-way
+    * Skew: correlated embeddings concentrate in few buckets, so an
+    * unsalted bucket self-join would serialize the dominant bucket's
+    * O(|b|²) pair explosion onto one partition. Same remedy as the
+    * dedup pair join (Matching.qualifyingPairs): vectors are salted
+    * into `salt` chunks, the left side fans out to every chunk ≥ its
+    * own, and the join key becomes (bucket, chunk) — `salt`-way
     * parallelism per bucket with each unordered pair generated exactly
     * once (cross-chunk via the smaller chunk's fan-out, same-chunk via
-    * the id< residual). */
-  def lshPairs(prep: DataFrame, planes: Seq[Seq[Double]], minCos: Double,
+    * the id< residual). Shared by the sign-LSH pair join ([[lshPairs]],
+    * bucket = hyperplane signature) and SemDeDup ([[semDedup]],
+    * bucket = cluster label). */
+  def saltedCosinePairs(bucketed: DataFrame, minCos: Double,
       salt: Int = 16): DataFrame = {
-    val bucketed = prep.withColumn("bucket", lshBucket(col("v"), planes))
+    val chunked = bucketed
+      .select(col("bucket"), col("vec_id"), col("u"))
       .withColumn("chunk", pmod(hash(col("vec_id")), lit(salt)))
-    val a = bucketed.select(col("bucket"),
+    val a = chunked.select(col("bucket"),
       col("vec_id").as("l_id"), col("u").as("lu"), col("chunk").as("l_chunk"),
       explode(sequence(col("chunk"), lit(salt - 1))).as("chunk"))
-    val b = bucketed.select(col("bucket"),
+    val b = chunked.select(col("bucket"),
       col("vec_id").as("r_id"), col("u").as("ru"), col("chunk"))
     // pinned repartition: the pre-join shuffle is tiny, so AQE would
     // coalesce it and serialize the pair explosion inside the join
@@ -126,6 +127,44 @@ object Ann {
       .select(least(col("l_id"), col("r_id")).as("a_id"),
         greatest(col("l_id"), col("r_id")).as("b_id"),
         col("bucket"), col("cos"))
+  }
+
+  /** LSH-bucketed near-dup pairs: bucket equi-join (shuffles each
+    * vector to ONE bucket — the 100 TB alternative to the all-pairs
+    * O(n²) join), then exact cosine verification. Approximate: pairs
+    * split by any plane are missed; recall rises with fewer planes or
+    * multiple tables. */
+  def lshPairs(prep: DataFrame, planes: Seq[Seq[Double]], minCos: Double,
+      salt: Int = 16): DataFrame =
+    saltedCosinePairs(prep.withColumn("bucket", lshBucket(col("v"), planes)),
+      minCos, salt)
+
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023,
+    * arXiv:2303.08487) over PRE-CLUSTERED embeddings: within each
+    * cluster, a vector is a semantic duplicate iff a LOWER-id vector
+    * of the same cluster lies within the cosine threshold; the lowest
+    * such id is recorded as `dup_of`. Keep-lowest-id makes the greedy
+    * per-cluster dedup policy deterministic across engines, runs and
+    * partitionings (the paper keeps a random member per ε-ball).
+    *
+    * Scale: pairwise cost is per-cluster, never corpus-wide — exactly
+    * the SemDeDup cost model, where k is chosen so n/k vectors fit an
+    * executor's pair budget — and the within-cluster explosion runs
+    * through the salted triangular join, so one fat cluster spreads
+    * over `salt` partitions instead of serializing.
+    *
+    * Input: rows with (vec_id, u, label); output: one row per vector
+    * with its dup flag. */
+  def semDedup(prepLabeled: DataFrame, minCos: Double, salt: Int = 16): DataFrame = {
+    val pairs = saltedCosinePairs(
+      prepLabeled.withColumn("bucket", col("label")), minCos, salt)
+    // a_id < b_id by construction, so b is always the later (dropped)
+    // side; min(a_id) = the canonical vector it duplicates
+    val dups = pairs.groupBy(col("b_id").as("vec_id"))
+      .agg(min(col("a_id")).as("dup_of"))
+    prepLabeled.select("vec_id", "label")
+      .join(dups, Seq("vec_id"), "left")
+      .withColumn("is_dup", col("dup_of").isNotNull)
   }
 
   /** Deterministic component-mean centroids per partition label:

@@ -118,6 +118,21 @@ object AnnQueries {
       Ann.ivfSearch(emb, q, nProbe = 2, k = TopK).orderBy("query_id", "rk")
     }),
 
+    // SemDeDup-style semantic dedup: embeddings are pre-clustered
+    // (label = the IVF coarse partition), and within each cluster a
+    // vector is dropped iff a lower-id cluster-mate lies within the
+    // cosine threshold. The pairwise pass is per-cluster (the
+    // SemDeDup cost model: k scales with n so clusters stay bounded)
+    // and salted, so a fat cluster spreads over the salt fan-out
+    // instead of serializing — the embedding-space dedup a training
+    // pipeline runs between exact and fuzzy text dedup.
+    "ann_semdedup" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val p = prep(s, dir)
+        .join(emb.select(col("vec_id"), col("label")), Seq("vec_id"))
+      Ann.semDedup(p, minCos = CosThreshold).orderBy("vec_id")
+    }),
+
     // recall@k audit of the IVF path against brute-force ground
     // truth: per probe query, how many of the true top-k the
     // probe-bounded search recovered. "Measure, don't guess" for
@@ -299,6 +314,20 @@ object AnnQueries {
          |    ORDER BY cos DESC, neighbor_id ASC) AS rk
          |  FROM scored) WHERE rk <= $TopK
          |ORDER BY query_id, rk""".stripMargin,
+
+    // SemDeDup: same greedy keep-lowest-id rule as the Spark side —
+    // a vector is a dup iff a lower-id same-label vector clears the
+    // cosine threshold; min such id = dup_of.
+    "ann_semdedup" ->
+      s"""$prepCte, dups AS (
+         |  SELECT b.vec_id AS vec_id, min(a.vec_id) AS dup_of
+         |  FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+         |  WHERE ${cosSql("a.v", "b.v", "a.nrm", "b.nrm")} >= $CosThreshold
+         |  GROUP BY 1
+         |)
+         |SELECT n.vec_id, n.label, d.dup_of, d.dup_of IS NOT NULL AS is_dup
+         |FROM n LEFT JOIN dups d USING (vec_id)
+         |ORDER BY vec_id""".stripMargin,
 
     // recall@k: brute-force truth and IVF result computed in the same
     // statement, joined per (query, neighbor). count(hit-col) counts

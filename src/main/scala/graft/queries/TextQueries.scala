@@ -135,6 +135,63 @@ object TextQueries {
         explode(array_distinct(TextOps.shingles(TextOps.words(col("text")), 4))).as("g"))
   }
 
+  // Line-level dedup chunking: non-overlapping 32-word windows (the
+  // intra-corpus granularity of MassiveText-style line/paragraph
+  // dedup — between per-doc exact dedup and shingle near-dup).
+  private val LineWords = 32
+
+  /** Intra-corpus chunk-level exact dedup: split every doc into
+    * non-overlapping [[LineWords]]-word chunks, keep only the FIRST
+    * occurrence (min (doc_id, chunk_idx)) of each distinct chunk
+    * corpus-wide, and re-assemble per doc. One row per doc with its
+    * chunk survival counts and the md5 of the kept text.
+    *
+    * Scale shape: the first-occurrence election windows on the chunk
+    * HASH (high-cardinality — shuffles by content like exact dedup,
+    * no hot keys), the re-assembly groups by doc_id (bounded per-doc
+    * state: collect_list holds one doc's chunks, never a partition's).
+    * Both are plain hash shuffles, so the op scales like any equi-join
+    * — no pairwise comparison anywhere. */
+  private[graft] def lineDedup(docs: DataFrame): DataFrame = {
+    val w = col("w")
+    val starts = when(size(w) > 0,
+      sequence(lit(0), ceil(size(w) / lit(LineWords.toDouble)).cast("int") - 1))
+      .otherwise(array().cast("array<int>"))
+    val chunks = docs
+      .withColumn("w", TextOps.words(col("text")))
+      .select(col("doc_id"), col("w"), explode(starts).as("ci"))
+      .select(col("doc_id"), col("ci"),
+        concat_ws(" ", slice(col("w"), col("ci") * LineWords + 1, lit(LineWords)))
+          .as("chunk_text"))
+    val kw = Window.partitionBy("h").orderBy("doc_id", "ci")
+    chunks.withColumn("h", md5(col("chunk_text")))
+      .withColumn("kept", row_number().over(kw) === 1)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        md5(concat_ws(" ", transform(array_sort(
+          collect_list(when(col("kept"), struct(col("ci"), col("chunk_text"))))),
+          x => x.getField("chunk_text")))).as("kept_text_hash"))
+  }
+
+  // PII patterns, portable across Java regex (Spark) and RE2 (the
+  // DuckDB oracle): no backreferences, no lookaround, '-' last in
+  // classes.
+  private[graft] val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private[graft] val PhoneRe = "\\d{2}-\\d{3}-\\d{3}-\\d{4}"
+
+  /** PII scan + redaction over a text column: match counts per
+    * pattern and the md5 of the redacted text (emails first, then
+    * phones — fixed order so both engines produce the same bytes).
+    * Pure per-row regex expressions — streams at scan speed over a
+    * 100 TB corpus, no shuffle. */
+  private[graft] def piiScan(rows: DataFrame, idCol: String, textCol: String): DataFrame =
+    rows.select(col(idCol),
+      regexp_count(col(textCol), lit(EmailRe)).cast("long").as("n_emails"),
+      regexp_count(col(textCol), lit(PhoneRe)).cast("long").as("n_phones"),
+      md5(regexp_replace(regexp_replace(col(textCol), lit(EmailRe), lit("[EMAIL]")),
+        lit(PhoneRe), lit("[PHONE]"))).as("redacted_hash"))
+
   /** The distinct TEST-side grams, materialized: ~5% of docs then
     * gram-distinct — bounded by the benchmark suite's size, not the
     * corpus (checkpointing the full exploded gram table would write
@@ -547,6 +604,32 @@ object TextQueries {
         .orderBy("doc_id", "chunk_idx")
     }),
 
+    // intra-corpus line/chunk-level exact dedup (MassiveText-style):
+    // first occurrence of each distinct 32-word chunk survives,
+    // per-doc survival counts + kept-text hash come back out.
+    "text_line_dedup" -> ((s, dir) =>
+      lineDedup(docsSpread(s, dir)).orderBy("doc_id")),
+
+    // PII scan + redaction. The synthetic corpus contains no PII, so
+    // the scan runs over a profile string DERIVED deterministically
+    // from the customer table (email from the name, phone from the
+    // keys) — the detection/redaction machinery is real and
+    // oracle-checked end-to-end; only the input is synthesized, and
+    // identically on both engines.
+    "text_pii" -> ((s, dir) => {
+      val email = concat(lower(regexp_replace(col("c_name"), "#", ".")),
+        lit("@example.com"))
+      val phone = format_string("%02d-%03d-%03d-%04d",
+        col("c_nationkey"), pmod(col("c_custkey"), lit(1000L)),
+        pmod(expr("c_custkey div 1000"), lit(1000L)),
+        pmod(col("c_custkey"), lit(10000L)))
+      val profiled = Tables.customer(s, dir)
+        .withColumn("profile", concat_ws(" ",
+          col("c_name"), lit("segment"), col("c_mktsegment"),
+          lit("contact"), email, lit("phone"), phone))
+      piiScan(profiled, "c_custkey", "profile").orderBy("c_custkey")
+    }),
+
     // winnowing document fingerprints: rolling word-4-gram hashes,
     // min over a sliding window of 4, distinct per doc.
     "text_fingerprint" -> ((s, dir) => {
@@ -920,6 +1003,50 @@ object TextQueries {
         |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS bpeish_tokens,
         |  length(text) AS n_chars
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "text_line_dedup" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, string_split_regex(text, '\\s+') AS w FROM documents
+         |), ch AS (
+         |  SELECT doc_id,
+         |         unnest(generate_series(0,
+         |           CAST(ceil(len(w) / $LineWords.0) AS INTEGER) - 1)) AS ci,
+         |         w
+         |  FROM d WHERE len(w) > 0
+         |), ct AS (
+         |  SELECT doc_id, ci,
+         |         array_to_string(w[ci * $LineWords + 1 : ci * $LineWords + $LineWords], ' ')
+         |           AS chunk_text
+         |  FROM ch
+         |), k AS (
+         |  SELECT doc_id, ci, chunk_text,
+         |         row_number() OVER (PARTITION BY md5(chunk_text)
+         |           ORDER BY doc_id, ci) = 1 AS kept
+         |  FROM ct
+         |)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+         |       CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |       md5(coalesce(string_agg(CASE WHEN kept THEN chunk_text END,
+         |         ' ' ORDER BY ci), '')) AS kept_text_hash
+         |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // same profile construction, same patterns, same redaction order;
+    // DuckDB regexp_replace needs the explicit 'g' flag to match
+    // Spark's replace-all semantics.
+    "text_pii" ->
+      s"""WITH p AS (
+         |  SELECT c_custkey,
+         |    c_name || ' segment ' || c_mktsegment || ' contact ' ||
+         |    lower(replace(c_name, '#', '.')) || '@example.com' || ' phone ' ||
+         |    printf('%02d-%03d-%03d-%04d', c_nationkey, c_custkey % 1000,
+         |           (c_custkey // 1000) % 1000, c_custkey % 10000) AS profile
+         |  FROM customer)
+         |SELECT c_custkey,
+         |  CAST(len(regexp_extract_all(profile, '$EmailRe')) AS BIGINT) AS n_emails,
+         |  CAST(len(regexp_extract_all(profile, '$PhoneRe')) AS BIGINT) AS n_phones,
+         |  md5(regexp_replace(regexp_replace(profile, '$EmailRe', '[EMAIL]', 'g'),
+         |      '$PhoneRe', '[PHONE]', 'g')) AS redacted_hash
+         |FROM p ORDER BY c_custkey""".stripMargin,
 
     "text_fingerprint" ->
       """WITH w AS (
