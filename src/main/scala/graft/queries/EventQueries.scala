@@ -116,8 +116,72 @@ object EventQueries {
         .select(get_json_object(col("props"), "$.k").cast("long").as("k"))
         .groupBy(floor(col("k") / 10).as("k_bucket"))
         .agg(count(lit(1)).as("n"))
-        .orderBy("k_bucket"))
+        .orderBy("k_bucket")),
+
+    // multi-stage conversion funnel: each user's first signup, first
+    // view at-or-after that signup, first purchase at-or-after that
+    // view — ordered-sequence analysis as three min-aggregations +
+    // two equi-joins, all keyed on user_id so the shuffle
+    // partitioning is reused across every stage; no window scans the
+    // raw event stream.
+    "events_funnel" -> ((s, dir) =>
+      funnel(Tables.events(s, dir))
+        .select(col("user_id"),
+          date_format(col("signup_ts"), TsFmt).as("signup_ts"),
+          date_format(col("view_ts"), TsFmt).as("view_ts"),
+          date_format(col("purchase_ts"), TsFmt).as("purchase_ts"),
+          col("stage"))
+        .orderBy("user_id")),
+
+    // weekly cohort retention: cohort = the user's first active epoch
+    // week; one row per (cohort, week offset) with the distinct users
+    // still active. Epoch-week arithmetic (not calendar truncation)
+    // so both engines bucket identically regardless of week-origin
+    // conventions.
+    "events_retention" -> ((s, dir) =>
+      retention(Tables.events(s, dir))
+        .orderBy("cohort_w", "week_offset"))
   )
+
+  /** Ordered-funnel core: per user, first signup, first view
+    * at-or-after that signup, first purchase at-or-after that view,
+    * plus the furthest stage reached (1/2/3). All three aggregations
+    * and both joins key on user_id — one shuffle partitioning reused
+    * end to end. */
+  def funnel(ev: DataFrame): DataFrame = {
+    val signup = ev.filter(col("event_type") === "signup")
+      .groupBy("user_id").agg(min(col("ts")).as("signup_ts"))
+    val view = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts").as("vts"))
+      .join(signup, Seq("user_id"))
+      .filter(col("vts") >= col("signup_ts"))
+      .groupBy("user_id").agg(min(col("vts")).as("view_ts"))
+    val purchase = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("pts"))
+      .join(view, Seq("user_id"))
+      .filter(col("pts") >= col("view_ts"))
+      .groupBy("user_id").agg(min(col("pts")).as("purchase_ts"))
+    signup
+      .join(view, Seq("user_id"), "left")
+      .join(purchase, Seq("user_id"), "left")
+      .select(col("user_id"), col("signup_ts"), col("view_ts"),
+        col("purchase_ts"),
+        when(col("purchase_ts").isNotNull, lit(3L))
+          .when(col("view_ts").isNotNull, lit(2L))
+          .otherwise(lit(1L)).as("stage"))
+  }
+
+  /** Weekly cohort retention core: cohort = first active epoch week,
+    * one row per (cohort, week offset) with distinct active users. */
+  def retention(ev: DataFrame): DataFrame = {
+    val week = floor(col("ts").cast("long") / 604800L).cast("long")
+    val userWeeks = ev.select(col("user_id"), week.as("w")).distinct()
+    val cohorts = userWeeks.groupBy("user_id")
+      .agg(min(col("w")).as("cohort_w"))
+    userWeeks.join(cohorts, Seq("user_id"))
+      .groupBy(col("cohort_w"), (col("w") - col("cohort_w")).as("week_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+  }
 
   val oracle: Map[String, String] = Map(
     "events_range_join" ->
@@ -208,6 +272,43 @@ object EventQueries {
     "events_json" ->
       """SELECT CAST(floor(CAST(json_extract_string(props, '$.k') AS BIGINT) / 10) AS BIGINT) AS k_bucket,
         |       count(*) AS n
-        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "events_funnel" ->
+      """WITH su AS (
+        |  SELECT user_id, min(ts) AS signup_ts
+        |  FROM events WHERE event_type = 'signup' GROUP BY 1),
+        |vw AS (
+        |  SELECT e.user_id, min(e.ts) AS view_ts
+        |  FROM events e JOIN su USING (user_id)
+        |  WHERE e.event_type = 'view' AND e.ts >= su.signup_ts
+        |  GROUP BY 1),
+        |pu AS (
+        |  SELECT e.user_id, min(e.ts) AS purchase_ts
+        |  FROM events e JOIN vw USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND e.ts >= vw.view_ts
+        |  GROUP BY 1)
+        |SELECT su.user_id,
+        |  strftime(su.signup_ts, '%Y-%m-%d %H:%M:%S') AS signup_ts,
+        |  strftime(vw.view_ts, '%Y-%m-%d %H:%M:%S') AS view_ts,
+        |  strftime(pu.purchase_ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+        |  CAST(CASE WHEN pu.user_id IS NOT NULL THEN 3
+        |            WHEN vw.user_id IS NOT NULL THEN 2
+        |            ELSE 1 END AS BIGINT) AS stage
+        |FROM su
+        |LEFT JOIN vw USING (user_id)
+        |LEFT JOIN pu USING (user_id)
+        |ORDER BY user_id""".stripMargin,
+
+    "events_retention" ->
+      """WITH uw AS (
+        |  SELECT DISTINCT user_id,
+        |    CAST(floor(CAST(floor(epoch(ts)) AS BIGINT) / 604800) AS BIGINT) AS w
+        |  FROM events),
+        |co AS (SELECT user_id, min(w) AS cohort_w FROM uw GROUP BY 1)
+        |SELECT co.cohort_w, uw.w - co.cohort_w AS week_offset,
+        |       count(DISTINCT uw.user_id) AS n_users
+        |FROM uw JOIN co USING (user_id)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   )
 }

@@ -20,6 +20,11 @@ object TextQueries {
   // so the two can't silently drift apart.
   private val PackShards = 16 // at 100 TB raise to O(cluster cores)
   private val PackBudget = 512L // tokens per pack
+  // Temperature-resampling corpus budget (fraction of total docs) and
+  // export shard count — shared between the Spark queries and their
+  // DuckDB oracle twins via interpolation so they can't drift.
+  private val TempSampleFrac = 0.5
+  private val ExportShards = 8 // at 100 TB = desired output file count
 
   /** Stopword lists for the n-gram language heuristic. */
   private val LangStops: Seq[(String, Seq[String])] = Seq(
@@ -647,8 +652,70 @@ object TextQueries {
         .withColumn("fp", min(col("h")).over(win))
         .select("doc_id", "fp").distinct()
         .orderBy("doc_id", "fp")
-    })
+    }),
+
+    // temperature-scaled mixture resampling (the α = 0.5 balancing of
+    // multilingual/multi-source corpus assembly): per-source weight =
+    // sqrt(bytes), target share = weight / Σweights of a corpus-level
+    // doc budget, per-doc deterministic md5 keep at min(1, target/n).
+    // sqrt is IEEE-correctly-rounded in both engines and the weight
+    // sum runs in DECIMAL, so the rates are bit-identical
+    // cross-engine. The per-source table is one row per source at any
+    // scale → broadcast; the per-doc keep pass is scan-speed.
+    "text_sample_temperature" -> ((s, dir) =>
+      temperatureSample(docs(s, dir)).orderBy("doc_id")),
+
+    // deterministic shard + position assignment for training export:
+    // shard = md5 bucket of doc_id, position = rank of the doc's hash
+    // within its shard — a reproducible global shuffle (adjacent
+    // input docs land in unrelated shards/positions) with no rand()
+    // and no single global sort. Window cardinality = ExportShards;
+    // at 100 TB set it to the output file count (thousands), so each
+    // in-shard ordering sorts ~corpus/shards rows via Spark's
+    // per-partition external sort — never a global one.
+    "text_shard_export" -> ((s, dir) =>
+      shardExport(docs(s, dir)).orderBy("doc_id"))
   )
+
+  /** Temperature-resampling core (spec-testable): per-source weight =
+    * sqrt(bytes) rounded to 3 dp, DECIMAL-summed; per-doc keep at
+    * rate min(1, share · budget / n_docs) via the deterministic md5
+    * bucket. */
+  def temperatureSample(d: DataFrame): DataFrame = {
+    val perSrc = d.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("n_chars_tot"))
+      .withColumn("w",
+        round(sqrt(col("n_chars_tot").cast("double")), 3).cast("decimal(18,3)"))
+    val tot = perSrc.agg(sum(col("w")).as("w_tot"),
+      sum(col("n_docs")).as("docs_tot"))
+    val rates = perSrc.crossJoin(broadcast(tot))
+      .withColumn("rate_raw", least(lit(1.0),
+        col("w").cast("double") / col("w_tot").cast("double")
+          * col("docs_tot").cast("double") * lit(TempSampleFrac)
+          / col("n_docs").cast("double")))
+      .select(col("source"), col("rate_raw"))
+    val bucket = conv(substring(md5(concat(lit("temp|"),
+      col("doc_id").cast("string"))), 1, 4), 16, 10).cast("long")
+    d.join(broadcast(rates), "source")
+      .select(col("doc_id"), col("source"),
+        round(col("rate_raw"), 6).as("rate"),
+        (bucket < col("rate_raw") * 65536).as("keep"))
+  }
+
+  /** Shard-export core (spec-testable): md5 shard of doc_id + hash
+    * rank within the shard — a reproducible global shuffle. */
+  def shardExport(d: DataFrame): DataFrame = {
+    val h = md5(concat(lit("shard|"), col("doc_id").cast("string")))
+    val shard = (conv(substring(col("h"), 1, 4), 16, 10)
+      .cast("long") % ExportShards)
+    val w = Window.partitionBy("shard")
+      .orderBy(col("h").asc, col("doc_id").asc)
+    d.select(col("doc_id"), h.as("h"))
+      .withColumn("shard", shard)
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .select("doc_id", "shard", "pos")
+  }
 
   // ---------------------------------------------------------------- oracle
 
@@ -1065,6 +1132,38 @@ object TextQueries {
         |    ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
         |  FROM kg
         |)
-        |SELECT DISTINCT doc_id, fp FROM fps ORDER BY doc_id, fp""".stripMargin
+        |SELECT DISTINCT doc_id, fp FROM fps ORDER BY doc_id, fp""".stripMargin,
+
+    // identical weight arithmetic: sqrt → round(3) → DECIMAL sum →
+    // double division, so the per-source rates match bit-for-bit.
+    "text_sample_temperature" ->
+      s"""WITH per_src AS (
+         |  SELECT source, count(*) AS n_docs,
+         |    CAST(round(sqrt(CAST(sum(n_chars) AS DOUBLE)), 3) AS DECIMAL(18,3)) AS w
+         |  FROM documents GROUP BY 1),
+         |tot AS (SELECT sum(w) AS w_tot, sum(n_docs) AS docs_tot FROM per_src),
+         |rates AS (
+         |  SELECT source, least(1.0,
+         |    CAST(w AS DOUBLE) / CAST(w_tot AS DOUBLE)
+         |      * CAST(docs_tot AS DOUBLE) * $TempSampleFrac
+         |      / CAST(n_docs AS DOUBLE)) AS rate_raw
+         |  FROM per_src CROSS JOIN tot)
+         |SELECT d.doc_id, d.source, round(r.rate_raw, 6) AS rate,
+         |  CAST(CAST(concat('0x', substr(md5('temp|' || CAST(d.doc_id AS VARCHAR)), 1, 4))
+         |    AS INTEGER) AS BIGINT) < r.rate_raw * 65536 AS keep
+         |FROM documents d JOIN rates r USING (source)
+         |ORDER BY d.doc_id""".stripMargin,
+
+    "text_shard_export" ->
+      s"""WITH h AS (
+         |  SELECT doc_id, md5('shard|' || CAST(doc_id AS VARCHAR)) AS h
+         |  FROM documents),
+         |sh AS (
+         |  SELECT doc_id, h,
+         |    CAST(CAST(concat('0x', substr(h, 1, 4)) AS INTEGER) % $ExportShards AS BIGINT) AS shard
+         |  FROM h)
+         |SELECT doc_id, shard,
+         |  CAST(row_number() OVER (PARTITION BY shard ORDER BY h ASC, doc_id ASC) AS BIGINT) AS pos
+         |FROM sh ORDER BY doc_id""".stripMargin
   )
 }

@@ -1,0 +1,133 @@
+package graft.queries
+
+import graft.dedup.SparkTest
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantics of the round-7 additions: ordered conversion funnel,
+  * weekly cohort retention, temperature-scaled mixture sampling, and
+  * deterministic shard export. */
+class FunnelMixtureSpec extends AnyFunSuite {
+  private lazy val spark = SparkTest.spark
+
+  private def events(rows: Seq[(Long, String, Long)]): DataFrame = {
+    import spark.implicits._
+    rows.toDF("user_id", "event_type", "epoch")
+      .withColumn("ts", col("epoch").cast("timestamp"))
+      .select("user_id", "event_type", "ts")
+  }
+
+  // --- funnel ------------------------------------------------------
+
+  test("funnel honors stage ordering: only views after signup and purchases after that view count") {
+    val ev = events(Seq(
+      (1L, "signup", 100L), (1L, "view", 200L), (1L, "purchase", 300L),
+      // view strictly before signup never counts; the later purchase
+      // has no qualifying view, so the user stalls at stage 1
+      (2L, "view", 50L), (2L, "signup", 100L), (2L, "purchase", 200L),
+      // purchase before the first qualifying view → stage 2
+      (3L, "signup", 100L), (3L, "purchase", 150L), (3L, "view", 400L),
+      // no signup → excluded from the funnel entirely
+      (4L, "view", 100L), (4L, "purchase", 200L),
+      (5L, "signup", 100L)))
+    val got = EventQueries.funnel(ev).orderBy("user_id").collect()
+      .map(r => (r.getLong(0), r.getLong(4))).toSeq
+    assert(got == Seq((1L, 3L), (2L, 1L), (3L, 2L), (5L, 1L)))
+  }
+
+  test("funnel picks the FIRST qualifying timestamp per stage") {
+    val ev = events(Seq(
+      (9L, "signup", 300L), (9L, "signup", 100L),
+      (9L, "view", 150L), (9L, "view", 250L), (9L, "view", 500L),
+      (9L, "purchase", 240L), (9L, "purchase", 260L)))
+    val r = EventQueries.funnel(ev).head()
+    assert(r.getTimestamp(1).getTime == 100L * 1000) // earliest signup
+    assert(r.getTimestamp(2).getTime == 150L * 1000) // first view ≥ signup
+    assert(r.getTimestamp(3).getTime == 240L * 1000) // first purchase ≥ the view at 150
+    assert(r.getLong(4) == 3L)
+  }
+
+  // --- retention ---------------------------------------------------
+
+  test("retention buckets users by first epoch week and counts distinct actives per offset") {
+    val wk = 604800L
+    val ev = events(Seq(
+      (1L, "view", 10L), (1L, "view", wk + 10L), // cohort 0, weeks 0+1
+      (2L, "view", 20L), (2L, "view", 25L), // cohort 0, week 0 only
+      (3L, "view", wk + 5L), (3L, "view", 3 * wk + 5L))) // cohort 1, weeks 1+3
+    val got = EventQueries.retention(ev)
+      .orderBy("cohort_w", "week_offset").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq(
+      (0L, 0L, 2L), (0L, 1L, 1L),
+      (1L, 0L, 1L), (1L, 2L, 1L)))
+  }
+
+  // --- temperature sampling ----------------------------------------
+
+  private def docsOf(rows: Seq[(Long, String, Long)]): DataFrame = {
+    import spark.implicits._
+    rows.toDF("doc_id", "source", "n_chars")
+  }
+
+  test("temperature rates follow sqrt weighting over a half-corpus budget") {
+    // srcA: 4 docs / 400 chars → w=20; srcB: 1 doc / 100 chars → w=10
+    // budget = 5 * 0.5 = 2.5 docs
+    // rateA = (20/30)*2.5/4 = 0.416667; rateB = (10/30)*2.5/1 = 0.833333
+    val d = docsOf(Seq(
+      (1L, "srcA", 100L), (2L, "srcA", 100L), (3L, "srcA", 100L),
+      (4L, "srcA", 100L), (5L, "srcB", 100L)))
+    val rates = TextQueries.temperatureSample(d)
+      .select("source", "rate").distinct().collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(math.abs(rates("srcA") - 0.416667) < 1e-6)
+    assert(math.abs(rates("srcB") - 0.833333) < 1e-6)
+  }
+
+  test("temperature rate caps at 1.0 for under-represented sources") {
+    // srcTiny's share of the budget exceeds its doc count → rate 1,
+    // i.e. temperature sampling never drops the whole tail source
+    val d = docsOf(
+      (1L to 40L).map(i => (i, "srcBig", 100L)) :+ (99L, "srcTiny", 100L))
+    val rates = TextQueries.temperatureSample(d)
+      .select("source", "rate").distinct().collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(rates("srcTiny") == 1.0)
+    assert(rates("srcBig") < 1.0)
+  }
+
+  test("temperature keep decision is deterministic across invocations") {
+    val d = docsOf((1L to 50L).map(i => (i, s"s${i % 3}", 50L + i)))
+    def run() = TextQueries.temperatureSample(d).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getBoolean(3))).toSeq
+    assert(run() == run())
+  }
+
+  // --- shard export ------------------------------------------------
+
+  test("shard export emits every doc once with dense 1..n positions per shard") {
+    val d = docsOf((0L until 100L).map(i => (i, "s", 10L)))
+    val rows = TextQueries.shardExport(d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.map(_._1).toSet == (0L until 100L).toSet)
+    assert(rows.forall { case (_, shard, _) => shard >= 0 && shard < 8 })
+    rows.groupBy(_._2).foreach { case (_, members) =>
+      assert(members.map(_._3).sorted.toSeq == (1L to members.size).toSeq)
+    }
+  }
+
+  test("shard export is deterministic and decorrelates adjacent doc ids") {
+    val d = docsOf((0L until 64L).map(i => (i, "s", 10L)))
+    def run() = TextQueries.shardExport(d).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val a = run()
+    assert(a == run())
+    // adjacent ids should not all land in the same shard
+    val sameShardAdjacent = a.sliding(2).count {
+      case Seq((_, s1, _), (_, s2, _)) => s1 == s2
+      case _ => false
+    }
+    assert(sameShardAdjacent < 40)
+  }
+}
