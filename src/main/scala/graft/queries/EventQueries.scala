@@ -140,8 +140,48 @@ object EventQueries {
     // conventions.
     "events_retention" -> ((s, dir) =>
       retention(Tables.events(s, dir))
-        .orderBy("cohort_w", "week_offset"))
+        .orderBy("cohort_w", "week_offset")),
+
+    // volume-anomaly detection: hourly event counts per type, flagged
+    // where |z| > 2 against the type's own hourly distribution. The
+    // moments come from EXACT integer sums (n, Σx, Σx²) so the
+    // derived doubles are bit-identical cross-engine — never from
+    // stddev_samp, whose float accumulation is partition-order
+    // dependent. Per-type stats are one row per type → broadcast back.
+    "events_anomaly" -> ((s, dir) =>
+      anomalies(Tables.events(s, dir)).orderBy("event_type", "hour"))
   )
+
+  /** Volume-anomaly core: hourly counts per type, |z| > 2 against the
+    * type's own hourly distribution. Moments from exact integer sums
+    * so the derived doubles are partition-order independent. */
+  def anomalies(ev: DataFrame, zThreshold: Double = 2.0): DataFrame = {
+    val hourly = ev
+      .groupBy(col("event_type"),
+        floor(col("ts").cast("long") / 3600L).cast("long").as("hour"))
+      .agg(count(lit(1)).as("n"))
+    val stats = hourly.groupBy("event_type")
+      .agg(count(lit(1)).as("n_hours"), sum(col("n")).as("sum_n"),
+        sum(col("n") * col("n")).as("sum_sq"))
+      .withColumn("mean",
+        col("sum_n").cast("double") / col("n_hours").cast("double"))
+      .withColumn("std", sqrt(
+        (col("sum_sq").cast("double")
+          - col("sum_n").cast("double") * col("sum_n").cast("double")
+            / col("n_hours").cast("double"))
+          / (col("n_hours").cast("double") - 1.0)))
+      .select("event_type", "mean", "std")
+    // nullif guard: a flat series has std = 0 and 0/0 = NaN, which
+    // Spark orders ABOVE every number — without the guard every hour
+    // of a constant-rate type would be "anomalous". Null z drops out
+    // of the filter in both engines instead.
+    hourly.join(broadcast(stats), "event_type")
+      .withColumn("z",
+        (col("n").cast("double") - col("mean")) / nullif(col("std"), lit(0.0)))
+      .filter(abs(col("z")) > zThreshold)
+      .select(col("event_type"), col("hour"), col("n"),
+        round(col("z"), 6).as("z"))
+  }
 
   /** Ordered-funnel core: per user, first signup, first view
     * at-or-after that signup, first purchase at-or-after that view,
@@ -309,6 +349,26 @@ object EventQueries {
         |SELECT co.cohort_w, uw.w - co.cohort_w AS week_offset,
         |       count(DISTINCT uw.user_id) AS n_users
         |FROM uw JOIN co USING (user_id)
-        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "events_anomaly" ->
+      """WITH hourly AS (
+        |  SELECT event_type,
+        |    CAST(floor(CAST(floor(epoch(ts)) AS BIGINT) / 3600) AS BIGINT) AS hour,
+        |    count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |stats AS (
+        |  SELECT event_type,
+        |    CAST(sum(n) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean,
+        |    sqrt((CAST(sum(n * n) AS DOUBLE)
+        |          - CAST(sum(n) AS DOUBLE) * CAST(sum(n) AS DOUBLE)
+        |            / CAST(count(*) AS DOUBLE))
+        |         / (CAST(count(*) AS DOUBLE) - 1.0)) AS std
+        |  FROM hourly GROUP BY 1)
+        |SELECT h.event_type, h.hour, h.n,
+        |       round((CAST(h.n AS DOUBLE) - s.mean) / nullif(s.std, 0), 6) AS z
+        |FROM hourly h JOIN stats s USING (event_type)
+        |WHERE abs((CAST(h.n AS DOUBLE) - s.mean) / nullif(s.std, 0)) > 2.0
+        |ORDER BY h.event_type, h.hour""".stripMargin
   )
 }

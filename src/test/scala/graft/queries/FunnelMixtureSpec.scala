@@ -64,6 +64,26 @@ class FunnelMixtureSpec extends AnyFunSuite {
       (1L, 0L, 1L), (1L, 2L, 1L)))
   }
 
+  // --- anomalies ---------------------------------------------------
+
+  test("anomalies flags the spike hour and only the spike hour") {
+    // 23 quiet hours at ~2 events, one hour at 40 → lone high-z hour
+    val quiet = (0 until 23).flatMap(h =>
+      Seq((1L, "click", h * 3600L + 10), (2L, "click", h * 3600L + 20)))
+    val spike = (1L to 40L).map(u => (u, "click", 23 * 3600L + 30))
+    val got = EventQueries.anomalies(events(quiet ++ spike)).collect()
+    assert(got.length == 1)
+    assert(got.head.getLong(1) == 23L) // the spike hour
+    assert(got.head.getLong(2) == 40L)
+    assert(got.head.getDouble(3) > 2.0)
+  }
+
+  test("anomalies is quiet on a flat series") {
+    val flat = (0 until 24).flatMap(h =>
+      Seq((1L, "view", h * 3600L + 1), (2L, "view", h * 3600L + 2)))
+    assert(EventQueries.anomalies(events(flat)).count() == 0)
+  }
+
   // --- temperature sampling ----------------------------------------
 
   private def docsOf(rows: Seq[(Long, String, Long)]): DataFrame = {
