@@ -88,6 +88,31 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("temperature sampling broadcasts the per-source rates to the doc scan") {
+    assume(new java.io.File(s"$sfDir/documents.parquet").exists())
+    // the per-source table is one row per source at any corpus size —
+    // if this ever becomes a shuffled join, the scan-speed keep pass
+    // claim is broken
+    val p = plan("text_sample_temperature")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+  }
+
+  test("anomaly detection broadcasts the per-type stats") {
+    assume(new java.io.File(s"$sfDir/events.parquet").exists())
+    val p = plan("events_anomaly")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+  }
+
+  test("shard export shuffles once (by shard) before the in-shard rank") {
+    assume(new java.io.File(s"$sfDir/documents.parquet").exists())
+    // one hash Exchange for the shard window; the only other Exchange
+    // allowed is the rangepartitioning of the presentation orderBy
+    val p = plan("text_shard_export")
+    val hashExchanges = p.linesIterator
+      .count(l => l.contains("Exchange hashpartitioning"))
+    assert(hashExchanges == 1, s"expected exactly 1 hash Exchange:\n${p.take(2000)}")
+  }
+
   test("no declared query degenerates to a cartesian product") {
     assume(new java.io.File(s"$sfDir/lineitem.parquet").exists())
     // ann_threshold_pairs and ann_topk are DELIBERATE probe-set
