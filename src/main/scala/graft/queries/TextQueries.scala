@@ -674,7 +674,14 @@ object TextQueries {
     // in-shard ordering sorts ~corpus/shards rows via Spark's
     // per-partition external sort — never a global one.
     "text_shard_export" -> ((s, dir) =>
-      shardExport(docs(s, dir)).orderBy("doc_id"))
+      shardExport(docs(s, dir)).orderBy("doc_id")),
+
+    // corpus-LM quality scoring (CCNet-style): per-doc average bigram
+    // log-probability under add-1-smoothed corpus bigram statistics —
+    // the LM-fluency filter of a training pipeline, self-trained on
+    // the corpus itself. See lmScore for the determinism contract.
+    "text_lm_score" -> ((s, dir) =>
+      lmScore(docs(s, dir)).orderBy("doc_id"))
   )
 
   /** Temperature-resampling core (spec-testable): per-source weight =
@@ -701,6 +708,49 @@ object TextQueries {
       .select(col("doc_id"), col("source"),
         round(col("rate_raw"), 6).as("rate"),
         (bucket < col("rate_raw") * 65536).as("keep"))
+  }
+
+  /** LM-scoring core (spec-testable): per-doc mean of
+    * round(ln((c2+1)/(c1+V)), 6) over the doc's word bigrams, where
+    * c2/c1/V are corpus bigram/unigram/vocab statistics.
+    *
+    * Determinism: each bigram's log-prob is rounded to 6 dp and
+    * summed in DECIMAL, so the per-doc mean never depends on
+    * aggregation order (a raw double sum would). Scale: both stats
+    * joins are gram-keyed equi-joins (shuffle by gram, like the
+    * decontamination semi-join — never pairwise); the stats tables
+    * are vocab-sized, so on a bounded vocabulary they broadcast. */
+  def lmScore(d: DataFrame): DataFrame = {
+    val words = d.select(col("doc_id"),
+      explode(TextOps.words(col("text"))).as("w"))
+    val bigrams = d
+      .withColumn("ws", TextOps.words(col("text")))
+      .filter(size(col("ws")) >= 2)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(0), size(col("ws")) - 2),
+          i => struct(element_at(col("ws"), i + 1).as("w1"),
+            element_at(col("ws"), i + 2).as("w2")))).as("bg"))
+      .select(col("doc_id"), col("bg.w1"), col("bg.w2"))
+    val uni = words.groupBy("w").agg(count(lit(1)).as("c1"))
+    val big = bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+    val vocab = words.agg(countDistinct(col("w")).as("v"))
+    val scored = bigrams
+      .join(big, Seq("w1", "w2"))
+      .join(uni.withColumnRenamed("w", "w1"), Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .withColumn("logp_dec",
+        round(log((col("c2").cast("double") + 1.0)
+          / (col("c1").cast("double") + col("v").cast("double"))), 6)
+          .cast("decimal(20,6)"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("logp_dec")).as("sum_logp"))
+      .withColumn("avg_logp",
+        round(col("sum_logp").cast("double") / col("n_bigrams").cast("double"), 6))
+    d.select(col("doc_id"))
+      .join(scored.select("doc_id", "n_bigrams", "avg_logp"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        col("avg_logp"))
   }
 
   /** Shard-export core (spec-testable): md5 shard of doc_id + hash
@@ -1164,6 +1214,33 @@ object TextQueries {
          |  FROM h)
          |SELECT doc_id, shard,
          |  CAST(row_number() OVER (PARTITION BY shard ORDER BY h ASC, doc_id ASC) AS BIGINT) AS pos
-         |FROM sh ORDER BY doc_id""".stripMargin
+         |FROM sh ORDER BY doc_id""".stripMargin,
+
+    // same per-bigram round(…,6) → DECIMAL sum → double mean, so the
+    // order-sensitive float accumulation never reaches the compare.
+    "text_lm_score" ->
+      """WITH w AS (
+        |  SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS w,
+        |         generate_subscripts(string_split_regex(text, '\s+'), 1) AS pos
+        |  FROM documents),
+        |bg AS (
+        |  SELECT a.doc_id, a.w AS w1, b.w AS w2
+        |  FROM w a JOIN w b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1),
+        |uni AS (SELECT w, count(*) AS c1 FROM w GROUP BY 1),
+        |big AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY 1, 2),
+        |vocab AS (SELECT count(DISTINCT w) AS v FROM w),
+        |scored AS (
+        |  SELECT bg.doc_id, count(*) AS n_bigrams,
+        |    sum(CAST(round(ln((CAST(big.c2 AS DOUBLE) + 1.0)
+        |        / (CAST(uni.c1 AS DOUBLE) + CAST(vocab.v AS DOUBLE))), 6)
+        |      AS DECIMAL(20,6))) AS sum_logp
+        |  FROM bg JOIN big USING (w1, w2) JOIN uni ON uni.w = bg.w1
+        |  CROSS JOIN vocab
+        |  GROUP BY 1)
+        |SELECT d.doc_id,
+        |  coalesce(s.n_bigrams, 0) AS n_bigrams,
+        |  round(CAST(s.sum_logp AS DOUBLE) / CAST(s.n_bigrams AS DOUBLE), 6) AS avg_logp
+        |FROM documents d LEFT JOIN scored s USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin
   )
 }

@@ -124,6 +124,27 @@ class FunnelMixtureSpec extends AnyFunSuite {
     assert(run() == run())
   }
 
+  // --- LM scoring --------------------------------------------------
+
+  test("lm score matches hand-computed add-1 bigram log-probs") {
+    import spark.implicits._
+    // corpus: a×3 b×2 c×1 → V=3, c1(a)=3; bigrams (a,b)×2, (a,c)×1
+    // logp(a,b) = ln(3/6) = -0.693147; logp(a,c) = ln(2/6) = -1.098612
+    val d = Seq((1L, "a b"), (2L, "a b"), (3L, "a c")).toDF("doc_id", "text")
+    val got = TextQueries.lmScore(d).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq == Seq(
+      (1L, 1L, -0.693147), (2L, 1L, -0.693147), (3L, 1L, -1.098612)))
+  }
+
+  test("lm score: single-word docs emit zero bigrams and a null score") {
+    import spark.implicits._
+    val d = Seq((1L, "hello"), (2L, "hello world")).toDF("doc_id", "text")
+    val got = TextQueries.lmScore(d).orderBy("doc_id").collect()
+    assert(got(0).getLong(1) == 0L && got(0).isNullAt(2))
+    assert(got(1).getLong(1) == 1L && !got(1).isNullAt(2))
+  }
+
   // --- shard export ------------------------------------------------
 
   test("shard export emits every doc once with dense 1..n positions per shard") {
