@@ -681,7 +681,14 @@ object TextQueries {
     // the LM-fluency filter of a training pipeline, self-trained on
     // the corpus itself. See lmScore for the determinism contract.
     "text_lm_score" -> ((s, dir) =>
-      lmScore(docs(s, dir)).orderBy("doc_id"))
+      lmScore(docs(s, dir)).orderBy("doc_id")),
+
+    // keyword extraction: top-3 TF-IDF terms per document. Term and
+    // doc frequencies are two gram-keyed aggregations; the doc count
+    // is a broadcast scalar; the per-doc top-k is a window over the
+    // (doc, term) scores — nothing pairwise, nothing densified.
+    "text_tfidf" -> ((s, dir) =>
+      tfidf(docs(s, dir), 3).orderBy("doc_id", "rank"))
   )
 
   /** Temperature-resampling core (spec-testable): per-source weight =
@@ -751,6 +758,25 @@ object TextQueries {
       .select(col("doc_id"),
         coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
         col("avg_logp"))
+  }
+
+  /** TF-IDF core (spec-testable): per-doc top-k terms by
+    * round(tf · ln(N/df), 6), ties broken by term. The window ranks
+    * on the ROUNDED score so both engines order identically. */
+  def tfidf(d: DataFrame, k: Int): DataFrame = {
+    val words = d.select(col("doc_id"),
+      explode(TextOps.words(col("text"))).as("w"))
+    val tf = words.groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("w").agg(count(lit(1)).as("df"))
+    val n = d.agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(dfreq, Seq("w")).crossJoin(broadcast(n))
+      .withColumn("tfidf", round(col("tf").cast("double")
+        * log(col("n_docs").cast("double") / col("df").cast("double")), 6))
+    val win = Window.partitionBy("doc_id")
+      .orderBy(col("tfidf").desc, col("w").asc)
+    scored.withColumn("rank", row_number().over(win).cast("long"))
+      .filter(col("rank") <= k)
+      .select("doc_id", "rank", "w", "tfidf")
   }
 
   /** Shard-export core (spec-testable): md5 shard of doc_id + hash
@@ -1241,6 +1267,26 @@ object TextQueries {
         |  coalesce(s.n_bigrams, 0) AS n_bigrams,
         |  round(CAST(s.sum_logp AS DOUBLE) / CAST(s.n_bigrams AS DOUBLE), 6) AS avg_logp
         |FROM documents d LEFT JOIN scored s USING (doc_id)
-        |ORDER BY d.doc_id""".stripMargin
+        |ORDER BY d.doc_id""".stripMargin,
+
+    "text_tfidf" ->
+      """WITH w AS (
+        |  SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS w
+        |  FROM documents),
+        |tf AS (SELECT doc_id, w, count(*) AS tf FROM w GROUP BY 1, 2),
+        |df AS (SELECT w, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.w,
+        |    round(CAST(tf.tf AS DOUBLE)
+        |      * ln(CAST(n.n_docs AS DOUBLE) / CAST(df.df AS DOUBLE)), 6) AS tfidf
+        |  FROM tf JOIN df USING (w) CROSS JOIN n),
+        |ranked AS (
+        |  SELECT doc_id, w, tfidf,
+        |    CAST(row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY tfidf DESC, w ASC) AS BIGINT) AS rank
+        |  FROM scored)
+        |SELECT doc_id, rank, w, tfidf FROM ranked
+        |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin
   )
 }

@@ -145,6 +145,22 @@ class FunnelMixtureSpec extends AnyFunSuite {
     assert(got(1).getLong(1) == 1L && !got(1).isNullAt(2))
   }
 
+  // --- TF-IDF ------------------------------------------------------
+
+  test("tfidf ranks terms by score with term-name tie-break") {
+    import spark.implicits._
+    // N=3; df: cat 1, dog 2, fish 2, bird 1
+    val d = Seq((1L, "cat cat dog"), (2L, "dog fish"),
+      (3L, "fish fish fish bird")).toDF("doc_id", "text")
+    val got = TextQueries.tfidf(d, 3).orderBy("doc_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3)))
+    assert(got.toSeq == Seq(
+      (1L, 1L, "cat", 2.197225), (1L, 2L, "dog", 0.405465),
+      // doc 2: dog and fish tie at ln(1.5) → alphabetical order
+      (2L, 1L, "dog", 0.405465), (2L, 2L, "fish", 0.405465),
+      (3L, 1L, "fish", 1.216395), (3L, 2L, "bird", 1.098612)))
+  }
+
   // --- shard export ------------------------------------------------
 
   test("shard export emits every doc once with dense 1..n positions per shard") {
