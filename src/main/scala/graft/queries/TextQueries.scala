@@ -751,8 +751,14 @@ object TextQueries {
           .cast("decimal(20,6)"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"), sum(col("logp_dec")).as("sum_logp"))
+      // final mean at 4 dp, not 6: round(double, d) can diverge
+      // cross-engine within ~ulp of a .5·10^-d boundary (Spark rounds
+      // the exact binary expansion, DuckDB rounds value·10^d), and at
+      // 6 dp a 50k-doc corpus measurably hits that zone (1-row sf1
+      // mismatch). 4 dp widens the grid 100× relative to double ulp
+      // and absorbs per-bigram ln() last-ulp noise.
       .withColumn("avg_logp",
-        round(col("sum_logp").cast("double") / col("n_bigrams").cast("double"), 6))
+        round(col("sum_logp").cast("double") / col("n_bigrams").cast("double"), 4))
     d.select(col("doc_id"))
       .join(scored.select("doc_id", "n_bigrams", "avg_logp"), Seq("doc_id"), "left")
       .select(col("doc_id"),
@@ -1265,7 +1271,7 @@ object TextQueries {
         |  GROUP BY 1)
         |SELECT d.doc_id,
         |  coalesce(s.n_bigrams, 0) AS n_bigrams,
-        |  round(CAST(s.sum_logp AS DOUBLE) / CAST(s.n_bigrams AS DOUBLE), 6) AS avg_logp
+        |  round(CAST(s.sum_logp AS DOUBLE) / CAST(s.n_bigrams AS DOUBLE), 4) AS avg_logp
         |FROM documents d LEFT JOIN scored s USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
 
