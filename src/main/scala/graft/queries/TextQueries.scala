@@ -688,7 +688,32 @@ object TextQueries {
     // is a broadcast scalar; the per-doc top-k is a window over the
     // (doc, term) scores — nothing pairwise, nothing densified.
     "text_tfidf" -> ((s, dir) =>
-      tfidf(docs(s, dir), 3).orderBy("doc_id", "rank"))
+      tfidf(docs(s, dir), 3).orderBy("doc_id", "rank")),
+
+    // the end-to-end corpus-assembly verdict a training pipeline
+    // applies per document: exact-dup canonical election AND quality
+    // filter AND decontamination AND train-split membership — composed
+    // from the SAME building blocks the standalone queries use, so
+    // each leg keeps its proven scale shape (hash window, scan-speed
+    // expressions, gram semi-join, md5 bucket); the composition adds
+    // only doc_id equi-joins.
+    "text_corpus_clean" -> ((s, dir) => {
+      val exact = queries("text_exact_dedup")(s, dir)
+        .select(col("doc_id"), col("is_canonical"))
+      val quality = queries("text_filter_pipeline")(s, dir)
+        .select(col("doc_id"), col("keep").as("quality_ok"))
+      val contam = queries("text_contamination")(s, dir)
+        .select(col("doc_id"), lit(true).as("contam_hit"))
+      val split = queries("text_split")(s, dir).select("doc_id", "split")
+      exact.join(quality, Seq("doc_id")).join(split, Seq("doc_id"))
+        .join(contam, Seq("doc_id"), "left")
+        .withColumn("contaminated", coalesce(col("contam_hit"), lit(false)))
+        .withColumn("keep", col("is_canonical") && col("quality_ok") &&
+          !col("contaminated") && (col("split") === "train"))
+        .select("doc_id", "is_canonical", "quality_ok", "contaminated",
+          "split", "keep")
+        .orderBy("doc_id")
+    })
   )
 
   /** Temperature-resampling core (spec-testable): per-source weight =
@@ -1293,6 +1318,68 @@ object TextQueries {
         |      ORDER BY tfidf DESC, w ASC) AS BIGINT) AS rank
         |  FROM scored)
         |SELECT doc_id, rank, w, tfidf FROM ranked
-        |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin
+        |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+
+    // composition of the exact-dedup, filter-pipeline, split, and
+    // contamination oracle fragments above, joined on doc_id.
+    "text_corpus_clean" ->
+      s"""WITH hx AS (
+         |  SELECT doc_id, md5(text) AS h FROM documents
+         |), exact AS (
+         |  SELECT doc_id, doc_id = min(doc_id) OVER (PARTITION BY h) AS is_canonical
+         |  FROM hx
+         |), w AS (
+         |  SELECT doc_id, text, string_split_regex(text, '\\s+') AS ws FROM documents
+         |), g3 AS (
+         |  SELECT doc_id, text, ws,
+         |    CASE WHEN len(ws) >= 3 THEN
+         |      list_transform(generate_series(1, len(ws) - 2),
+         |        i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+         |    ELSE CAST([] AS VARCHAR[]) END AS g
+         |  FROM w
+         |), stats AS (
+         |  SELECT doc_id,
+         |    len(ws) AS nw, length(text) AS nc,
+         |    len(regexp_extract_all(text, '[A-Za-z]')) AS na,
+         |    len(regexp_extract_all(lower(text), '\\b(the|a|of|and|in|to|is)\\b')) AS ns,
+         |    round(CASE WHEN len(g) > 0
+         |      THEN 1.0 - len(list_distinct(g)) / CAST(len(g) AS DOUBLE)
+         |      ELSE 0.0 END, 6) AS dup_frac
+         |  FROM g3
+         |), quality AS (
+         |  SELECT doc_id,
+         |    coalesce(nw >= 20 AND nw <= 5000, false)
+         |      AND coalesce(na / nullif(nc, 0) >= 0.6, false)
+         |      AND coalesce(ns / nullif(nw, 0) >= 0.05, false)
+         |      AND coalesce(dup_frac <= 0.05, false) AS quality_ok
+         |  FROM stats
+         |), lab AS (
+         |  SELECT doc_id,
+         |    CASE WHEN CAST(concat('0x', substr(md5('split|' || CAST(doc_id AS VARCHAR)), 1, 4)) AS INTEGER) < ${(65536 * 0.90).toLong} THEN 'train'
+         |         WHEN CAST(concat('0x', substr(md5('split|' || CAST(doc_id AS VARCHAR)), 1, 4)) AS INTEGER) < ${(65536 * 0.95).toLong} THEN 'val'
+         |         ELSE 'test' END AS split
+         |  FROM documents
+         |), g4 AS (
+         |  SELECT doc_id, unnest(list_distinct(
+         |    CASE WHEN len(ws) >= 4 THEN
+         |      list_transform(generate_series(1, len(ws) - 3),
+         |        i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3])
+         |    ELSE CAST([] AS VARCHAR[]) END)) AS g
+         |  FROM w
+         |), tg AS (
+         |  SELECT DISTINCT g4.g FROM g4 JOIN lab USING (doc_id) WHERE split = 'test'
+         |), contam AS (
+         |  SELECT DISTINCT g4.doc_id FROM g4 JOIN lab USING (doc_id)
+         |  WHERE split = 'train' AND g4.g IN (SELECT g FROM tg)
+         |)
+         |SELECT e.doc_id, e.is_canonical, q.quality_ok,
+         |  (c.doc_id IS NOT NULL) AS contaminated, lab.split,
+         |  e.is_canonical AND q.quality_ok AND c.doc_id IS NULL
+         |    AND lab.split = 'train' AS keep
+         |FROM exact e
+         |JOIN quality q USING (doc_id)
+         |JOIN lab USING (doc_id)
+         |LEFT JOIN contam c ON c.doc_id = e.doc_id
+         |ORDER BY e.doc_id""".stripMargin
   )
 }
