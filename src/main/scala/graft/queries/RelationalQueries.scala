@@ -251,7 +251,25 @@ object RelationalQueries {
           coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
           coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
           col("g_status"), col("g_priority"), col("revenue"), col("n"))
-        .orderBy("g_status", "g_priority", "status", "priority"))
+        .orderBy("g_status", "g_priority", "status", "priority")),
+
+    // NTILE quartile banding per priority with per-band price ranges —
+    // deterministic via the (price, key) tie-broken ordering; the
+    // window partitions by priority so each band sort is per-group,
+    // never a global sort.
+    "rel_ntile" -> ((s, dir) => {
+      val w = Window.partitionBy("o_orderpriority")
+        .orderBy(col("price").asc, col("o_orderkey").asc)
+      Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          dec(col("o_totalprice")).as("price"))
+        .withColumn("quartile", ntile(4).over(w).cast("long"))
+        .groupBy("o_orderpriority", "quartile")
+        .agg(count(lit(1)).as("n"),
+          min(col("price")).cast("double").as("min_price"),
+          max(col("price")).cast("double").as("max_price"))
+        .orderBy("o_orderpriority", "quartile")
+    })
   )
 
   val oracle: Map[String, String] = Map(
@@ -391,6 +409,19 @@ object RelationalQueries {
         |FROM orders
         |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
         |ORDER BY g_status, g_priority, status, priority""".stripMargin,
+
+    "rel_ntile" ->
+      """WITH t AS (
+        |  SELECT o_orderpriority,
+        |    CAST(o_totalprice AS DECIMAL(18,2)) AS price, o_orderkey,
+        |    ntile(4) OVER (PARTITION BY o_orderpriority
+        |      ORDER BY CAST(o_totalprice AS DECIMAL(18,2)) ASC, o_orderkey ASC) AS quartile
+        |  FROM orders)
+        |SELECT o_orderpriority, CAST(quartile AS BIGINT) AS quartile,
+        |       count(*) AS n,
+        |       CAST(min(price) AS DOUBLE) AS min_price,
+        |       CAST(max(price) AS DOUBLE) AS max_price
+        |FROM t GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "rel_customer_activity" ->
       """WITH active AS (
