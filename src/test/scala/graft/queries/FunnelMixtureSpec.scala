@@ -175,6 +175,83 @@ class FunnelMixtureSpec extends AnyFunSuite {
     }
   }
 
+  // --- randomized invariants (seeded, repo convention) -------------
+
+  test("lm score invariants hold on random corpora") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(41)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps")
+    val d = (1L to 60L).map { i =>
+      val n = rnd.nextInt(8) // 0..7 words
+      (i, Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }.toDF("doc_id", "text")
+    val wordCounts = d.collect()
+      .map(r => r.getLong(0) -> r.getString(1).split("\\s+").length).toMap
+    TextQueries.lmScore(d).collect().foreach { r =>
+      val (id, nBg) = (r.getLong(0), r.getLong(1))
+      // a doc with w words has exactly max(0, w-1) bigrams
+      assert(nBg == math.max(0, wordCounts(id) - 1), s"doc $id")
+      // add-1 smoothed probabilities never exceed 1 → log-probs ≤ 0
+      if (nBg > 0) assert(r.getDouble(2) <= 0.0, s"doc $id positive logp")
+      else assert(r.isNullAt(2))
+    }
+  }
+
+  test("temperature sampling's expected keep volume never exceeds the budget") {
+    import spark.implicits._
+    for (seed <- Seq(5, 17)) {
+      val rnd = new scala.util.Random(seed)
+      val d = (1L to 200L)
+        .map(i => (i, s"src${rnd.nextInt(7)}", 20L + rnd.nextInt(500)))
+        .toDF("doc_id", "source", "n_chars")
+      val perSrc = TextQueries.temperatureSample(d)
+        .groupBy("source")
+        .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n"),
+          org.apache.spark.sql.functions.first("rate").as("rate"))
+        .collect().map(r => (r.getLong(1), r.getDouble(2)))
+      val expectedKeep = perSrc.map { case (n, rate) => n * rate }.sum
+      val budget = 200 * 0.5
+      assert(expectedKeep <= budget * 1.001,
+        s"seed $seed: expected $expectedKeep > budget $budget")
+      perSrc.foreach { case (_, rate) => assert(rate > 0.0 && rate <= 1.0) }
+    }
+  }
+
+  test("shard export covers arbitrary sparse id sets exactly once") {
+    val rnd = new scala.util.Random(23)
+    val ids = Set.fill(80)(rnd.nextLong().abs % 1000000007L)
+    val d = docsOf(ids.toSeq.map(i => (i, "s", 1L)))
+    val rows = TextQueries.shardExport(d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.map(_._1).toSet == ids)
+    rows.groupBy(_._2).foreach { case (_, members) =>
+      assert(members.map(_._3).sorted.toSeq == (1L to members.size).toSeq)
+    }
+  }
+
+  test("funnel output is internally consistent on random event streams") {
+    val types = Vector("signup", "view", "purchase", "click")
+    for (seed <- Seq(3, 31)) {
+      val rnd = new scala.util.Random(seed)
+      val ev = events((1 to 400).map(_ =>
+        (rnd.nextInt(20).toLong, types(rnd.nextInt(types.size)),
+          rnd.nextInt(100000).toLong)))
+      val signupUsers = ev.filter("event_type = 'signup'")
+        .select("user_id").distinct().count()
+      val rows = EventQueries.funnel(ev).collect()
+      assert(rows.length == signupUsers) // exactly the signed-up users
+      rows.foreach { r =>
+        val stage = r.getLong(4)
+        val (s, v, p) = (r.getTimestamp(1), r.getTimestamp(2), r.getTimestamp(3))
+        assert(s != null)
+        assert((v != null) == (stage >= 2) && (p != null) == (stage == 3))
+        if (v != null) assert(!v.before(s))
+        if (p != null) assert(!p.before(v))
+      }
+    }
+  }
+
   test("shard export is deterministic and decorrelates adjacent doc ids") {
     val d = docsOf((0L until 64L).map(i => (i, "s", 10L)))
     def run() = TextQueries.shardExport(d).orderBy("doc_id").collect()
