@@ -152,15 +152,18 @@ object EventQueries {
       anomalies(Tables.events(s, dir)).orderBy("event_type", "hour"))
   )
 
-  /** Volume-anomaly core: hourly counts per type, |z| > 2 against the
-    * type's own hourly distribution. Moments from exact integer sums
-    * so the derived doubles are partition-order independent. */
-  def anomalies(ev: DataFrame, zThreshold: Double = 2.0): DataFrame = {
-    val hourly = ev
-      .groupBy(col("event_type"),
-        floor(col("ts").cast("long") / 3600L).cast("long").as("hour"))
-      .agg(count(lit(1)).as("n"))
-    val stats = hourly.groupBy("event_type")
+  private def hourlyCounts(ev: DataFrame): DataFrame = ev
+    .groupBy(col("event_type"),
+      floor(col("ts").cast("long") / 3600L).cast("long").as("hour"))
+    .agg(count(lit(1)).as("n"))
+
+  /** Per-type (mean, std) of the hourly count distribution — the
+    * baseline both the batch anomaly query and the streaming monitor
+    * ([[graft.streaming.EventStreams.anomalies]]) score against.
+    * Moments from exact integer sums so the derived doubles are
+    * partition-order independent. */
+  def hourlyBaseline(ev: DataFrame): DataFrame =
+    hourlyCounts(ev).groupBy("event_type")
       .agg(count(lit(1)).as("n_hours"), sum(col("n")).as("sum_n"),
         sum(col("n") * col("n")).as("sum_sq"))
       .withColumn("mean",
@@ -171,17 +174,20 @@ object EventQueries {
             / col("n_hours").cast("double"))
           / (col("n_hours").cast("double") - 1.0)))
       .select("event_type", "mean", "std")
+
+  /** Volume-anomaly core: hourly counts per type, |z| > 2 against the
+    * type's own hourly distribution. */
+  def anomalies(ev: DataFrame, zThreshold: Double = 2.0): DataFrame =
     // nullif guard: a flat series has std = 0 and 0/0 = NaN, which
     // Spark orders ABOVE every number — without the guard every hour
     // of a constant-rate type would be "anomalous". Null z drops out
     // of the filter in both engines instead.
-    hourly.join(broadcast(stats), "event_type")
+    hourlyCounts(ev).join(broadcast(hourlyBaseline(ev)), "event_type")
       .withColumn("z",
         (col("n").cast("double") - col("mean")) / nullif(col("std"), lit(0.0)))
       .filter(abs(col("z")) > zThreshold)
       .select(col("event_type"), col("hour"), col("n"),
         round(col("z"), 6).as("z"))
-  }
 
   /** Ordered-funnel core: per user, first signup, first view
     * at-or-after that signup, first purchase at-or-after that view,

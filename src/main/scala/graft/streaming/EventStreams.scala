@@ -41,6 +41,30 @@ object EventStreams {
       .select(col("user_id"), col("sw.start").as("session_start"),
         col("sw.end").as("session_end"), col("n_events"), col("total_value"))
 
+  /** Streaming volume-anomaly flags — the continuous twin of
+    * [[graft.queries.EventQueries.anomalies]]: hourly counts per type
+    * (tumbling window, streaming-safe) joined against a BATCH-derived
+    * per-type baseline (mean/std of the historical hourly
+    * distribution), emitting windows whose |z| clears the threshold.
+    * The baseline is a tiny static frame (one row per type) →
+    * broadcast to the stream; splitting "stats from history, scoring
+    * on the stream" is exactly how a production monitor runs — the
+    * baseline refreshes on a slow cadence while scoring is per
+    * micro-batch, and no unbounded state accumulates beyond the
+    * watermarked hour windows. */
+  def anomalies(events: DataFrame, baseline: DataFrame,
+      zThreshold: Double = 2.0): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .join(broadcast(baseline.select("event_type", "mean", "std")),
+        "event_type")
+      .withColumn("z",
+        (col("n").cast("double") - col("mean")) / nullif(col("std"), lit(0.0)))
+      .filter(abs(col("z")) > zThreshold)
+      .select(col("event_type"), col("w.start").as("window_start"),
+        col("n"), round(col("z"), 6).as("z"))
+
   /** Stream-stream interval join — the streaming twin of
     * [[graft.ext.RangeJoin]]: each left row joined to right rows of
     * the same key with `rightTs` in `[leftTs - lowerSec, leftTs]`.

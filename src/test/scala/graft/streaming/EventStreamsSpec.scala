@@ -65,4 +65,37 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(batch.count(_.getLong(0) == 1L) == 2)
     assert(batch.count(_.getLong(0) == 2L) == 1)
   }
+
+  test("streaming anomaly flags equal the batch query against the same baseline") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // 23 quiet hours at 2 clicks + one 40-click spike hour
+    val anomalyRows =
+      (0 until 23).flatMap(h => Seq(
+        (1L, ts(h * 60 + 10), "click", 1.0), (2L, ts(h * 60 + 20), "click", 1.0))) ++
+        (1 to 40).map(u => (u.toLong, ts(23 * 60 + 30), "click", 1.0))
+    val batchDf = anomalyRows.toDF("user_id", "ts", "event_type", "value")
+    val baseline = graft.queries.EventQueries.hourlyBaseline(batchDf)
+
+    val mem = MemoryStream[(Long, Timestamp, String, Double)]
+    val streamDf = mem.toDF().toDF("user_id", "ts", "event_type", "value")
+    val q = EventStreams.anomalies(
+      EventStreams.withEventTimeWatermark(streamDf), baseline)
+      .writeStream.format("memory").queryName("anomaly_out")
+      .outputMode("complete").start()
+    mem.addData(anomalyRows: _*)
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark.table("anomaly_out")
+      .select(col("event_type"),
+        (col("window_start").cast("long") / 3600L).cast("long").as("hour"),
+        col("n"), col("z"))
+      .orderBy("event_type", "hour").collect().toSeq
+    val batch = graft.queries.EventQueries.anomalies(batchDf)
+      .orderBy("event_type", "hour").collect().toSeq
+    assert(streamed == batch && batch.nonEmpty)
+    // exactly the spike hour, in both
+    assert(batch.size == 1 && batch.head.getLong(2) == 40L)
+  }
 }
