@@ -60,6 +60,38 @@ object MultimodalQueries {
         Tables.documents(s, dir), "doc_id", "text", "text/plain")
       Multimodal.sampleFrames(media, 4).toDF()
         .orderBy("media_id", "frame_idx")
+    }),
+
+    // image dedup by DECODED content: signature over genuinely decoded
+    // pixel statistics (dims + per-channel means), hash-grouped with
+    // min-id canonical election — the text_exact_dedup shape applied
+    // to images, at scan + one groupBy-key shuffle. The synthetic
+    // corpus makes it honest: ids congruent mod 256 encode to
+    // DIFFERENT PNG byte streams of IDENTICAL pixels (same dims, same
+    // color), so byte-level hashing misses them and only the decode
+    // stage finds them. For photographs, swap the signature for a
+    // perceptual hash (dHash) computed in the same decode pass; the
+    // dedup shape is unchanged.
+    "mm_dedup" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      import s.implicits._
+      val media = Tables.documents(s, dir)
+        .select(col("doc_id").cast("long")).as[Long]
+        .mapPartitions(_.map(id =>
+          Multimodal.MediaRecord(id, "image/png", Multimodal.syntheticPng(id))))
+      val feats = Multimodal.extractFeatures(media, Multimodal.ImageIoDecoder).toDF()
+      val sig = feats.select(col("media_id"), concat_ws("x",
+        element_at(col("feature"), 1).cast("long"),
+        element_at(col("feature"), 2).cast("long"),
+        round(element_at(col("feature"), 3)).cast("long"),
+        round(element_at(col("feature"), 4)).cast("long"),
+        round(element_at(col("feature"), 5)).cast("long")).as("sig"))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("sig")
+      sig.withColumn("canonical_id", min(col("media_id")).over(w))
+        .withColumn("group_size", count(lit(1)).over(w))
+        .withColumn("is_dup", col("media_id") =!= col("canonical_id"))
+        .select("media_id", "sig", "canonical_id", "group_size", "is_dup")
+        .orderBy("media_id")
     })
   )
 
@@ -99,6 +131,23 @@ object MultimodalQueries {
         |  FROM f CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS k) k
         |  WHERE len * (k.k + 1) // 4 > len * k.k // 4)
         |SELECT media_id, frame_idx, "offset", frame_bytes, frame_hash
-        |FROM frames ORDER BY media_id, frame_idx""".stripMargin
+        |FROM frames ORDER BY media_id, frame_idx""".stripMargin,
+
+    // the twin derives the decoded-pixel signature from doc_id
+    // arithmetic (solid-color contract), never touching pixels.
+    "mm_dedup" ->
+      """WITH s AS (
+        |  SELECT doc_id AS media_id,
+        |    concat_ws('x',
+        |      CAST(8 + doc_id % 8 AS VARCHAR), CAST(8 AS VARCHAR),
+        |      CAST(doc_id % 256 AS VARCHAR),
+        |      CAST((doc_id * 7) % 256 AS VARCHAR),
+        |      CAST((doc_id * 13) % 256 AS VARCHAR)) AS sig
+        |  FROM documents)
+        |SELECT media_id, sig,
+        |  min(media_id) OVER (PARTITION BY sig) AS canonical_id,
+        |  count(*) OVER (PARTITION BY sig) AS group_size,
+        |  media_id <> min(media_id) OVER (PARTITION BY sig) AS is_dup
+        |FROM s ORDER BY media_id""".stripMargin
   )
 }
