@@ -30,24 +30,50 @@ object Memo {
       case _ => false
     }
   }
-  private val memo = mutable.Map.empty[(SessionKey, String), DataFrame]
+  private val memo =
+    mutable.Map.empty[(SessionKey, String), scala.concurrent.Future[DataFrame]]
 
   private def prune(): Unit =
     memo.filterInPlace { case ((k, _), _) => !k.s.sparkContext.isStopped }
 
+  /** Per-key build execution: the global lock covers only the map
+    * lookup/registration, never the build itself, so DIFFERENT keys
+    * build as genuinely concurrent Spark jobs (Bench's warm-index
+    * threads rely on this); concurrent callers of the SAME key block
+    * on its future instead of re-building. A failed build is removed
+    * so the next caller retries rather than caching the failure. */
   def cached(spark: SparkSession, key: String)(
-      build: => DataFrame): DataFrame = synchronized {
-    prune()
-    memo.getOrElseUpdate((new SessionKey(spark), key), build.cache())
+      build: => DataFrame): DataFrame = {
+    val k = (new SessionKey(spark), key)
+    val owned = synchronized {
+      prune()
+      memo.get(k) match {
+        case Some(f) => Right(f)
+        case None =>
+          val p = scala.concurrent.Promise[DataFrame]()
+          memo.update(k, p.future)
+          Left(p)
+      }
+    }
+    owned match {
+      case Left(p) =>
+        val res = scala.util.Try(build.cache())
+        if (res.isFailure) synchronized { memo.remove(k) }
+        p.complete(res)
+        res.get
+      case Right(f) =>
+        scala.concurrent.Await.result(f, scala.concurrent.duration.Duration.Inf)
+    }
   }
 
   /** Unpersist and drop every entry owned by `spark`. Safe to call on
     * a stopped session (entries are just dropped). */
   def invalidate(spark: SparkSession): Unit = synchronized {
     prune()
-    memo.filterInPlace { case ((k, _), df) =>
+    memo.filterInPlace { case ((k, _), f) =>
       if (k.s eq spark) {
-        if (!spark.sparkContext.isStopped) df.unpersist()
+        if (!spark.sparkContext.isStopped)
+          f.value.foreach(_.foreach(_.unpersist()))
         false
       } else true
     }

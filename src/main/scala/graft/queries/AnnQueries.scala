@@ -176,9 +176,14 @@ object AnnQueries {
 
   /** Mirrors the Spark side exactly: per-element division by the norm
     * (prenormalized vectors), then an index-ordered dot product. */
+  // nullif/coalesce guard: Ann.prepared defines cos(zero-vector, x)
+  // = 0 (zero-norm rows normalize to the zero vector, never dup /
+  // never match). A bare division by nrm = 0 would give NaN here, and
+  // DuckDB orders NaN above every number — a zero-norm vector would
+  // "clear" every cosine threshold the Spark side says it misses.
   private def cosSql(qv: String, nv: String, qn: String, nn: String): String =
-    s"round(list_sum(list_transform(generate_series(1, len($qv)), " +
-      s"i -> ($qv[i] / $qn) * ($nv[i] / $nn))), 6)"
+    s"round(coalesce(list_sum(list_transform(generate_series(1, len($qv)), " +
+      s"i -> ($qv[i] / nullif($qn, 0)) * ($nv[i] / nullif($nn, 0)))), 0), 6)"
 
   val oracle: Map[String, String] = Map(
     "ann_topk" ->

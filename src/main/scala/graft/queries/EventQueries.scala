@@ -157,37 +157,51 @@ object EventQueries {
       floor(col("ts").cast("long") / 3600L).cast("long").as("hour"))
     .agg(count(lit(1)).as("n"))
 
-  /** Per-type (mean, std) of the hourly count distribution — the
-    * baseline both the batch anomaly query and the streaming monitor
-    * ([[graft.streaming.EventStreams.anomalies]]) score against.
-    * Moments from exact integer sums so the derived doubles are
-    * partition-order independent. */
-  def hourlyBaseline(ev: DataFrame): DataFrame =
-    hourlyCounts(ev).groupBy("event_type")
+  /** Per-type (mean, std) of an hourly-count frame. Moments from
+    * exact integer sums so the derived doubles are partition-order
+    * independent. Two NaN traps are closed here: a type seen in only
+    * ONE hour has a 0/0 sample variance (n_hours-1 = 0) and is
+    * excluded — one observation has no distribution to deviate from —
+    * and the sum_sq - sum²/n cancellation is clamped at 0 so large
+    * counts can never produce sqrt(-ε) = NaN. (NaN matters doubly:
+    * both engines order NaN ABOVE every number, so a NaN std would
+    * flag EVERY hour of that type.) */
+  private def baselineOf(hourly: DataFrame): DataFrame =
+    hourly.groupBy("event_type")
       .agg(count(lit(1)).as("n_hours"), sum(col("n")).as("sum_n"),
         sum(col("n") * col("n")).as("sum_sq"))
+      .filter(col("n_hours") >= 2)
       .withColumn("mean",
         col("sum_n").cast("double") / col("n_hours").cast("double"))
-      .withColumn("std", sqrt(
+      .withColumn("std", sqrt(greatest(lit(0.0),
         (col("sum_sq").cast("double")
           - col("sum_n").cast("double") * col("sum_n").cast("double")
             / col("n_hours").cast("double"))
-          / (col("n_hours").cast("double") - 1.0)))
+          / (col("n_hours").cast("double") - 1.0))))
       .select("event_type", "mean", "std")
 
+  /** Per-type (mean, std) of the hourly count distribution — the
+    * baseline both the batch anomaly query and the streaming monitor
+    * ([[graft.streaming.EventStreams.anomalies]]) score against. */
+  def hourlyBaseline(ev: DataFrame): DataFrame =
+    baselineOf(hourlyCounts(ev))
+
   /** Volume-anomaly core: hourly counts per type, |z| > 2 against the
-    * type's own hourly distribution. */
-  def anomalies(ev: DataFrame, zThreshold: Double = 2.0): DataFrame =
-    // nullif guard: a flat series has std = 0 and 0/0 = NaN, which
-    // Spark orders ABOVE every number — without the guard every hour
-    // of a constant-rate type would be "anomalous". Null z drops out
-    // of the filter in both engines instead.
-    hourlyCounts(ev).join(broadcast(hourlyBaseline(ev)), "event_type")
+    * type's own hourly distribution. The hourly frame is materialized
+    * once (localCheckpoint — it is types × hours, tiny at any corpus
+    * size) and feeds BOTH the baseline and the scoring join, so the
+    * raw events table is scanned once, not twice. */
+  def anomalies(ev: DataFrame, zThreshold: Double = 2.0): DataFrame = {
+    val hourly = hourlyCounts(ev).localCheckpoint(true)
+    // nullif guard: a flat series has std = 0 and 0/0 = NaN — null z
+    // drops out of the filter in both engines instead.
+    hourly.join(broadcast(baselineOf(hourly)), "event_type")
       .withColumn("z",
         (col("n").cast("double") - col("mean")) / nullif(col("std"), lit(0.0)))
       .filter(abs(col("z")) > zThreshold)
       .select(col("event_type"), col("hour"), col("n"),
         round(col("z"), 6).as("z"))
+  }
 
   /** Ordered-funnel core: per user, first signup, first view
     * at-or-after that signup, first purchase at-or-after that view,
@@ -366,11 +380,12 @@ object EventQueries {
         |stats AS (
         |  SELECT event_type,
         |    CAST(sum(n) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean,
-        |    sqrt((CAST(sum(n * n) AS DOUBLE)
+        |    sqrt(greatest(0.0, (CAST(sum(n * n) AS DOUBLE)
         |          - CAST(sum(n) AS DOUBLE) * CAST(sum(n) AS DOUBLE)
         |            / CAST(count(*) AS DOUBLE))
-        |         / (CAST(count(*) AS DOUBLE) - 1.0)) AS std
-        |  FROM hourly GROUP BY 1)
+        |         / (CAST(count(*) AS DOUBLE) - 1.0))) AS std
+        |  FROM hourly GROUP BY 1
+        |  HAVING count(*) >= 2)
         |SELECT h.event_type, h.hour, h.n,
         |       round((CAST(h.n AS DOUBLE) - s.mean) / nullif(s.std, 0), 6) AS z
         |FROM hourly h JOIN stats s USING (event_type)

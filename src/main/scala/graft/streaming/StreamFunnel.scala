@@ -91,8 +91,15 @@ object StreamFunnel {
             val saturated = prev.saturated || kept.size < incoming.size
             val events = prev.events ++ kept
             val snapshot = compute(events)
+            // emit on snapshot change OR on the saturation transition:
+            // a buffer that fills can never change its snapshot again,
+            // so without the second clause the saturated=true flag
+            // would never reach downstream ("latest row wins" would
+            // show a silently-lossy user as clean forever).
+            val saturationFlip = saturated && !prev.saturated
             val out = snapshot match {
-              case Some(snap @ (stage, s, v, p)) if !prev.lastEmitted.contains(snap) =>
+              case Some(snap @ (stage, s, v, p))
+                  if !prev.lastEmitted.contains(snap) || saturationFlip =>
                 Iterator(FunnelRow(uid, stage, new Timestamp(s),
                   v.map(new Timestamp(_)), p.map(new Timestamp(_)), saturated))
               case _ => Iterator.empty

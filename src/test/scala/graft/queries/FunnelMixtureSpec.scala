@@ -156,10 +156,10 @@ class FunnelMixtureSpec extends AnyFunSuite {
     val got = TextQueries.tfidf(d, 3).orderBy("doc_id", "rank").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3)))
     assert(got.toSeq == Seq(
-      (1L, 1L, "cat", 2.197225), (1L, 2L, "dog", 0.405465),
+      (1L, 1L, "cat", 2.1972), (1L, 2L, "dog", 0.4055),
       // doc 2: dog and fish tie at ln(1.5) → alphabetical order
-      (2L, 1L, "dog", 0.405465), (2L, 2L, "fish", 0.405465),
-      (3L, 1L, "fish", 1.216395), (3L, 2L, "bird", 1.098612)))
+      (2L, 1L, "dog", 0.4055), (2L, 2L, "fish", 0.4055),
+      (3L, 1L, "fish", 1.2164), (3L, 2L, "bird", 1.0986)))
   }
 
   // --- shard export ------------------------------------------------

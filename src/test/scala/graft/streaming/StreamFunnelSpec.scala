@@ -92,6 +92,30 @@ class StreamFunnelSpec extends AnyFunSuite {
     assert(last._2 == ts(120) && last._3 == ts(130))
   }
 
+  test("saturation transition emits even when the snapshot cannot change") {
+    implicit val s = spark
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[(Long, String, Timestamp)]
+    val df = mem.toDF().toDF("user_id", "event_type", "ts")
+    val q = StreamFunnel.funnelUpdates(df, maxEvents = 4)
+      .writeStream.format("memory").queryName("funnel_sat")
+      .outputMode("append").start()
+    mem.addData((11L, "signup", ts(100)), (11L, "view", ts(200)))
+    q.processAllAvailable()
+    // 5 more views: 2 fit the buffer, 3 drop — the funnel snapshot is
+    // unchanged (first view stays 200) but the row must re-emit with
+    // saturated=true or downstream would show the user as clean forever
+    mem.addData((300L to 700L by 100L).map(t => (11L, "view", ts(t))): _*)
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("funnel_sat").orderBy("saturated").collect()
+    assert(rows.length == 2)
+    assert(!rows(0).getBoolean(5) && rows(1).getBoolean(5))
+    // same snapshot on both rows — only the flag changed
+    assert(rows(0).getTimestamp(3) == ts(200) && rows(1).getTimestamp(3) == ts(200))
+  }
+
   test("maxEvents cap bounds state and flags saturation") {
     implicit val s = spark
     val chatty = (1L to 50L).map(i => (9L, "view", 100L + i)) :+
