@@ -49,4 +49,48 @@ class MemoSpec extends AnyFunSuite {
     assert(builds === 1)
     Memo.invalidate(spark)
   }
+
+  test("builds for DIFFERENT keys overlap; SAME key builds once under contention") {
+    import spark.implicits._
+    import java.util.concurrent.CountDownLatch
+    // different keys: each build blocks until BOTH have started — only
+    // possible if neither holds a global lock while building
+    val bothStarted = new CountDownLatch(2)
+    def slowBuild(v: Int) = {
+      bothStarted.countDown()
+      assert(bothStarted.await(30, java.util.concurrent.TimeUnit.SECONDS),
+        "builds serialized: the second never started while the first ran")
+      Seq(v).toDF("v")
+    }
+    val t1 = new Thread(() => Memo.cached(spark, "memo-conc-a")(slowBuild(1)))
+    val t2 = new Thread(() => Memo.cached(spark, "memo-conc-b")(slowBuild(2)))
+    t1.start(); t2.start(); t1.join(60000); t2.join(60000)
+    assert(Memo.cached(spark, "memo-conc-a")(fail("rebuilt")).head().getInt(0) === 1)
+    assert(Memo.cached(spark, "memo-conc-b")(fail("rebuilt")).head().getInt(0) === 2)
+
+    // same key raced by two threads: exactly one build runs, the
+    // loser blocks on the winner's future and gets the same frame
+    val builds = new java.util.concurrent.atomic.AtomicInteger(0)
+    val results = new java.util.concurrent.ConcurrentLinkedQueue[Int]()
+    def counted = { builds.incrementAndGet(); Thread.sleep(100); Seq(7).toDF("v") }
+    val ts = (1 to 2).map(_ => new Thread(() =>
+      results.add(Memo.cached(spark, "memo-conc-c")(counted).head().getInt(0))))
+    ts.foreach(_.start()); ts.foreach(_.join(60000))
+    assert(builds.get === 1)
+    assert(results.size === 2 && results.stream().allMatch(_ == 7))
+    Memo.invalidate(spark)
+  }
+
+  test("a failed build is retried, not cached") {
+    import spark.implicits._
+    var attempts = 0
+    intercept[RuntimeException] {
+      Memo.cached(spark, "memo-fail") {
+        attempts += 1; throw new RuntimeException("boom")
+      }
+    }
+    val ok = Memo.cached(spark, "memo-fail") { attempts += 1; Seq(3).toDF("v") }
+    assert(attempts === 2 && ok.head().getInt(0) === 3)
+    Memo.invalidate(spark)
+  }
 }
