@@ -718,7 +718,31 @@ object TextQueries {
         .select("doc_id", "is_canonical", "quality_ok", "contaminated",
           "split", "keep")
         .orderBy("doc_id")
-    })
+    }),
+
+    // one-row corpus profile — the first query run against a new
+    // corpus: sizes, source/lang cardinalities, token volume, exact
+    // duplication rate. Single pass + distinct aggregates; at 100 TB
+    // swap the exact countDistincts for the HLL sketches
+    // rel_sketch_stats demonstrates (same shape, mergeable state).
+    "text_corpus_stats" -> ((s, dir) =>
+      docs(s, dir)
+        .select(col("source"), col("lang"), col("n_chars"),
+          size(TextOps.words(col("text"))).cast("long").as("n_tokens"),
+          md5(col("text")).as("h"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          countDistinct(col("source")).as("n_sources"),
+          countDistinct(col("lang")).as("n_langs"),
+          sum(col("n_chars")).as("total_chars"),
+          sum(col("n_tokens")).as("total_tokens"),
+          countDistinct(col("h")).as("n_distinct_docs"))
+        .withColumn("exact_dup_rate",
+          round((col("n_docs") - col("n_distinct_docs")).cast("double")
+            / col("n_docs").cast("double"), 6))
+        .withColumn("mean_doc_tokens",
+          round(col("total_tokens").cast("double")
+            / col("n_docs").cast("double"), 4)))
   )
 
   /** Temperature-resampling core (spec-testable): per-source weight =
@@ -1388,6 +1412,25 @@ object TextQueries {
          |JOIN quality q USING (doc_id)
          |JOIN lab USING (doc_id)
          |LEFT JOIN contam c ON c.doc_id = e.doc_id
-         |ORDER BY e.doc_id""".stripMargin
+         |ORDER BY e.doc_id""".stripMargin,
+
+    // DuckDB sum(BIGINT) widens to HUGEINT — cast back for dtype parity.
+    "text_corpus_stats" ->
+      """WITH base AS (
+        |  SELECT source, lang, n_chars,
+        |    CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS n_tokens,
+        |    md5(text) AS h
+        |  FROM documents)
+        |SELECT count(*) AS n_docs,
+        |  count(DISTINCT source) AS n_sources,
+        |  count(DISTINCT lang) AS n_langs,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+        |  count(DISTINCT h) AS n_distinct_docs,
+        |  round(CAST(count(*) - count(DISTINCT h) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE), 6) AS exact_dup_rate,
+        |  round(CAST(sum(n_tokens) AS DOUBLE) / CAST(count(*) AS DOUBLE), 4)
+        |    AS mean_doc_tokens
+        |FROM base""".stripMargin
   )
 }
