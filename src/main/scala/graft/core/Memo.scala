@@ -57,10 +57,23 @@ object Memo {
     }
     owned match {
       case Left(p) =>
-        val res = scala.util.Try(build.cache())
-        if (res.isFailure) synchronized { memo.remove(k) }
-        p.complete(res)
-        res.get
+        // scala.util.Try only catches NonFatal: a fatal error (OOM,
+        // LinkageError) or InterruptedException in the build would
+        // propagate past it, leaving the promise registered but never
+        // completed — every later caller of this key would then hang
+        // forever at Await. The finally completes the promise with a
+        // placeholder failure and removes the entry in ALL exit paths,
+        // so fatal build failures can't wedge the key (ADVICE r7).
+        var res: scala.util.Try[DataFrame] = scala.util.Failure(
+          new IllegalStateException(
+            s"Memo build for '$key' terminated abnormally (fatal error?)"))
+        try {
+          res = scala.util.Try(build.cache())
+          res.get
+        } finally {
+          if (res.isFailure) synchronized { memo.remove(k) }
+          p.tryComplete(res)
+        }
       case Right(f) =>
         scala.concurrent.Await.result(f, scala.concurrent.duration.Duration.Inf)
     }
@@ -72,8 +85,17 @@ object Memo {
     prune()
     memo.filterInPlace { case ((k, _), f) =>
       if (k.s eq spark) {
-        if (!spark.sparkContext.isStopped)
-          f.value.foreach(_.foreach(_.unpersist()))
+        if (!spark.sparkContext.isStopped) f.value match {
+          case Some(v) => v.foreach(_.unpersist())
+          case None =>
+            // in-flight build: the entry is dropped now, so when the
+            // build finishes its cached DataFrame would stay persisted
+            // but unreachable through Memo until session stop (ADVICE
+            // r7) — unpersist it the moment it materializes instead.
+            f.onComplete(_.foreach { df =>
+              if (!spark.sparkContext.isStopped) df.unpersist()
+            })(scala.concurrent.ExecutionContext.global)
+        }
         false
       } else true
     }
