@@ -71,8 +71,19 @@ object Memo {
           res = scala.util.Try(build.cache())
           res.get
         } finally {
-          if (res.isFailure) synchronized { memo.remove(k) }
-          p.tryComplete(res)
+          // Remove-before-complete so a waiter that observes the
+          // failure can immediately retry against a clean map. The
+          // remove is (a) conditional on the entry still being OUR
+          // promise — an invalidate racing mid-build may have already
+          // dropped it and a fresh builder registered a new in-flight
+          // entry we must not evict (ADVICE r8) — and (b) wrapped so a
+          // throw during an OOM cascade can't skip tryComplete and
+          // re-wedge the waiters the finally exists to free.
+          try {
+            if (res.isFailure) synchronized {
+              if (memo.get(k).exists(_ eq p.future)) memo.remove(k)
+            }
+          } finally p.tryComplete(res)
         }
       case Right(f) =>
         scala.concurrent.Await.result(f, scala.concurrent.duration.Duration.Inf)
@@ -93,7 +104,10 @@ object Memo {
             // but unreachable through Memo until session stop (ADVICE
             // r7) — unpersist it the moment it materializes instead.
             f.onComplete(_.foreach { df =>
-              if (!spark.sparkContext.isStopped) df.unpersist()
+              // Try: the context can stop between the isStopped check
+              // and unpersist; a throw here would only spam the global
+              // EC's uncaught reporter (ADVICE r8).
+              scala.util.Try { if (!spark.sparkContext.isStopped) df.unpersist() }
             })(scala.concurrent.ExecutionContext.global)
         }
         false

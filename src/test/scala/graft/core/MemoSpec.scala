@@ -81,6 +81,69 @@ class MemoSpec extends AnyFunSuite {
     Memo.invalidate(spark)
   }
 
+  test("a FATAL build error fails waiting callers instead of hanging, and clears the key") {
+    import spark.implicits._
+    import java.util.concurrent.{CountDownLatch, TimeUnit}
+    val waiterRegistered = new CountDownLatch(1)
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    // Builder: waits until a second caller is blocked on its future,
+    // then dies with a fatal (non-NonFatal) error that Try won't catch.
+    val before = Memo.size
+    val builder = new Thread(() =>
+      try Memo.cached(spark, "memo-fatal") {
+        assert(waiterRegistered.await(30, TimeUnit.SECONDS))
+        Thread.sleep(200) // let the waiter reach Await
+        throw new LinkageError("fatal-test")
+      } catch { case _: LinkageError => () })
+    builder.start()
+    val waiter = new Thread(() =>
+      try Memo.cached(spark, "memo-fatal")(fail("waiter must not build"))
+      catch { case t: Throwable => failures.add(t) })
+    // Start the waiter only after the builder owns the key, so the
+    // waiter lands on the Await path.
+    while (Memo.size == before && builder.isAlive) Thread.sleep(10)
+    waiter.start(); waiterRegistered.countDown()
+    builder.join(60000); waiter.join(60000)
+    assert(!waiter.isAlive, "waiter hung on a fatally-failed build")
+    assert(failures.size === 1, s"waiter should fail, got: $failures")
+    // and the key is clear: the next caller rebuilds successfully
+    val ok = Memo.cached(spark, "memo-fatal") { Seq(9).toDF("v") }
+    assert(ok.head().getInt(0) === 9)
+    Memo.invalidate(spark)
+  }
+
+  test("invalidate during an in-flight build unpersists the frame once it materializes") {
+    import spark.implicits._
+    import java.util.concurrent.{CountDownLatch, TimeUnit}
+    val buildStarted = new CountDownLatch(1)
+    val invalidated = new CountDownLatch(1)
+    @volatile var built: org.apache.spark.sql.DataFrame = null
+    val builder = new Thread(() => {
+      built = Memo.cached(spark, "memo-inflight") {
+        buildStarted.countDown()
+        assert(invalidated.await(30, TimeUnit.SECONDS))
+        Seq(5).toDF("v")
+      }
+    })
+    builder.start()
+    assert(buildStarted.await(30, TimeUnit.SECONDS))
+    Memo.invalidate(spark) // entry is in-flight: dropped now, unpersist deferred
+    invalidated.countDown()
+    builder.join(60000)
+    assert(built != null)
+    // the deferred onComplete unpersist fires on the global EC — poll
+    val deadline = System.nanoTime() + TimeUnit.SECONDS.toNanos(30)
+    while (built.storageLevel.useMemory && System.nanoTime() < deadline)
+      Thread.sleep(50)
+    assert(!built.storageLevel.useMemory,
+      "in-flight build's cache survived invalidate")
+    // the entry itself was dropped at invalidate time: next call rebuilds
+    var rebuilt = false
+    Memo.cached(spark, "memo-inflight") { rebuilt = true; Seq(6).toDF("v") }
+    assert(rebuilt, "invalidate left the in-flight entry registered")
+    Memo.invalidate(spark)
+  }
+
   test("a failed build is retried, not cached") {
     import spark.implicits._
     var attempts = 0
