@@ -61,11 +61,17 @@ object Multimodal {
       val w = img.getWidth
       val h = img.getHeight
       var sr = 0L; var sg = 0L; var sb = 0L
+      // Bulk row reads: one color-model conversion per ROW via the
+      // array form of getRGB, not one per pixel — the per-pixel
+      // getRGB(x, y) does a full ColorModel round-trip each call,
+      // which dominated mm_dedup's decode cost (VERDICT r8 #2).
+      val row = new Array[Int](w)
       var y = 0
       while (y < h) {
+        img.getRGB(0, y, w, 1, row, 0, w)
         var x = 0
         while (x < w) {
-          val rgb = img.getRGB(x, y)
+          val rgb = row(x)
           sr += (rgb >> 16) & 0xff
           sg += (rgb >> 8) & 0xff
           sb += rgb & 0xff
@@ -98,12 +104,9 @@ object Multimodal {
       ((id * 13) % 256).toInt
     val img = new java.awt.image.BufferedImage(
       w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val row = Array.fill(w)(rgb)
     var y = 0
-    while (y < h) {
-      var x = 0
-      while (x < w) { img.setRGB(x, y, rgb); x += 1 }
-      y += 1
-    }
+    while (y < h) { img.setRGB(0, y, w, 1, row, 0, w); y += 1 }
     val bos = new java.io.ByteArrayOutputStream()
     javax.imageio.ImageIO.write(img, "png", bos)
     bos.toByteArray

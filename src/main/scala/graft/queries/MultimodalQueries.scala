@@ -13,6 +13,23 @@ import org.apache.spark.sql.functions._
   * not float formatting. */
 object MultimodalQueries {
 
+  /** The synthetic-PNG encode + real ImageIO decode, Memo-cached per
+    * (session, sf dir): mm_decode and mm_dedup share one
+    * materialization instead of each re-encoding and re-decoding the
+    * whole corpus (VERDICT r8 #2). At production scale this is the
+    * decoded-features table a pipeline would materialize once and
+    * query many times. */
+  private def decodedFeatures(s: SparkSession, dir: String): DataFrame =
+    graft.core.Memo.cached(s, s"mm_decoded:$dir") {
+      implicit val sp: SparkSession = s
+      import s.implicits._
+      val media = Tables.documents(s, dir)
+        .select(col("doc_id").cast("long")).as[Long]
+        .mapPartitions(_.map(id =>
+          Multimodal.MediaRecord(id, "image/png", Multimodal.syntheticPng(id))))
+      Multimodal.extractFeatures(media, Multimodal.ImageIoDecoder).toDF()
+    }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_features" -> ((s, dir) => {
       implicit val sp: SparkSession = s
@@ -36,13 +53,7 @@ object MultimodalQueries {
     // bytes, so the DuckDB twin recomputes every output column from
     // doc_id arithmetic without decoding anything.
     "mm_decode" -> ((s, dir) => {
-      implicit val sp: SparkSession = s
-      import s.implicits._
-      val media = Tables.documents(s, dir)
-        .select(col("doc_id").cast("long")).as[Long]
-        .mapPartitions(_.map(id =>
-          Multimodal.MediaRecord(id, "image/png", Multimodal.syntheticPng(id))))
-      val feats = Multimodal.extractFeatures(media, Multimodal.ImageIoDecoder).toDF()
+      val feats = decodedFeatures(s, dir)
       feats.select(col("media_id"),
         element_at(col("feature"), 1).cast("long").as("width"),
         element_at(col("feature"), 2).cast("long").as("height"),
@@ -73,13 +84,7 @@ object MultimodalQueries {
     // perceptual hash (dHash) computed in the same decode pass; the
     // dedup shape is unchanged.
     "mm_dedup" -> ((s, dir) => {
-      implicit val sp: SparkSession = s
-      import s.implicits._
-      val media = Tables.documents(s, dir)
-        .select(col("doc_id").cast("long")).as[Long]
-        .mapPartitions(_.map(id =>
-          Multimodal.MediaRecord(id, "image/png", Multimodal.syntheticPng(id))))
-      val feats = Multimodal.extractFeatures(media, Multimodal.ImageIoDecoder).toDF()
+      val feats = decodedFeatures(s, dir)
       val sig = feats.select(col("media_id"), concat_ws("x",
         element_at(col("feature"), 1).cast("long"),
         element_at(col("feature"), 2).cast("long"),
