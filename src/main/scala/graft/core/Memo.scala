@@ -1,6 +1,7 @@
 package graft.core
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.storage.StorageLevel
 import scala.collection.mutable
 
 /** Per-session memoization of expensive shared intermediates (the
@@ -42,7 +43,8 @@ object Memo {
     * threads rely on this); concurrent callers of the SAME key block
     * on its future instead of re-building. A failed build is removed
     * so the next caller retries rather than caching the failure. */
-  def cached(spark: SparkSession, key: String)(
+  def cached(spark: SparkSession, key: String,
+      level: StorageLevel = StorageLevel.MEMORY_AND_DISK)(
       build: => DataFrame): DataFrame = {
     val k = (new SessionKey(spark), key)
     val owned = synchronized {
@@ -68,7 +70,14 @@ object Memo {
           new IllegalStateException(
             s"Memo build for '$key' terminated abnormally (fatal error?)"))
         try {
-          res = scala.util.Try(build.cache())
+          // Explicit storage level (default MEMORY_AND_DISK): memory
+          // pressure SPILLS cached blocks to local disk instead of
+          // dropping them, so an expensive index (LSH signatures, the
+          // dedup pipeline) can degrade to disk reads but never
+          // silently falls back to a full recompute mid-bench — at
+          // 100× scale an evicted signature index rebuild is a full
+          // corpus re-shingle (VERDICT r8).
+          res = scala.util.Try(build.persist(level))
           res.get
         } finally {
           // Remove-before-complete so a waiter that observes the
@@ -92,10 +101,17 @@ object Memo {
 
   /** Unpersist and drop every entry owned by `spark`. Safe to call on
     * a stopped session (entries are just dropped). */
-  def invalidate(spark: SparkSession): Unit = synchronized {
+  def invalidate(spark: SparkSession): Unit = invalidate(spark, "")
+
+  /** Unpersist and drop `spark`'s entries whose key starts with
+    * `keyPrefix` ("" = all). Lets a multi-family workload (Bench)
+    * release one family's indexes before the next family runs,
+    * bounding the storage-memory high-water instead of accumulating
+    * every index for the whole pass. */
+  def invalidate(spark: SparkSession, keyPrefix: String): Unit = synchronized {
     prune()
-    memo.filterInPlace { case ((k, _), f) =>
-      if (k.s eq spark) {
+    memo.filterInPlace { case ((k, key), f) =>
+      if ((k.s eq spark) && key.startsWith(keyPrefix)) {
         if (!spark.sparkContext.isStopped) f.value match {
           case Some(v) => v.foreach(_.unpersist())
           case None =>

@@ -30,6 +30,11 @@ object MultimodalQueries {
       Multimodal.extractFeatures(media, Multimodal.ImageIoDecoder).toDF()
     }
 
+  /** Materialize the Memo'd decode stage (Bench warm-up hook — see
+    * TextQueries.warmIndexes). */
+  def warmIndexes(s: SparkSession, dir: String): Unit =
+    decodedFeatures(s, dir).count(): Unit
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_features" -> ((s, dir) => {
       implicit val sp: SparkSession = s

@@ -206,7 +206,9 @@ object TextQueries {
     * repetitions all share one materialization instead of re-running
     * the gram explode each time. */
   private def contamTestGrams(s: SparkSession, dir: String): DataFrame =
-    graft.core.Memo.cached(s, s"contam_test_grams:$dir") {
+    // key is "text_"-prefixed so Bench's per-family prefix
+    // invalidation releases it with the rest of the text indexes
+    graft.core.Memo.cached(s, s"text_contam_grams:$dir") {
       contamGrams(s, dir, "test").select("g").distinct().localCheckpoint(true)
     }
 
