@@ -219,18 +219,20 @@ object RelationalQueries {
           col("g_status"), col("g_priority"), col("revenue"), col("n"))
         .orderBy("g_status", "g_priority", "status", "priority")),
 
-    // semi/anti joins: per nation, customers with vs without orders.
+    // semi/anti in ONE pass: per nation, customers with vs without
+    // orders. A left_semi + left_anti pair against the same fact
+    // projection scans (and shuffles) orders twice; instead join the
+    // distinct active keys once with an exists flag and split the
+    // counts in a single conditional aggregation — at 100 TB that
+    // halves the dominant fact-table scan (VERDICT r8 #3).
     "rel_customer_activity" -> ((s, dir) => {
       val c = Tables.customer(s, dir)
-      val o = Tables.orders(s, dir).select(col("o_custkey"))
-      val active = c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
-        .groupBy("c_nationkey").agg(count(lit(1)).as("n_active"))
-      val inactive = c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
-        .groupBy("c_nationkey").agg(count(lit(1)).as("n_inactive"))
-      active.join(inactive, Seq("c_nationkey"), "full_outer")
-        .select(col("c_nationkey"),
-          coalesce(col("n_active"), lit(0L)).as("n_active"),
-          coalesce(col("n_inactive"), lit(0L)).as("n_inactive"))
+      val activeKeys = Tables.orders(s, dir).select(col("o_custkey"))
+        .distinct().withColumn("has_order", lit(true))
+      c.join(activeKeys, c("c_custkey") === col("o_custkey"), "left_outer")
+        .groupBy("c_nationkey")
+        .agg(count(when(col("has_order"), 1)).as("n_active"),
+          count(when(col("has_order").isNull, 1)).as("n_inactive"))
         .orderBy("c_nationkey")
     }),
 

@@ -38,6 +38,17 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), p.take(2000))
   }
 
+  test("customer activity scans the orders fact table exactly once") {
+    assume(new java.io.File(s"$sfDir/orders.parquet").exists())
+    // the semi+anti split must stay a single-pass conditional
+    // aggregation: two scans of the fact table here doubles the
+    // dominant I/O at 100 TB
+    val p = plan("rel_customer_activity")
+    val ordersScans = p.linesIterator.count(l =>
+      l.contains("FileScan parquet") && l.contains("orders.parquet"))
+    assert(ordersScans === 1, s"expected 1 orders scan, got $ordersScans:\n${p.take(3000)}")
+  }
+
   test("filter pipeline is shuffle-free up to the presentation sort") {
     assume(new java.io.File(s"$sfDir/documents.parquet").exists())
     val p = plan("text_filter_pipeline")
