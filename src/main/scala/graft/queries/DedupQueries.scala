@@ -60,6 +60,24 @@ object DedupQueries {
         .select("a_name", "b_name", "ratio", "token_match", "pair_conf")
         .orderBy("a_name", "b_name")),
 
+    // J1 under an sf1-gradable bound: identical qualifying-pair
+    // semantics, restricted to blocks holding <= 1000 distinct names.
+    // The unbounded dedup_pairs twin is oracle-infeasible at sf1 (the
+    // scaled supplier block is 9000 names -> 40.5M SQL JW pairs), so
+    // THIS query is what the 10x sweep grades for the pair join: at
+    // sf0.1 and below it covers every supplier block (bit-identical
+    // surface to dedup_pairs); at sf1 it pins the small-block subset
+    // while the capped/sorted twins pin the governed path.
+    "dedup_pairs_smallblock" -> ((s, dir) => {
+      val stats = Matching.nameStats(derivedSupplier(s, dir))
+      val bn = org.apache.spark.sql.expressions.Window.partitionBy("block_key")
+      val small = stats.withColumn("_bn", count(lit(1)).over(bn))
+        .filter(col("_bn") <= 1000).drop("_bn")
+      Matching.qualifyingPairs(small)
+        .select("a_name", "b_name", "ratio", "token_match", "pair_conf")
+        .orderBy("a_name", "b_name")
+    }),
+
     // J1 at adversarial scale: customer names are all-distinct and
     // land in ONE block (15k names -> 112M pairs at sf0.1). The
     // salted pair join spreads the quadratic work across cores;
@@ -190,6 +208,29 @@ object DedupQueries {
          |       ${Sql.pairConf("jaro_winkler_similarity(a.base_name, b.base_name)",
                 s"(${Sql.tokenKey("a.base_name")} = ${Sql.tokenKey("b.base_name")})")} AS pair_conf
          |FROM stats a JOIN stats b
+         |  ON a.block_key = b.block_key AND a.base_name < b.base_name
+         |WHERE ((${Sql.tokenKey("a.base_name")} = ${Sql.tokenKey("b.base_name")})
+         |       AND jaro_winkler_similarity(a.base_name, b.base_name) >= 0.85)
+         |   OR jaro_winkler_similarity(a.base_name, b.base_name) >= 0.90
+         |ORDER BY a_name, b_name""".stripMargin,
+
+    "dedup_pairs_smallblock" ->
+      s"""${Sql.derivedCte("supplier", "s_suppkey", "s_name")},
+         |stats AS (
+         |  SELECT block_key, base_name, count(*) AS n_rows,
+         |         min(row_order) AS min_row, max(row_order) AS max_row
+         |  FROM derived WHERE base_name <> '' GROUP BY 1, 2
+         |), sizes AS (
+         |  SELECT block_key, count(*) AS bn FROM stats GROUP BY 1
+         |), small AS (
+         |  SELECT s.* FROM stats s JOIN sizes z USING (block_key) WHERE z.bn <= 1000
+         |)
+         |SELECT a.base_name AS a_name, b.base_name AS b_name,
+         |       jaro_winkler_similarity(a.base_name, b.base_name) AS ratio,
+         |       (${Sql.tokenKey("a.base_name")} = ${Sql.tokenKey("b.base_name")}) AS token_match,
+         |       ${Sql.pairConf("jaro_winkler_similarity(a.base_name, b.base_name)",
+                s"(${Sql.tokenKey("a.base_name")} = ${Sql.tokenKey("b.base_name")})")} AS pair_conf
+         |FROM small a JOIN small b
          |  ON a.block_key = b.block_key AND a.base_name < b.base_name
          |WHERE ((${Sql.tokenKey("a.base_name")} = ${Sql.tokenKey("b.base_name")})
          |       AND jaro_winkler_similarity(a.base_name, b.base_name) >= 0.85)

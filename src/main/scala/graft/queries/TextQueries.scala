@@ -235,6 +235,19 @@ object TextQueries {
     "text_lsh_pairs" -> ((s, dir) =>
       lshPairs(s, dir).orderBy("a_id", "b_id")),
 
+    // the same verified LSH join over a 25% deterministic doc sample
+    // (doc_id % 4 = 0). Per-doc signatures are independent, so
+    // restricting the corpus commutes with the whole pipeline — the
+    // sample's pairs are bit-identical to running LSH on the sampled
+    // corpus. This twin exists for the 10x sweep: the full-corpus
+    // DuckDB oracle is infeasible at sf1 (>10 min), the sample grades
+    // the same code path in ~5 s. Also the production pattern for
+    // tuning band/threshold params on a 100 TB corpus: measure on a
+    // deterministic slice before paying for the full join.
+    "text_lsh_pairs_sample" -> ((s, dir) =>
+      lshPairs(s, dir, Some(docs(s, dir).filter(col("doc_id") % 4 === 0)))
+        .orderBy("a_id", "b_id")),
+
     // data-visible skew audit of the LSH band join (the text
     // counterpart of dedup_governor): bucket-count distribution and
     // the candidate-pair volume it implies. At 100 TB this one row
@@ -884,6 +897,12 @@ object TextQueries {
        |  SELECT doc_id, count(*) AS n FROM sh GROUP BY 1
        |)""".stripMargin
 
+  /** [[shingleCte]] over the 25% deterministic sample — the only
+    * difference is the corpus restriction in the `w` CTE, exactly
+    * mirroring the Spark side's semi-join on sampled doc_ids. */
+  private val shingleCteSample: String =
+    shingleCte.replace("FROM documents", "FROM documents WHERE doc_id % 4 = 0")
+
   /** SimHash signature table CTE (shared by the signature and pair
     * queries). */
   private val simhashCte: String = {
@@ -925,6 +944,26 @@ object TextQueries {
 
     "text_lsh_pairs" ->
       s"""$shingleCte, $bandsCte, cand AS (
+         |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+         |), inter AS (
+         |  SELECT c.a_id, c.b_id, count(*) AS i
+         |  FROM cand c
+         |  JOIN sh sa ON sa.doc_id = c.a_id
+         |  JOIN sh sb ON sb.doc_id = c.b_id AND sa.s = sb.s
+         |  GROUP BY 1, 2
+         |)
+         |SELECT i.a_id, i.b_id,
+         |       i.i / (ca.n + cb.n - i.i) AS jaccard
+         |FROM inter i
+         |JOIN shcnt ca ON ca.doc_id = i.a_id
+         |JOIN shcnt cb ON cb.doc_id = i.b_id
+         |WHERE i.i / (ca.n + cb.n - i.i) >= $JaccardThreshold
+         |ORDER BY a_id, b_id""".stripMargin,
+
+    "text_lsh_pairs_sample" ->
+      s"""$shingleCteSample, $bandsCte, cand AS (
          |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
          |  FROM bands a JOIN bands b
          |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
