@@ -17,6 +17,9 @@ import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
   * in-process and reports the MEDIAN: a single-run bench measured
   * byte-identical code 32% apart across rounds (JIT, page cache,
   * sandbox load), which makes per-query regressions unactionable.
+  * A query whose rep spread is still bad after the base reps gets up
+  * to 4 extra reps (adaptive re-measure, see the inline comment) so
+  * transient machine-level stalls can't shift its median.
   *
   * Queries run grouped by FAMILY (name prefix: ann, dedup+enrich,
   * events, mm, rel, text), each family's shared Memo indexes built
@@ -124,16 +127,35 @@ object Bench {
           val d = fn(spark, sfDir); d.count()
           nExchanges = countShuffles(d.queryExecution.executedPlan)
         } catch { case _: Throwable => () }
-        val times = (1 to reps).map { _ =>
+        def timeOne(): Double = {
           val t0 = System.nanoTime()
           try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
           (System.nanoTime() - t0) / 1e9
-        }.sorted
+        }
+        def medianOf(ts: Seq[Double]): Double =
+          if (ts.size % 2 == 1) ts(ts.size / 2)
+          else (ts(ts.size / 2 - 1) + ts(ts.size / 2)) / 2
+        var times = (1 to reps).map(_ => timeOne()).sorted
+        // Adaptive re-measure: the residual noise source on this box is
+        // a multi-second external stall (scheduler/writeback from OTHER
+        // processes — r9 measured the same binary at 39s and 59s totals
+        // with the spikes landing on DIFFERENT queries each pass, and
+        // an isolated RepProbe of a "rising" query was flat). A spike
+        // hits 1-2 reps of a random query; with only 3 reps one bad rep
+        // already blows the spread and can shift the median. When the
+        // spread is both relatively (>0.5×median) and absolutely
+        // (>0.25s) bad, take extra reps so the median is over 5-7
+        // samples and outvotes the transient. ALL reps stay in the
+        // artifact — a genuinely bimodal query (real cache-lifecycle
+        // bug) still shows its slow reps in min/max/spread.
+        val maxExtra = 4
+        var extra = 0
+        while (extra < maxExtra && {
+          val m = medianOf(times)
+          m > 0 && (times.last - times.head) / m > 0.5 && times.last - times.head > 0.25
+        }) { times = (times :+ timeOne()).sorted; extra += 1 }
         val storageHw = storageMb()
-        val median =
-          if (times.size % 2 == 1) times(times.size / 2)
-          else (times(times.size / 2 - 1) + times(times.size / 2)) / 2
-        (name, times, median, nExchanges, storageHw)
+        (name, times, medianOf(times), nExchanges, storageHw)
       }
       // release this family's Memo indexes before the next family
       // runs, then take the GC hit HERE, between families, instead of
@@ -163,7 +185,7 @@ object Bench {
     // run AND rounds 6-8's median-of-3-with-cold-rep: same "total"
     // name, systematically lower value — downstream trend tooling must
     // not compare them silently.
-    val method = s"warm+median-of-$reps"
+    val method = s"warm+median-of-$reps+adaptive"
     val artifact =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","method":"$method","index_build":${fmt(indexBuild)},""" +
         s""""warm":$warmJson,"max_spread":${fmt(maxSpread)},""" +

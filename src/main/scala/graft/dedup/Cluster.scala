@@ -34,6 +34,22 @@ object Cluster {
 
   private val log = org.slf4j.LoggerFactory.getLogger(getClass)
 
+  /** Drop the persisted blocks behind an eager `localCheckpoint` the
+    * moment the frame is superseded. Left alone, checkpoint blocks
+    * survive until the driver GCs the frame AND ContextCleaner runs
+    * (periodic GC defaults to 30 min) — an iterative loop therefore
+    * keeps O(iterations) copies of the edge set resident. Harmless at
+    * sf0.1; at 100 TB the superseded copies of a billions-of-edges
+    * set evict everything else in the storage pool. Unpersist is
+    * idempotent and non-blocking; a frame that isn't checkpoint-backed
+    * is left untouched. */
+  private def release(df: DataFrame): Unit =
+    df.queryExecution.analyzed.foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        scala.util.Try(lr.rdd.unpersist(false))
+      case _ => ()
+    }
+
   /** @param edges undirected edges, columns (src: long, dst: long);
     *              either direction suffices; duplicates tolerated.
     * @return (id: long, component: long) for every node appearing in
@@ -48,13 +64,22 @@ object Cluster {
       .localCheckpoint(true)
     val edgeCount = sym.count()
 
-    if (edgeCount <= localThreshold) return localEdgeCC(sym)
+    // every regime either collects its answer to the driver or
+    // returns an independently-checkpointed frame, so the symmetrized
+    // edge set is dead the moment the regime returns — release it
+    // rather than waiting out the GC + ContextCleaner cycle
+    if (edgeCount <= localThreshold) {
+      val r = localEdgeCC(sym); release(sym); return r
+    }
 
     // both directions are present, so src alone covers every node
     val nodeCount = sym.agg(approx_count_distinct(col("src"), 0.02))
       .head().getLong(0)
-    if (nodeCount <= localThreshold) minEdgeContractionCC(sym, maxIter)
-    else labelPropagationCC(sym, maxIter)
+    val result =
+      if (nodeCount <= localThreshold) minEdgeContractionCC(sym, maxIter)
+      else labelPropagationCC(sym, maxIter)
+    release(sym)
+    result
   }
 
   /** Regime 1: collect + path-compressed union-find. */
@@ -112,6 +137,7 @@ object Cluster {
         // map-side relabel: two broadcast hash joins, no edge shuffle;
         // distinct's map-side partial agg shrinks the shuffle to the
         // contracted edge set
+        val prev = e
         e = e.join(mapDf, col("src") === col("_n"), "left")
           .select(coalesce(col("_r"), col("src")).as("src"), col("dst"))
           .join(mapDf, col("dst") === col("_n"), "left")
@@ -119,6 +145,10 @@ object Cluster {
           .filter(col("src") =!= col("dst"))
           .distinct()
           .localCheckpoint(true)
+        // the eager checkpoint above materialized the new edge set, so
+        // the previous round's copy is dead — release it now (sym0,
+        // round 0's value, belongs to the caller and is skipped)
+        if (prev ne sym0) release(prev)
         done = e.isEmpty
         iter += 1
       }
@@ -129,6 +159,7 @@ object Cluster {
     if (!done) log.warn(
       s"connectedComponents (min-edge contraction) exhausted maxIter=$maxIter " +
         "before convergence — returned components may be under-merged")
+    if (e ne sym0) release(e) // the answer lives in `parent`, not `e`
     parent.keys.toSeq.map(k => (k, find(k))).toDF("id", "component")
   }
 
@@ -160,6 +191,10 @@ object Cluster {
         .join(labels.withColumnRenamed("label", "old").as("o"), Seq("id"))
         .filter(col("label") =!= col("old"))
         .limit(1).count()
+      // `changed` was the last reader of the previous round's labels —
+      // release that checkpoint before looping (the final round's
+      // frame is the return value and stays resident for the caller)
+      release(labels)
       labels = jumped
       converged = changed == 0
       iter += 1

@@ -208,8 +208,15 @@ object TextQueries {
   private def contamTestGrams(s: SparkSession, dir: String): DataFrame =
     // key is "text_"-prefixed so Bench's per-family prefix
     // invalidation releases it with the rest of the text indexes
+    // NO localCheckpoint inside the build: Memo's persist is the
+    // materialization. A checkpoint here double-stores the grams AND
+    // leaks — invalidate can only unpersist the persist layer, the
+    // checkpoint blocks linger until driver GC. The persist layer
+    // (InMemoryRelation) also carries real size stats for the
+    // consumers' broadcast decisions, which a checkpoint's LogicalRDD
+    // does not.
     graft.core.Memo.cached(s, s"text_contam_grams:$dir") {
-      contamGrams(s, dir, "test").select("g").distinct().localCheckpoint(true)
+      contamGrams(s, dir, "test").select("g").distinct()
     }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

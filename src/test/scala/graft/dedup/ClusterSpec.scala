@@ -33,6 +33,32 @@ class ClusterSpec extends AnyFunSuite {
     assert(got.values.toSet == Set(0L, 6L, 7L, 8L, 9L))
   }
 
+  test("iterative regimes release superseded checkpoint blocks") {
+    import spark.implicits._
+    // a 20-node path forces ~5 pointer-jump rounds; before the r9 fix
+    // each round's localCheckpoint (plus the symmetrized edge set and
+    // the initial label frame) stayed persisted until driver GC +
+    // ContextCleaner — ~8 leaked RDDs per call. After the fix only the
+    // RETURNED frame's checkpoint may remain resident. The bound is 4,
+    // not 1, to tolerate suites sharing this session in parallel.
+    val chain = (0L until 19L).map(i => (i, i + 1))
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val got = Cluster.connectedComponents(chain.toDF("src", "dst"), localThreshold = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.values.toSet == Set(0L)) // release must not change the answer
+    val leakedLp = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leakedLp.size <= 4, s"label propagation leaked ${leakedLp.size} persisted RDDs")
+
+    // min-edge contraction returns a driver-built frame: net zero new
+    // persisted RDDs once its per-round checkpoints are released
+    val before2 = spark.sparkContext.getPersistentRDDs.keySet
+    val got2 = Cluster.connectedComponents(chain.toDF("src", "dst"), localThreshold = 25)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got2.values.toSet == Set(0L))
+    val leakedMc = spark.sparkContext.getPersistentRDDs.keySet -- before2
+    assert(leakedMc.size <= 3, s"min-edge contraction leaked ${leakedMc.size} persisted RDDs")
+  }
+
   test("contraction + distributed path agree with union-find on random graphs") {
     import spark.implicits._
     val rnd = new scala.util.Random(23)
