@@ -169,6 +169,23 @@ object Bench {
     val maxSpread = detail.map { case (_, times, median, _, _) =>
       if (median > 0) (times.last - times.head) / median else 0.0
     }.foldLeft(0.0)(math.max)
+    // IQR-based dispersion: raw spread keeps every recorded stall rep
+    // (by design — the artifact must show them), so one environmental
+    // spike blows the headline even when the adaptive reps held the
+    // median. (q3-q1)/median over the SORTED reps discards the tails
+    // the same way the median does: a tight IQR + wide raw spread
+    // reads "steady state stable, transient stall recorded"; a wide
+    // IQR is a genuinely unstable query.
+    def quart(ts: IndexedSeq[Double], f: Double): Double = {
+      val pos = (ts.size - 1) * f
+      val lo = pos.toInt
+      if (lo + 1 < ts.size) ts(lo) + (pos - lo) * (ts(lo + 1) - ts(lo)) else ts(lo)
+    }
+    def iqrSpread(ts: IndexedSeq[Double], median: Double): Double =
+      if (median > 0) (quart(ts, 0.75) - quart(ts, 0.25)) / median else 0.0
+    val maxIqrSpread = detail.map { case (_, times, median, _, _) =>
+      iqrSpread(times.toIndexedSeq, median)
+    }.foldLeft(0.0)(math.max)
     // full artifact: one object per query with every repetition, a
     // relative-spread dispersion column, the shuffle count of the
     // executed plan, and the storage high-water (MB) observed while
@@ -177,6 +194,7 @@ object Bench {
       val spread = if (median > 0) (times.last - times.head) / median else 0.0
       s""""$name":{"reps":[${times.map(fmt).mkString(",")}],"median":${fmt(median)},""" +
         s""""min":${fmt(times.head)},"max":${fmt(times.last)},"spread":${fmt(spread)},""" +
+        s""""iqr_spread":${fmt(iqrSpread(times.toIndexedSeq, median))},""" +
         s""""n_exchanges":$nEx,"storage_mb":$hw}"""
     }.mkString("{", ",", "}")
     val warmJson = warmDetail.map { case (f, s) => s""""$f":${fmt(s)}""" }
@@ -188,7 +206,7 @@ object Bench {
     val method = s"warm+median-of-$reps+adaptive"
     val artifact =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","method":"$method","index_build":${fmt(indexBuild)},""" +
-        s""""warm":$warmJson,"max_spread":${fmt(maxSpread)},""" +
+        s""""warm":$warmJson,"max_spread":${fmt(maxSpread)},"max_iqr_spread":${fmt(maxIqrSpread)},""" +
         s""""n_reps":$reps,"cpus":$cpus,"sf":"$sfDir","queries":$qDetail}"""
     try {
       val p = java.nio.file.Paths.get(outPath)
