@@ -144,6 +144,47 @@ class MemoSpec extends AnyFunSuite {
     Memo.invalidate(spark)
   }
 
+  test("a failing build evicts only its OWN entry, never a racing rebuild's") {
+    import spark.implicits._
+    import java.util.concurrent.{CountDownLatch, TimeUnit}
+    // Race pinned (ADVICE r8): builder A is invalidated mid-build, a
+    // fresh builder B registers a new in-flight entry for the same
+    // key, THEN A's build fails. A's failure-path evict must leave
+    // B's entry alone — an unconditional memo.remove(k) here would
+    // orphan B's cached frame (persisted but unreachable to
+    // invalidate until session stop).
+    val aStarted = new CountDownLatch(1)
+    val aMayFail = new CountDownLatch(1)
+    val aFailed = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val aT = new Thread(() =>
+      try Memo.cached(spark, "memo-race") {
+        aStarted.countDown()
+        assert(aMayFail.await(30, TimeUnit.SECONDS))
+        throw new RuntimeException("a-fails")
+      } catch { case _: RuntimeException => aFailed.set(true) })
+    aT.start()
+    assert(aStarted.await(30, TimeUnit.SECONDS))
+    Memo.invalidate(spark, "memo-race") // drops A's in-flight entry
+    @volatile var bResult: org.apache.spark.sql.DataFrame = null
+    val bT = new Thread(() => {
+      bResult = Memo.cached(spark, "memo-race") {
+        // B's entry is now registered and in-flight: release A and
+        // wait for its failure path (including the finally's evict)
+        // to run to completion before B's own build returns
+        aMayFail.countDown()
+        aT.join(30000)
+        Seq(11).toDF("v")
+      }
+    })
+    bT.start(); bT.join(60000)
+    assert(aFailed.get, "builder A should have failed")
+    assert(bResult != null && bResult.head().getInt(0) === 11)
+    // B's entry survived A's failure-evict: the next call is a hit
+    assert(Memo.cached(spark, "memo-race")(fail("rebuilt: A evicted B's entry"))
+      .head().getInt(0) === 11)
+    Memo.invalidate(spark)
+  }
+
   test("a failed build is retried, not cached") {
     import spark.implicits._
     var attempts = 0
