@@ -42,7 +42,10 @@ object Cluster {
     * sf0.1; at 100 TB the superseded copies of a billions-of-edges
     * set evict everything else in the storage pool. Unpersist is
     * idempotent and non-blocking; a frame that isn't checkpoint-backed
-    * is left untouched. */
+    * is left untouched. Spark logs a WARN per unpersisted checkpoint
+    * ("lineage has been truncated and cannot be recomputed") — benign
+    * here by construction: release is only called on frames whose last
+    * reader has finished. */
   private def release(df: DataFrame): Unit =
     df.queryExecution.analyzed.foreach {
       case lr: org.apache.spark.sql.execution.LogicalRDD =>
