@@ -15,6 +15,18 @@ object TextQueries {
   private val Bands = 6 // LSH bands (r = 2 rows/band)
   private val ShingleK = 2 // word shingle width
   private val JaccardThreshold = 0.08
+  // Hot-bucket governor for the LSH band join (the LSH counterpart of
+  // dedup's maxBlockNames cap): a band bucket with n members implies
+  // n(n-1)/2 candidate pairs, and a degenerate bucket (shared
+  // boilerplate, an exact-copy flood, a band whose two sigs collapse)
+  // grows quadratically while contributing near-zero NEW true pairs —
+  // its members are caught again by their other 5 bands or by the
+  // exact-dedup pre-pass. Shared between the Spark query and its
+  // DuckDB twin via interpolation. 5 exercises the governor at test
+  // scale (sf0.01's max bucket is 7); at 100 TB the operator reads
+  // text_lsh_bucket_stats and sets it to bound per-bucket work, e.g.
+  // a few hundred.
+  private val LshBucketCap = 5
   // Sequence-packing constants, shared between the Spark query and
   // its DuckDB oracle twin (interpolated into the SQL string below)
   // so the two can't silently drift apart.
@@ -83,17 +95,29 @@ object TextQueries {
     * Shared by `text_lsh_pairs` (pair surface) and
     * `text_neardup_clusters` (doc→cluster mapping). */
   private def lshPairs(s: SparkSession, dir: String,
-      onlyDocs: Option[DataFrame] = None): DataFrame = {
+      onlyDocs: Option[DataFrame] = None,
+      bucketCap: Option[Int] = None): DataFrame = {
     val sigs0 = withSigs(s, dir)
     val sigs = onlyDocs.fold(sigs0)(ids =>
       sigs0.join(ids.select("doc_id"), Seq("doc_id"), "left_semi"))
     val banded = sigs.select(col("doc_id") +: (0 until Bands).map(b =>
       TextOps.bandKey(b, Seq(col(s"sig_${2 * b}"), col(s"sig_${2 * b + 1}")))
         .as(s"band_$b")): _*)
-    val bandRows = banded.select(col("doc_id"), explode(array(
+    val bandRowsAll = banded.select(col("doc_id"), explode(array(
       (0 until Bands).map(b => struct(lit(b).as("band"), col(s"band_$b").as("key"))): _*))
       .as("bk"))
       .select(col("doc_id"), col("bk.band"), col("bk.key"))
+    // hot-bucket governor: a count window over (band, key) — NOT a
+    // groupBy + semi-join — because the window's shuffle partitioning
+    // is exactly the self-join's key below, so Catalyst reuses one
+    // exchange instead of adding two more for the join back
+    val bandRows = bucketCap.fold(bandRowsAll) { cap =>
+      bandRowsAll
+        .withColumn("bn",
+          count(lit(1)).over(Window.partitionBy("band", "key")))
+        .filter(col("bn") <= cap)
+        .drop("bn")
+    }
     val cand = bandRows.as("a")
       .join(bandRows.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
@@ -253,6 +277,18 @@ object TextQueries {
     // deterministic slice before paying for the full join.
     "text_lsh_pairs_sample" -> ((s, dir) =>
       lshPairs(s, dir, Some(docs(s, dir).filter(col("doc_id") % 4 === 0)))
+        .orderBy("a_id", "b_id")),
+
+    // the governed LSH join: band buckets over LshBucketCap members
+    // are dropped BEFORE the self-join (count window on the join's
+    // own shuffle key, so the governor adds no exchange). This is the
+    // scale path — text_lsh_pairs grows 33x at 10x data on the
+    // shared-vocab corpus because dense buckets explode
+    // quadratically, while every dropped bucket's members keep their
+    // other Bands-1 chances at candidacy. The cap is interpolated
+    // into the DuckDB twin so both engines govern identically.
+    "text_lsh_pairs_governed" -> ((s, dir) =>
+      lshPairs(s, dir, bucketCap = Some(LshBucketCap))
         .orderBy("a_id", "b_id")),
 
     // data-visible skew audit of the LSH band join (the text
@@ -973,6 +1009,32 @@ object TextQueries {
       s"""$shingleCteSample, $bandsCte, cand AS (
          |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
          |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+         |), inter AS (
+         |  SELECT c.a_id, c.b_id, count(*) AS i
+         |  FROM cand c
+         |  JOIN sh sa ON sa.doc_id = c.a_id
+         |  JOIN sh sb ON sb.doc_id = c.b_id AND sa.s = sb.s
+         |  GROUP BY 1, 2
+         |)
+         |SELECT i.a_id, i.b_id,
+         |       i.i / (ca.n + cb.n - i.i) AS jaccard
+         |FROM inter i
+         |JOIN shcnt ca ON ca.doc_id = i.a_id
+         |JOIN shcnt cb ON cb.doc_id = i.b_id
+         |WHERE i.i / (ca.n + cb.n - i.i) >= $JaccardThreshold
+         |ORDER BY a_id, b_id""".stripMargin,
+
+    "text_lsh_pairs_governed" ->
+      s"""$shingleCte, $bandsCte, keep AS (
+         |  SELECT band, key FROM bands
+         |  GROUP BY band, key HAVING count(*) <= $LshBucketCap
+         |), gbands AS (
+         |  SELECT b.doc_id, b.band, b.key
+         |  FROM bands b JOIN keep k ON b.band = k.band AND b.key = k.key
+         |), cand AS (
+         |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+         |  FROM gbands a JOIN gbands b
          |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
          |), inter AS (
          |  SELECT c.a_id, c.b_id, count(*) AS i
