@@ -917,13 +917,18 @@ object TextQueries {
   // ---------------------------------------------------------------- oracle
 
   /** Shared DuckDB CTEs: whitespace words with positions, distinct
-    * 2-shingles, per-doc signature pivot. */
+    * 2-shingles, per-doc signature pivot. The multiply-referenced
+    * members are MATERIALIZED: DuckDB inlines each CTE reference by
+    * default, so a twin that touches `bands` twice and `sh` twice
+    * re-derives the whole shingle→MinHash pipeline 4+ times — at sf1
+    * that turned a 16 s oracle into a >10 min one (round 9). The hint
+    * is an optimization fence only; results are identical. */
   private val shingleCte: String =
-    s"""WITH w AS (
+    s"""WITH w AS MATERIALIZED (
        |  SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS w,
        |         generate_subscripts(string_split_regex(text, '\\s+'), 1) AS pos
        |  FROM documents
-       |), sh AS (
+       |), sh AS MATERIALIZED (
        |  SELECT DISTINCT a.doc_id, a.w || ' ' || b.w AS s
        |  FROM w a JOIN w b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
        |), sigl AS (
@@ -932,11 +937,11 @@ object TextQueries {
        |                    CAST(i.i % 4 AS INTEGER) * 8 + 1, 8)) AS sig
        |  FROM sh CROSS JOIN (SELECT unnest(generate_series(0, ${NumSigs - 1})) AS i) i
        |  GROUP BY 1, 2
-       |), sigs AS (
+       |), sigs AS MATERIALIZED (
        |  SELECT doc_id,
        |         ${(0 until NumSigs).map(i => s"max(CASE WHEN i = $i THEN sig END) AS sig_$i").mkString(", ")}
        |  FROM sigl GROUP BY 1
-       |), shcnt AS (
+       |), shcnt AS MATERIALIZED (
        |  SELECT doc_id, count(*) AS n FROM sh GROUP BY 1
        |)""".stripMargin
 
@@ -969,7 +974,7 @@ object TextQueries {
     val bandRows = (0 until Bands).map(b =>
       s"SELECT doc_id, $b AS band, md5('$b|' || sig_${2 * b} || sig_${2 * b + 1}) AS key FROM sigs")
       .mkString(" UNION ALL ")
-    s"bands AS ($bandRows)"
+    s"bands AS MATERIALIZED ($bandRows)"
   }
 
   val oracle: Map[String, String] = Map(
@@ -1029,7 +1034,7 @@ object TextQueries {
       s"""$shingleCte, $bandsCte, keep AS (
          |  SELECT band, key FROM bands
          |  GROUP BY band, key HAVING count(*) <= $LshBucketCap
-         |), gbands AS (
+         |), gbands AS MATERIALIZED (
          |  SELECT b.doc_id, b.band, b.key
          |  FROM bands b JOIN keep k ON b.band = k.band AND b.key = k.key
          |), cand AS (
