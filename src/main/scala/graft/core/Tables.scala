@@ -18,12 +18,19 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = read(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame = read(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = read(s, d, "lineitem")
-  /** The driver's events.parquet stores `ts` as INT64
-    * TIMESTAMP(NANOS) which Spark has no native type for — read it as
-    * raw nanos (legacy conf) and convert to a microsecond timestamp
-    * (floor division, matching DuckDB's ns→µs truncation). Scaled-up
-    * copies (tools.ScaleUp) already store native µs timestamps, so
-    * the conversion is dtype-conditional. */
+  /** The driver's events.parquet has stored `ts` three different ways
+    * across testdata generations, so the read is dtype-conditional and
+    * always lands on session-local TIMESTAMP (µs) with the session
+    * timezone pinned to UTC by every entry point:
+    *  - INT64 TIMESTAMP(NANOS) (no native Spark type): read as raw
+    *    nanos via the legacy conf, floor-divide to µs (matching
+    *    DuckDB's ns→µs truncation);
+    *  - µs `isAdjustedToUTC=false` (current driver output): Spark
+    *    infers TIMESTAMP_NTZ, which rejects the epoch casts the event
+    *    queries use (`cast("long")`) — reinterpret as UTC-local
+    *    TIMESTAMP, the same epoch micros the nanos path produced;
+    *  - µs `isAdjustedToUTC=true` (tools.ScaleUp output): already
+    *    TIMESTAMP, pass through. */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = read(s, d, "events")
@@ -31,6 +38,10 @@ object Tables {
       case org.apache.spark.sql.types.LongType =>
         raw.withColumn("ts",
           org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts",
+          org.apache.spark.sql.functions.col("ts")
+            .cast(org.apache.spark.sql.types.TimestampType))
       case _ => raw
     }
   }
