@@ -182,6 +182,60 @@ object Ann {
       .groupBy("query_id", "label")
       .agg(round(sum((col("qx") - col("cval")) * (col("qx") - col("cval"))), 4).as("d2"))
 
+  /** Nearest centroid per vector: the `nProbe = 1` case of IVF
+    * routing — rounded squared-L2 distances ([[centroidDistances]]),
+    * ties broken by the lower label, so the assignment is stable
+    * across engines and partitionings. */
+  def nearestCentroid(vecs: DataFrame, cent: DataFrame): DataFrame = {
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("d2").asc, col("label").asc)
+    centroidDistances(vecs.select(col("vec_id"), col("v")), cent)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("query_id").as("vec_id"), col("label"), col("d2"))
+  }
+
+  /** Deterministic distributed Lloyd's k-means over (vec_id, v) rows
+    * — the operator that PRODUCES the coarse partitions IVF routing
+    * and SemDeDup consume, rather than assuming a label column
+    * already exists. Fully distributed: no driver-side collect at any
+    * step.
+    *
+    * Determinism (the property k-means usually lacks): seeds are the
+    * `k` lowest vec_ids (no RNG), component means run through the
+    * DECIMAL-exact [[centroids]] aggregation (aggregation-order
+    * independent), distances are rounded before ranking, and ties
+    * break on the lower cluster label — so every engine, run and
+    * partitioning converges identically, which is what makes a DuckDB
+    * oracle twin possible at all.
+    *
+    * Scale: each round is (a) a distance join of the n·dim exploded
+    * vectors against the k·dim centroid table — tiny, so Spark
+    * broadcasts it — aggregated back to n·k rows, and (b) one
+    * (label, dim)-keyed mean. Nothing is ever pairwise in n; cost is
+    * O(iters · n · dim · k) compute with only gram-sized shuffles. A
+    * cluster that loses all members simply drops out of the centroid
+    * table (standard Lloyd's degeneracy; deterministic here). */
+  def kmeans(vecs: DataFrame, k: Int, iters: Int): DataFrame = {
+    val base = vecs.select(col("vec_id"), col("v"))
+    val seedW = Window.orderBy("vec_id") // k rows only — single partition is fine
+    var cent = base.orderBy("vec_id").limit(k)
+      .withColumn("label", row_number().over(seedW) - 1)
+      .select(col("label"), posexplode(col("v")).as(Seq("dim", "cval")))
+    for (_ <- 1 to iters) {
+      val labels = nearestCentroid(base, cent)
+      cent = base.join(labels.select("vec_id", "label"), Seq("vec_id"))
+        .select(col("label"), posexplode(col("v")).as(Seq("dim", "x")))
+        .groupBy("label", "dim")
+        .agg((sum(col("x").cast("decimal(28,12)")).cast("double")
+          / count(lit(1))).as("cval"))
+    }
+    val w = Window.partitionBy("cluster")
+    nearestCentroid(base, cent)
+      .select(col("vec_id"), col("label").cast("long").as("cluster"), col("d2"))
+      .withColumn("cluster_size", count(lit(1)).over(w))
+  }
+
   /** IVF search: probe the `nProbe` nearest coarse partitions, then
     * exact top-k cosine within the probed buckets only. */
   def ivfSearch(emb: DataFrame, queries: DataFrame, nProbe: Int, k: Int,

@@ -12,6 +12,8 @@ object AnnQueries {
   private val ProbeIdCap = 25000 // with QueryMod: ≤500 probes at ANY sf
   private val TopK = 5
   private val CosThreshold = 0.30
+  private val KmK = 10 // k-means clusters; matches the generator's label cardinality
+  private val KmIters = 2 // Lloyd's rounds
 
   /** Prepared (normalized) vectors are the shared "index" of all
     * three queries — build and cache once per session. */
@@ -152,6 +154,28 @@ object AnnQueries {
         .agg(count(col("hit")).as("n_hits"),
           round(count(col("hit")) / count(lit(1)), 6).as("recall"))
         .orderBy("query_id")
+    }),
+
+    // deterministic distributed k-means (Lloyd's): the operator that
+    // PRODUCES the coarse partitions ann_ivf / ann_semdedup consume
+    // instead of assuming a label column exists. Seeds = the k lowest
+    // vec_ids, DECIMAL-exact component means, rounded distances with
+    // low-label tie-break — so the clustering is reproducible across
+    // engines/partitionings and a DuckDB twin can grade it. Fully
+    // distributed: no driver collect at any step.
+    "ann_kmeans" -> ((s, dir) =>
+      Ann.kmeans(prep(s, dir), KmK, KmIters).orderBy("vec_id")),
+
+    // the full SemDeDup pipeline end-to-end: k-means clustering over
+    // raw embeddings, then within-cluster greedy cosine dedup — no
+    // pre-existing labels anywhere. Composes the two proven pieces;
+    // the pairwise pass stays per-cluster and salted.
+    "ann_semdedup_kmeans" -> ((s, dir) => {
+      val p = prep(s, dir)
+      val labels = Ann.kmeans(p, KmK, KmIters)
+        .select(col("vec_id"), col("cluster").as("label"))
+      Ann.semDedup(p.join(labels, Seq("vec_id")), minCos = CosThreshold)
+        .orderBy("vec_id")
     })
   )
 
@@ -162,6 +186,45 @@ object AnnQueries {
   /** DuckDB literal for one plane (Double.toString round-trips). */
   private def planeLit(p: Seq[Double]): String =
     p.map(_.toString).mkString("[", ", ", "]")
+
+  /** Lloyd's-iteration CTE chain mirroring [[Ann.kmeans]] — appended
+    * after `prepCte`, produces `asgf` = the final (vec_id, label, d2)
+    * assignment. Seeds = the KmK lowest vec_ids; each round is one
+    * rounded-distance argmin (ties → lower label) and one
+    * DECIMAL-exact component mean, exactly the ann_ivf `cent`/`dist`
+    * fragments the sweep already grades. */
+  private val kmeansCtes: String = {
+    def assign(name: String, centName: String) =
+      s"""dist_$name AS (
+         |  SELECT vec_id, c.label, round(sum((x - cval) * (x - cval)), 4) AS d2
+         |  FROM vdim JOIN $centName c USING (dim) GROUP BY 1, 2
+         |), $name AS (
+         |  SELECT vec_id, label, d2 FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY d2 ASC, label ASC) AS rk FROM dist_$name)
+         |  WHERE rk = 1
+         |)""".stripMargin
+    def update(centName: String, asgName: String) =
+      s"""$centName AS (
+         |  SELECT a.label, d.dim,
+         |         CAST(sum(CAST(d.x AS DECIMAL(28,12))) AS DOUBLE) / count(*) AS cval
+         |  FROM $asgName a JOIN vdim d USING (vec_id) GROUP BY 1, 2
+         |)""".stripMargin
+    val iterated = (1 to KmIters).map(i =>
+      assign(s"asg$i", s"cent${i - 1}") + ",\n" +
+        update(s"cent$i", s"asg$i")).mkString(",\n")
+    s"""vdim AS MATERIALIZED (
+       |  SELECT vec_id, dim - 1 AS dim, x FROM (
+       |    SELECT vec_id, unnest(v) AS x, generate_subscripts(v, 1) AS dim FROM e)
+       |), seeds AS (
+       |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS label, vec_id
+       |  FROM (SELECT vec_id FROM e ORDER BY vec_id LIMIT $KmK)
+       |), cent0 AS (
+       |  SELECT s.label, d.dim, d.x AS cval FROM seeds s JOIN vdim d USING (vec_id)
+       |),
+       |$iterated,
+       |${assign("asgf", s"cent$KmIters")}""".stripMargin
+  }
 
   /** Shared DuckDB fragments. */
   private val prepCte: String =
@@ -323,6 +386,26 @@ object AnnQueries {
     // SemDeDup: same greedy keep-lowest-id rule as the Spark side —
     // a vector is a dup iff a lower-id same-label vector clears the
     // cosine threshold; min such id = dup_of.
+    "ann_kmeans" ->
+      s"""$prepCte, $kmeansCtes
+         |SELECT vec_id, CAST(label AS BIGINT) AS cluster, d2,
+         |       CAST(count(*) OVER (PARTITION BY label) AS BIGINT) AS cluster_size
+         |FROM asgf ORDER BY vec_id""".stripMargin,
+
+    "ann_semdedup_kmeans" ->
+      s"""$prepCte, $kmeansCtes, nl AS MATERIALIZED (
+         |  SELECT n.vec_id, CAST(a.label AS BIGINT) AS label, n.v, n.nrm
+         |  FROM n JOIN asgf a USING (vec_id)
+         |), dups AS (
+         |  SELECT b.vec_id AS vec_id, min(a.vec_id) AS dup_of
+         |  FROM nl a JOIN nl b ON a.label = b.label AND a.vec_id < b.vec_id
+         |  WHERE ${cosSql("a.v", "b.v", "a.nrm", "b.nrm")} >= $CosThreshold
+         |  GROUP BY 1
+         |)
+         |SELECT nl.vec_id, nl.label, d.dup_of, d.dup_of IS NOT NULL AS is_dup
+         |FROM nl LEFT JOIN dups d USING (vec_id)
+         |ORDER BY vec_id""".stripMargin,
+
     "ann_semdedup" ->
       s"""$prepCte, dups AS (
          |  SELECT b.vec_id AS vec_id, min(a.vec_id) AS dup_of

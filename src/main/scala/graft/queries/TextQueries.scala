@@ -38,6 +38,17 @@ object TextQueries {
   private val TempSampleFrac = 0.5
   private val ExportShards = 8 // at 100 TB = desired output file count
 
+  // Gopher-rule stopword list (Rae et al. 2021 appendix A: a doc must
+  // contain ≥2 of these) — shared between the Spark query and its
+  // DuckDB twin via interpolation.
+  private val GopherStops = Seq(
+    "the", "be", "to", "of", "and", "that", "have", "with")
+  // DSIR hashed-feature bucket count and target slice. The paper uses
+  // 10k buckets over wiki-targeted corpora; 64 keeps every bucket
+  // populated at test SF while exercising the identical shape.
+  private val DsirBuckets = 64
+  private val DsirTargetLang = "en"
+
   /** Stopword lists for the n-gram language heuristic. */
   private val LangStops: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "and", "of", "to", "a", "in", "is"),
@@ -800,7 +811,23 @@ object TextQueries {
             / col("n_docs").cast("double"), 6))
         .withColumn("mean_doc_tokens",
           round(col("total_tokens").cast("double")
-            / col("n_docs").cast("double"), 4)))
+            / col("n_docs").cast("double"), 4))),
+
+    // Gopher-style quality rules (Rae et al. 2021, appendix A): each
+    // rule is an independent per-document boolean so downstream can
+    // audit WHICH rule dropped a doc; `keep` is their conjunction.
+    // Pure column expressions over one scan — no shuffle, no UDF —
+    // so the filter runs at scan speed on a 100 TB crawl.
+    "text_gopher_rules" -> ((s, dir) =>
+      gopherRules(docs(s, dir)).orderBy("doc_id")),
+
+    // DSIR-style importance weights (Xie et al. 2023,
+    // arXiv:2302.03169): hashed uni+bigram features, per-doc log
+    // importance weight under add-1-smoothed target-vs-raw bucket
+    // distributions — the "select raw data that looks like the
+    // target domain" sampler of a training pipeline.
+    "text_dsir" -> ((s, dir) =>
+      dsirWeights(docs(s, dir)).orderBy("doc_id"))
   )
 
   /** Temperature-resampling core (spec-testable): per-source weight =
@@ -827,6 +854,98 @@ object TextQueries {
       .select(col("doc_id"), col("source"),
         round(col("rate_raw"), 6).as("rate"),
         (bucket < col("rate_raw") * 65536).as("keep"))
+  }
+
+  /** Gopher-rule core (spec-testable): the seven Rae-et-al. document
+    * quality rules as independent booleans + their conjunction.
+    * Word/line arrays are bound once per row (`withColumn`) so the
+    * interpreted higher-order lambdas never re-split the text; every
+    * ratio divides by a `nullif` guard (ANSI mode fails the job on
+    * the empty docs every crawl contains) and every verdict coalesces
+    * null → false, mirroring text_filter_pipeline. */
+  def gopherRules(d: DataFrame): DataFrame = {
+    val nWords = size(col("ws")).cast("long")
+    val safeWords = nullif(nWords, lit(0L))
+    val meanLen = aggregate(col("ws"), lit(0L),
+      (acc, x) => acc + length(x)).cast("double") / safeWords
+    val nAlphaWords = size(filter(col("ws"),
+      x => regexp_count(x, lit("[A-Za-z]")) > 0)).cast("long")
+    val nSym = (regexp_count(col("text"), lit("#"))
+      + regexp_count(col("text"), lit("\\.\\.\\."))).cast("long")
+    val nLines = size(col("ls")).cast("long")
+    val safeLines = nullif(nLines, lit(0L))
+    val nBullet = size(filter(col("ls"),
+      l => regexp_count(l, lit("^\\s*[-*•]")) > 0)).cast("long")
+    val nEllip = size(filter(col("ls"),
+      l => regexp_count(l, lit("\\.\\.\\.$")) > 0)).cast("long")
+    val nStopHits = GopherStops.map(st =>
+      when(regexp_count(lower(col("text")), lit(s"\\b$st\\b")) > 0, 1L)
+        .otherwise(0L)).reduce(_ + _)
+    d.withColumn("ws", TextOps.words(col("text")))
+      .withColumn("ls", split(col("text"), "\n"))
+      .select(col("doc_id"), nWords.as("n_words"),
+        round(meanLen, 4).as("mean_word_len"),
+        coalesce(nWords >= 50 && nWords <= 100000, lit(false)).as("words_ok"),
+        coalesce(meanLen >= 3.0 && meanLen <= 10.0, lit(false)).as("mean_len_ok"),
+        coalesce(nSym / safeWords <= 0.1, lit(false)).as("symbol_ok"),
+        coalesce(nBullet / safeLines <= 0.9, lit(false)).as("bullet_ok"),
+        coalesce(nEllip / safeLines <= 0.3, lit(false)).as("ellipsis_ok"),
+        coalesce(nAlphaWords / safeWords >= 0.8, lit(false)).as("alpha_ok"),
+        (nStopHits >= 2L).as("stop_ok"))
+      .withColumn("keep", col("words_ok") && col("mean_len_ok")
+        && col("symbol_ok") && col("bullet_ok") && col("ellipsis_ok")
+        && col("alpha_ok") && col("stop_ok"))
+  }
+
+  /** DSIR core (spec-testable): features are word uni+bigrams (with
+    * multiplicity) hashed into [[DsirBuckets]] md5 buckets; a doc's
+    * log importance weight is Σ over its gram occurrences of
+    * ln(p_target(b) / p_raw(b)) under add-1-smoothed bucket
+    * distributions, target = the [[DsirTargetLang]] slice.
+    *
+    * Determinism: per-bucket log-ratios are rounded to 6 dp and
+    * summed in DECIMAL (the lmScore contract), so per-doc weights
+    * never depend on aggregation order; final readouts round at 4 dp
+    * (the cross-engine round(double) boundary hazard lmScore
+    * documents).
+    *
+    * Scale: one explode pass aggregates to [[DsirBuckets]] rows with
+    * map-side combine (a B-key groupBy — no skew possible), the
+    * weight table broadcasts back onto the gram stream, and the
+    * per-doc sum combines map-side again. Nothing pairwise, no wide
+    * key: the whole sampler is two scans of the gram stream. */
+  def dsirWeights(d: DataFrame): DataFrame = {
+    val grams = d
+      .withColumn("ws", TextOps.words(col("text")))
+      .select(col("doc_id"), col("lang"),
+        explode(concat(TextOps.ngrams(col("ws"), 1),
+          TextOps.ngrams(col("ws"), 2))).as("g"))
+      .withColumn("b", pmod(TextOps.wordHash32(col("g")), lit(DsirBuckets.toLong)))
+    val counts = grams.groupBy("b").agg(
+      count(lit(1)).as("raw_c"),
+      sum(when(col("lang") === DsirTargetLang, 1L).otherwise(0L)).as("tgt_c"))
+    val tots = counts.agg(sum(col("raw_c")).as("raw_tot"),
+      sum(col("tgt_c")).as("tgt_tot"))
+    val weights = counts.crossJoin(broadcast(tots))
+      .withColumn("w_dec", round(
+        log((col("tgt_c").cast("double") + 1.0)
+          / (col("tgt_tot").cast("double") + DsirBuckets))
+          - log((col("raw_c").cast("double") + 1.0)
+            / (col("raw_tot").cast("double") + DsirBuckets)), 6)
+        .cast("decimal(20,6)"))
+      .select("b", "w_dec")
+    val perDoc = grams.join(broadcast(weights), Seq("b"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"), sum(col("w_dec")).as("sum_logw"))
+    d.select(col("doc_id"), col("lang"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("lang"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        // + 0.0 canonicalizes IEEE -0.0 → 0.0: a tiny negative weight
+        // rounds to negative zero in DuckDB but positive zero here
+        (round(col("sum_logw").cast("double"), 4) + 0.0).as("log_weight"),
+        (round(col("sum_logw").cast("double")
+          / col("n_grams").cast("double"), 4) + 0.0).as("avg_logw"))
   }
 
   /** LM-scoring core (spec-testable): per-doc mean of
@@ -1306,6 +1425,83 @@ object TextQueries {
          |       ELSE 'fr' END AS predicted_lang
          |FROM scored ORDER BY doc_id""".stripMargin
     },
+
+    "text_gopher_rules" -> {
+      val stopHits = GopherStops.map(st =>
+        s"(CASE WHEN regexp_matches(lower(text), '\\b$st\\b') THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH b AS (
+         |  SELECT doc_id, text,
+         |         string_split_regex(text, '\\s+') AS ws,
+         |         string_split(text, chr(10)) AS ls
+         |  FROM documents
+         |), m AS (
+         |  SELECT doc_id,
+         |    CAST(len(ws) AS BIGINT) AS n_words,
+         |    CAST(list_sum(list_transform(ws, x -> length(x))) AS DOUBLE) AS sum_len,
+         |    CAST(len(list_filter(ws, x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT) AS n_alpha,
+         |    CAST(len(regexp_extract_all(text, '#'))
+         |       + len(regexp_extract_all(text, '\\.\\.\\.')) AS BIGINT) AS n_sym,
+         |    CAST(len(ls) AS BIGINT) AS n_lines,
+         |    CAST(len(list_filter(ls, l -> regexp_matches(l, '^\\s*[-*•]'))) AS BIGINT) AS n_bullet,
+         |    CAST(len(list_filter(ls, l -> regexp_matches(l, '\\.\\.\\.$$'))) AS BIGINT) AS n_ellip,
+         |    ($stopHits) AS n_stops
+         |  FROM b
+         |), r AS (
+         |  SELECT doc_id, n_words,
+         |    round(sum_len / nullif(n_words, 0), 4) AS mean_word_len,
+         |    coalesce(n_words >= 50 AND n_words <= 100000, FALSE) AS words_ok,
+         |    coalesce(sum_len / nullif(n_words, 0) >= 3.0
+         |         AND sum_len / nullif(n_words, 0) <= 10.0, FALSE) AS mean_len_ok,
+         |    coalesce(n_sym / nullif(n_words, 0) <= 0.1, FALSE) AS symbol_ok,
+         |    coalesce(n_bullet / nullif(n_lines, 0) <= 0.9, FALSE) AS bullet_ok,
+         |    coalesce(n_ellip / nullif(n_lines, 0) <= 0.3, FALSE) AS ellipsis_ok,
+         |    coalesce(n_alpha / nullif(n_words, 0) >= 0.8, FALSE) AS alpha_ok,
+         |    n_stops >= 2 AS stop_ok
+         |  FROM m
+         |)
+         |SELECT *, words_ok AND mean_len_ok AND symbol_ok AND bullet_ok
+         |       AND ellipsis_ok AND alpha_ok AND stop_ok AS keep
+         |FROM r ORDER BY doc_id""".stripMargin
+    },
+
+    "text_dsir" ->
+      s"""WITH wpos AS (
+         |  SELECT doc_id, lang, unnest(string_split_regex(text, '\\s+')) AS w,
+         |         generate_subscripts(string_split_regex(text, '\\s+'), 1) AS pos
+         |  FROM documents
+         |), g AS (
+         |  SELECT doc_id, lang, w AS g FROM wpos
+         |  UNION ALL
+         |  SELECT a.doc_id, a.lang, a.w || ' ' || b.w AS g
+         |  FROM wpos a JOIN wpos b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+         |), gb AS MATERIALIZED (
+         |  SELECT doc_id, lang,
+         |    CAST(CAST(concat('0x', substr(md5(g), 1, 8)) AS UBIGINT) AS BIGINT)
+         |      % $DsirBuckets AS b
+         |  FROM g
+         |), counts AS (
+         |  SELECT b, count(*) AS raw_c,
+         |         sum(CASE WHEN lang = '$DsirTargetLang' THEN 1 ELSE 0 END) AS tgt_c
+         |  FROM gb GROUP BY 1
+         |), tots AS (
+         |  SELECT sum(raw_c) AS raw_tot, sum(tgt_c) AS tgt_tot FROM counts
+         |), wts AS (
+         |  SELECT b, CAST(round(
+         |      ln((CAST(tgt_c AS DOUBLE) + 1.0) / (CAST(tgt_tot AS DOUBLE) + $DsirBuckets))
+         |    - ln((CAST(raw_c AS DOUBLE) + 1.0) / (CAST(raw_tot AS DOUBLE) + $DsirBuckets)),
+         |    6) AS DECIMAL(20,6)) AS w_dec
+         |  FROM counts CROSS JOIN tots
+         |), per AS (
+         |  SELECT gb.doc_id, count(*) AS n_grams, sum(w.w_dec) AS sum_logw
+         |  FROM gb JOIN wts w USING (b) GROUP BY 1
+         |)
+         |SELECT d.doc_id, d.lang,
+         |  coalesce(per.n_grams, 0) AS n_grams,
+         |  round(CAST(per.sum_logw AS DOUBLE), 4) + 0.0 AS log_weight,
+         |  round(CAST(per.sum_logw AS DOUBLE) / per.n_grams, 4) + 0.0 AS avg_logw
+         |FROM documents d LEFT JOIN per USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
 
     "text_quality" ->
       """SELECT doc_id, length(text) AS n_chars,
