@@ -189,7 +189,10 @@ object Ann {
   def nearestCentroid(vecs: DataFrame, cent: DataFrame): DataFrame = {
     val w = Window.partitionBy("query_id")
       .orderBy(col("d2").asc, col("label").asc)
-    centroidDistances(vecs.select(col("vec_id"), col("v")), cent)
+    // k·dim centroid rows are bounded at ANY corpus size: broadcast
+    // by hint so the n·dim stream never repartitions per iteration
+    // (static planning can't see the aggregate's true size)
+    centroidDistances(vecs.select(col("vec_id"), col("v")), broadcast(cent))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") === 1)
       .select(col("query_id").as("vec_id"), col("label"), col("d2"))

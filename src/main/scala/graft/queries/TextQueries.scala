@@ -937,15 +937,20 @@ object TextQueries {
     val perDoc = grams.join(broadcast(weights), Seq("b"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_grams"), sum(col("w_dec")).as("sum_logw"))
+    // Readout through an EXACT integer (micro-units of the 6-dp
+    // DECIMAL sum), then identical IEEE double ops on both engines —
+    // no round(double) call at all. round(double, 4) here was a real
+    // sf1 failure: the 6-dp sum lands exactly on .00005 boundaries
+    // (37/50k docs), where Spark rounds the binary expansion and
+    // DuckDB rounds value·1e4 — they disagree by one ulp of the grid.
+    val micros = (col("sum_logw") * 1000000).cast("long")
     d.select(col("doc_id"), col("lang"))
       .join(perDoc, Seq("doc_id"), "left")
       .select(col("doc_id"), col("lang"),
         coalesce(col("n_grams"), lit(0L)).as("n_grams"),
-        // + 0.0 canonicalizes IEEE -0.0 → 0.0: a tiny negative weight
-        // rounds to negative zero in DuckDB but positive zero here
-        (round(col("sum_logw").cast("double"), 4) + 0.0).as("log_weight"),
-        (round(col("sum_logw").cast("double")
-          / col("n_grams").cast("double"), 4) + 0.0).as("avg_logw"))
+        (micros.cast("double") / 1000000.0).as("log_weight"),
+        ((micros.cast("double") / col("n_grams").cast("double"))
+          / 1000000.0).as("avg_logw"))
   }
 
   /** LM-scoring core (spec-testable): per-doc mean of
@@ -1498,8 +1503,10 @@ object TextQueries {
          |)
          |SELECT d.doc_id, d.lang,
          |  coalesce(per.n_grams, 0) AS n_grams,
-         |  round(CAST(per.sum_logw AS DOUBLE), 4) + 0.0 AS log_weight,
-         |  round(CAST(per.sum_logw AS DOUBLE) / per.n_grams, 4) + 0.0 AS avg_logw
+         |  CAST(CAST(per.sum_logw * 1000000 AS BIGINT) AS DOUBLE)
+         |    / 1000000.0 AS log_weight,
+         |  (CAST(CAST(per.sum_logw * 1000000 AS BIGINT) AS DOUBLE)
+         |    / per.n_grams) / 1000000.0 AS avg_logw
          |FROM documents d LEFT JOIN per USING (doc_id)
          |ORDER BY doc_id""".stripMargin,
 

@@ -124,6 +124,36 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(hashExchanges == 1, s"expected exactly 1 hash Exchange:\n${p.take(2000)}")
   }
 
+  test("gopher rules run at scan speed: no hash Exchange, pruned read") {
+    assume(new java.io.File(s"$sfDir/documents.parquet").exists())
+    // pure per-row rule expressions: the only Exchange allowed is the
+    // presentation sort, and the scan must not drag lang/source along
+    val p = plan("text_gopher_rules")
+    assert(!p.contains("Exchange hashpartitioning"), p.take(2000))
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("text") && !readSchema.contains("source"),
+      readSchema)
+  }
+
+  test("DSIR joins broadcast: bucket weights never shuffle the gram stream") {
+    assume(new java.io.File(s"$sfDir/documents.parquet").exists())
+    // the weight table is DsirBuckets rows at ANY corpus size; if it
+    // ever becomes a shuffled join the two-scan-speed-passes claim
+    // breaks
+    val p = plan("text_dsir")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+  }
+
+  test("k-means centroid joins broadcast the k·dim centroid table") {
+    assume(new java.io.File(s"$sfDir/embeddings.parquet").exists())
+    // every Lloyd's round joins the exploded vectors against k·dim
+    // centroid rows — tiny at any corpus size, so those joins carry a
+    // broadcast hint (the update step's vec_id join may legitimately
+    // shuffle at scale)
+    val p = plan("ann_kmeans")
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+  }
+
   test("no declared query degenerates to a cartesian product") {
     assume(new java.io.File(s"$sfDir/lineitem.parquet").exists())
     // ann_threshold_pairs and ann_topk are DELIBERATE probe-set
