@@ -166,6 +166,28 @@ object AnnQueries {
     "ann_kmeans" -> ((s, dir) =>
       Ann.kmeans(prep(s, dir), KmK, KmIters).orderBy("vec_id")),
 
+    // per-cluster audit of the k-means partitioning: size, total and
+    // mean within-cluster squared distance (inertia). The number that
+    // decides whether k is right BEFORE a 100 TB corpus is clustered
+    // with it — balanced sizes and comparable inertia mean IVF/
+    // SemDeDup per-bucket work stays bounded. One groupBy over the
+    // assignment; the DECIMAL sum keeps the readout aggregation-order
+    // independent.
+    "ann_kmeans_stats" -> ((s, dir) => {
+      // d2 is 4-dp-rounded: the DECIMAL(28,4) cast recovers the exact
+      // grid value, the sum is exact, and the readout goes through an
+      // exact BIGINT (the text_dsir lesson: never round(double) or
+      // cast decimal→double where a grid boundary can land)
+      val sumInt = (sum(col("d2").cast("decimal(28,4)")) * 10000).cast("long")
+      Ann.kmeans(prep(s, dir), KmK, KmIters)
+        .groupBy(col("cluster"))
+        .agg(count(lit(1)).as("n_vectors"),
+          (sumInt.cast("double") / 10000.0).as("inertia"),
+          ((sumInt.cast("double") / count(lit(1)).cast("double"))
+            / 10000.0).as("mean_d2"))
+        .orderBy("cluster")
+    }),
+
     // the full SemDeDup pipeline end-to-end: k-means clustering over
     // raw embeddings, then within-cluster greedy cosine dedup — no
     // pre-existing labels anywhere. Composes the two proven pieces;
@@ -391,6 +413,16 @@ object AnnQueries {
          |SELECT vec_id, CAST(label AS BIGINT) AS cluster, d2,
          |       CAST(count(*) OVER (PARTITION BY label) AS BIGINT) AS cluster_size
          |FROM asgf ORDER BY vec_id""".stripMargin,
+
+    "ann_kmeans_stats" ->
+      s"""$prepCte, $kmeansCtes
+         |SELECT CAST(label AS BIGINT) AS cluster,
+         |  count(*) AS n_vectors,
+         |  CAST(CAST(sum(CAST(d2 AS DECIMAL(28,4))) * 10000 AS BIGINT) AS DOUBLE)
+         |    / 10000.0 AS inertia,
+         |  (CAST(CAST(sum(CAST(d2 AS DECIMAL(28,4))) * 10000 AS BIGINT) AS DOUBLE)
+         |    / count(*)) / 10000.0 AS mean_d2
+         |FROM asgf GROUP BY 1 ORDER BY cluster""".stripMargin,
 
     "ann_semdedup_kmeans" ->
       s"""$prepCte, $kmeansCtes, nl AS MATERIALIZED (

@@ -52,6 +52,20 @@ class KmeansSpec extends AnyFunSuite {
     assert(Set(1L, 3L, 4L).map(cl) == Set(cl(1L)))
   }
 
+  test("Lloyd's objective is non-increasing with more iterations") {
+    import spark.implicits._
+    val vecs = (1L to 60L).map(i =>
+      i -> Array((i * 37 % 11).toFloat, (i * 53 % 13).toFloat, (i * 29 % 7).toFloat))
+    def inertia(iters: Int): Double = {
+      val p = Ann.prepared(vecs.toDF("vec_id", "embedding"))
+      Ann.kmeans(p, k = 4, iters).agg(
+        org.apache.spark.sql.functions.sum("d2")).head().getDouble(0)
+    }
+    val i1 = inertia(1); val i2 = inertia(2); val i3 = inertia(3)
+    // 1e-6 slack: d2 is rounded to 4 dp per vector before summing
+    assert(i2 <= i1 + 1e-6 && i3 <= i2 + 1e-6, s"$i1 -> $i2 -> $i3")
+  }
+
   test("cluster sizes are consistent with the assignment") {
     val vecs = (1L to 20L).map(i => i -> Array(i.toFloat, (i * i % 13).toFloat))
     val got = run(vecs, k = 3)
