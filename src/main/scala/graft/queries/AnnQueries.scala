@@ -22,6 +22,17 @@ object AnnQueries {
       Ann.prepared(Tables.embeddings(s, dir))
     }
 
+  /** The converged k-means assignment is the shared intermediate of
+    * the three k-means queries (assignment, per-cluster audit,
+    * SemDeDup-over-kmeans) — materialize it once per session, like
+    * the dedup pipeline table. The frame is one row per vector
+    * (vec_id, cluster, d2, cluster_size): tiny relative to the
+    * vectors themselves. */
+  private def kmeansAssign(s: SparkSession, dir: String): DataFrame =
+    graft.core.Memo.cached(s, s"ann_kmeans:$dir:k$KmK:i$KmIters") {
+      Ann.kmeans(prep(s, dir), KmK, KmIters)
+    }
+
   /** Materialize the session-shared prepared-vector index (bench
     * warm-up hook — see TextQueries.warmIndexes). */
   def warmIndexes(s: SparkSession, dir: String): Unit =
@@ -164,7 +175,7 @@ object AnnQueries {
     // engines/partitionings and a DuckDB twin can grade it. Fully
     // distributed: no driver collect at any step.
     "ann_kmeans" -> ((s, dir) =>
-      Ann.kmeans(prep(s, dir), KmK, KmIters).orderBy("vec_id")),
+      kmeansAssign(s, dir).orderBy("vec_id")),
 
     // per-cluster audit of the k-means partitioning: size, total and
     // mean within-cluster squared distance (inertia). The number that
@@ -179,7 +190,7 @@ object AnnQueries {
       // exact BIGINT (the text_dsir lesson: never round(double) or
       // cast decimal→double where a grid boundary can land)
       val sumInt = (sum(col("d2").cast("decimal(28,4)")) * 10000).cast("long")
-      Ann.kmeans(prep(s, dir), KmK, KmIters)
+      kmeansAssign(s, dir)
         .groupBy(col("cluster"))
         .agg(count(lit(1)).as("n_vectors"),
           (sumInt.cast("double") / 10000.0).as("inertia"),
@@ -194,7 +205,7 @@ object AnnQueries {
     // the pairwise pass stays per-cluster and salted.
     "ann_semdedup_kmeans" -> ((s, dir) => {
       val p = prep(s, dir)
-      val labels = Ann.kmeans(p, KmK, KmIters)
+      val labels = kmeansAssign(s, dir)
         .select(col("vec_id"), col("cluster").as("label"))
       Ann.semDedup(p.join(labels, Seq("vec_id")), minCos = CosThreshold)
         .orderBy("vec_id")
