@@ -14,6 +14,9 @@ object AnnQueries {
   private val CosThreshold = 0.30
   private val KmK = 10 // k-means clusters; matches the generator's label cardinality
   private val KmIters = 2 // Lloyd's rounds
+  private val PqSub = 4 // PQ subspaces (64-dim → 4×16)
+  private val PqK = 8 // PQ codebook size per subspace
+  private val PqIters = 1 // PQ codebook Lloyd's rounds
 
   /** Prepared (normalized) vectors are the shared "index" of all
     * three queries — build and cache once per session. */
@@ -199,6 +202,34 @@ object AnnQueries {
         .orderBy("cluster")
     }),
 
+    // product quantization (the IVF-PQ building block): the vector
+    // splits into PqSub subspaces, each clustered by the SAME
+    // deterministic Lloyd's operator; a vector's code is its per-
+    // subspace centroid ids (PqSub·log2(PqK) bits vs 64·32 — ~85×
+    // compression here) and recon_d2 sums the per-subspace
+    // quantization errors. Everything reuses the proven k-means
+    // machinery — PQ at 100 TB is "run k bounded k-means jobs on
+    // slice projections", nothing new to scale.
+    "ann_pq" -> ((s, dir) =>
+      graft.core.Memo.cached(s, s"ann_pq:$dir") {
+        val p = prep(s, dir)
+        val w = 64 / PqSub
+        val parts = (0 until PqSub).map { sub =>
+          Ann.kmeans(p.select(col("vec_id"),
+            slice(col("v"), sub * w + 1, w).as("v")), PqK, PqIters)
+            .select(col("vec_id"), col("cluster").as(s"code_$sub"),
+              col("d2").as(s"d2_$sub"))
+        }
+        val joined = parts.reduce((a, b) => a.join(b, Seq("vec_id")))
+        // exact-integer readout of the summed 4-dp subspace errors
+        val reconInt = (0 until PqSub).map(sub =>
+          (col(s"d2_$sub").cast("decimal(28,4)") * 10000).cast("long"))
+          .reduce(_ + _)
+        joined.select(col("vec_id") +:
+          (0 until PqSub).map(sub => col(s"code_$sub")) :+
+          (reconInt.cast("double") / 10000.0).as("recon_d2"): _*)
+      }.orderBy("vec_id")),
+
     // the full SemDeDup pipeline end-to-end: k-means clustering over
     // raw embeddings, then within-cluster greedy cosine dedup — no
     // pre-existing labels anywhere. Composes the two proven pieces;
@@ -221,43 +252,50 @@ object AnnQueries {
     p.map(_.toString).mkString("[", ", ", "]")
 
   /** Lloyd's-iteration CTE chain mirroring [[Ann.kmeans]] — appended
-    * after `prepCte`, produces `asgf` = the final (vec_id, label, d2)
-    * assignment. Seeds = the KmK lowest vec_ids; each round is one
-    * rounded-distance argmin (ties → lower label) and one
-    * DECIMAL-exact component mean, exactly the ann_ivf `cent`/`dist`
-    * fragments the sweep already grades. */
-  private val kmeansCtes: String = {
+    * after a CTE `<src>` providing (vec_id, v), produces
+    * `<p>asgf` = the final (vec_id, label, d2) assignment. Seeds =
+    * the k lowest vec_ids; each round is one rounded-distance argmin
+    * (ties → lower label) and one DECIMAL-exact component mean,
+    * exactly the ann_ivf `cent`/`dist` fragments the sweep already
+    * grades. `p` prefixes every CTE name so multiple chains (the PQ
+    * subspaces) compose in one statement. */
+  private def kmeansChain(p: String, src: String, k: Int, iters: Int): String = {
     def assign(name: String, centName: String) =
-      s"""dist_$name AS (
+      s"""${p}dist_$name AS (
          |  SELECT vec_id, c.label, round(sum((x - cval) * (x - cval)), 4) AS d2
-         |  FROM vdim JOIN $centName c USING (dim) GROUP BY 1, 2
-         |), $name AS (
+         |  FROM ${p}vdim JOIN $centName c USING (dim) GROUP BY 1, 2
+         |), $p$name AS (
          |  SELECT vec_id, label, d2 FROM (
          |    SELECT *, row_number() OVER (PARTITION BY vec_id
-         |      ORDER BY d2 ASC, label ASC) AS rk FROM dist_$name)
+         |      ORDER BY d2 ASC, label ASC) AS rk FROM ${p}dist_$name)
          |  WHERE rk = 1
          |)""".stripMargin
     def update(centName: String, asgName: String) =
       s"""$centName AS (
          |  SELECT a.label, d.dim,
          |         CAST(sum(CAST(d.x AS DECIMAL(28,12))) AS DOUBLE) / count(*) AS cval
-         |  FROM $asgName a JOIN vdim d USING (vec_id) GROUP BY 1, 2
+         |  FROM $asgName a JOIN ${p}vdim d USING (vec_id) GROUP BY 1, 2
          |)""".stripMargin
-    val iterated = (1 to KmIters).map(i =>
-      assign(s"asg$i", s"cent${i - 1}") + ",\n" +
-        update(s"cent$i", s"asg$i")).mkString(",\n")
-    s"""vdim AS MATERIALIZED (
+    val iterated = (1 to iters).map(i =>
+      assign(s"asg$i", s"${p}cent${i - 1}") + ",\n" +
+        update(s"${p}cent$i", s"${p}asg$i")).mkString(",\n")
+    s"""${p}vdim AS MATERIALIZED (
        |  SELECT vec_id, dim - 1 AS dim, x FROM (
-       |    SELECT vec_id, unnest(v) AS x, generate_subscripts(v, 1) AS dim FROM e)
-       |), seeds AS (
+       |    SELECT vec_id, unnest(v) AS x, generate_subscripts(v, 1) AS dim FROM $src)
+       |), ${p}seeds AS (
        |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS label, vec_id
-       |  FROM (SELECT vec_id FROM e ORDER BY vec_id LIMIT $KmK)
-       |), cent0 AS (
-       |  SELECT s.label, d.dim, d.x AS cval FROM seeds s JOIN vdim d USING (vec_id)
+       |  FROM (SELECT vec_id FROM $src ORDER BY vec_id LIMIT $k)
+       |), ${p}cent0 AS (
+       |  SELECT s.label, d.dim, d.x AS cval
+       |  FROM ${p}seeds s JOIN ${p}vdim d USING (vec_id)
        |),
        |$iterated,
-       |${assign("asgf", s"cent$KmIters")}""".stripMargin
+       |${assign("asgf", s"${p}cent$iters")}""".stripMargin
   }
+
+  /** The whole-vector chain used by the three k-means twins
+    * (prefix "" keeps the original `asgf` name). */
+  private val kmeansCtes: String = kmeansChain("", "e", KmK, KmIters)
 
   /** Shared DuckDB fragments. */
   private val prepCte: String =
@@ -434,6 +472,28 @@ object AnnQueries {
          |  (CAST(CAST(sum(CAST(d2 AS DECIMAL(28,4))) * 10000 AS BIGINT) AS DOUBLE)
          |    / count(*)) / 10000.0 AS mean_d2
          |FROM asgf GROUP BY 1 ORDER BY cluster""".stripMargin,
+
+    "ann_pq" -> {
+      val w = 64 / PqSub
+      val subCtes = (0 until PqSub).map(sub =>
+        s"sub$sub AS (SELECT vec_id, v[${sub * w + 1}:${(sub + 1) * w}] AS v FROM e)")
+        .mkString(", ")
+      val chains = (0 until PqSub).map(sub =>
+        kmeansChain(s"q$sub", s"sub$sub", PqK, PqIters)).mkString(",\n")
+      val codes = (0 until PqSub).map(sub =>
+        s"CAST(a$sub.label AS BIGINT) AS code_$sub").mkString(",\n  ")
+      val recon = (0 until PqSub).map(sub =>
+        s"CAST(CAST(a$sub.d2 AS DECIMAL(28,4)) * 10000 AS BIGINT)").mkString(" + ")
+      val joins = (1 until PqSub).map(sub =>
+        s"JOIN q${sub}asgf a$sub USING (vec_id)").mkString(" ")
+      s"""$prepCte, $subCtes,
+         |$chains
+         |SELECT a0.vec_id,
+         |  $codes,
+         |  CAST($recon AS DOUBLE) / 10000.0 AS recon_d2
+         |FROM q0asgf a0 $joins
+         |ORDER BY vec_id""".stripMargin
+    },
 
     "ann_semdedup_kmeans" ->
       s"""$prepCte, $kmeansCtes, nl AS MATERIALIZED (

@@ -66,6 +66,18 @@ class KmeansSpec extends AnyFunSuite {
     assert(i2 <= i1 + 1e-6 && i3 <= i2 + 1e-6, s"$i1 -> $i2 -> $i3")
   }
 
+  test("PQ invariants: full coverage, codes in range, nonneg recon error") {
+    val dir = "/root/testdata/sf0.001"
+    assume(new java.io.File(s"$dir/embeddings.parquet").exists())
+    val n = graft.core.Tables.embeddings(spark, dir).count()
+    val rows = graft.SparkEntry.queries("ann_pq")(spark, dir).collect()
+    assert(rows.length.toLong == n)
+    rows.foreach { r =>
+      (1 to 4).foreach(i => assert(r.getLong(i) >= 0 && r.getLong(i) < 8))
+      assert(r.getDouble(5) >= 0.0)
+    }
+  }
+
   test("cluster sizes are consistent with the assignment") {
     val vecs = (1L to 20L).map(i => i -> Array(i.toFloat, (i * i % 13).toFloat))
     val got = run(vecs, k = 3)
