@@ -221,6 +221,18 @@ object Ann {
     * table (standard Lloyd's degeneracy; deterministic here). */
   def kmeans(vecs: DataFrame, k: Int, iters: Int): DataFrame = {
     val base = vecs.select(col("vec_id"), col("v"))
+    val w = Window.partitionBy("cluster")
+    nearestCentroid(base, kmeansCentroids(base, k, iters))
+      .select(col("vec_id"), col("label").cast("long").as("cluster"), col("d2"))
+      .withColumn("cluster_size", count(lit(1)).over(w))
+  }
+
+  /** The converged (label, dim, cval) centroid table of [[kmeans]] —
+    * exposed separately so PQ/ADC consumers can reuse the codebook
+    * (distance lookup tables need the centroid VALUES, not just the
+    * assignment). */
+  def kmeansCentroids(vecs: DataFrame, k: Int, iters: Int): DataFrame = {
+    val base = vecs.select(col("vec_id"), col("v"))
     val seedW = Window.orderBy("vec_id") // k rows only — single partition is fine
     var cent = base.orderBy("vec_id").limit(k)
       .withColumn("label", row_number().over(seedW) - 1)
@@ -233,10 +245,7 @@ object Ann {
         .agg((sum(col("x").cast("decimal(28,12)")).cast("double")
           / count(lit(1))).as("cval"))
     }
-    val w = Window.partitionBy("cluster")
-    nearestCentroid(base, cent)
-      .select(col("vec_id"), col("label").cast("long").as("cluster"), col("d2"))
-      .withColumn("cluster_size", count(lit(1)).over(w))
+    cent
   }
 
   /** IVF search: probe the `nProbe` nearest coarse partitions, then

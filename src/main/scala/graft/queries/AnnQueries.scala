@@ -3,6 +3,7 @@ package graft.queries
 import graft.core.Tables
 import graft.ext.Ann
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Similarity-search queries over the embeddings table. */
@@ -229,6 +230,58 @@ object AnnQueries {
           (0 until PqSub).map(sub => col(s"code_$sub")) :+
           (reconInt.cast("double") / 10000.0).as("recon_d2"): _*)
       }.orderBy("vec_id")),
+
+    // recall@k audit of PQ/ADC search against exact-L2 truth over the
+    // bounded probe set — the "measure, don't guess" number for the
+    // PQ codebook (as ann_recall is for IVF's nProbe). Classic
+    // asymmetric distance computation: per probe, a |codebook|-sized
+    // lookup table of exact probe-to-centroid subspace distances
+    // (tiny → broadcast); each corpus vector's approximate distance
+    // is then the sum of 4 LUT hits on its codes — an equi-join on
+    // the code value, never a full-vector comparison, so the scored
+    // pass stays scan-speed at any corpus size. Truth is the same
+    // bounded broadcast nested-loop every brute audit here uses.
+    "ann_pq_recall" -> ((s, dir) => {
+      val p = prep(s, dir)
+      val w = 64 / PqSub
+      val approx = (0 until PqSub).map { sub =>
+        val sv = p.select(col("vec_id"), slice(col("v"), sub * w + 1, w).as("v"))
+        val cent = Ann.kmeansCentroids(sv, PqK, PqIters)
+        val codes = Ann.nearestCentroid(sv, cent).select(col("vec_id"), col("label"))
+        val lut = Ann.centroidDistances(
+          sv.filter(col("vec_id") % QueryMod === 0), broadcast(cent))
+        codes.join(broadcast(lut), Seq("label"))
+          .select(col("query_id"), col("vec_id"),
+            (col("d2").cast("decimal(28,4)") * 10000).cast("long").as("di"))
+      }.reduce(_ unionByName _)
+        .filter(col("vec_id") =!= col("query_id"))
+        .groupBy("query_id", "vec_id")
+        .agg(sum(col("di")).as("d2i"))
+      val aw = Window.partitionBy("query_id")
+        .orderBy(col("d2i").asc, col("vec_id").asc)
+      val approxTopk = approx
+        .withColumn("rk", row_number().over(aw)).filter(col("rk") <= TopK)
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          lit(1).as("hit"))
+      val probes = p.filter(col("vec_id") % QueryMod === 0)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"))
+      val corpus = p.select(col("vec_id").as("neighbor_id"), col("v").as("nv"))
+      val exd2 = round(aggregate(
+        zip_with(col("qv"), col("nv"), (a, b) => (a - b) * (a - b)),
+        lit(0.0), (acc, x) => acc + x), 4)
+      val tw = Window.partitionBy("query_id")
+        .orderBy(col("d2").asc, col("neighbor_id").asc)
+      val truth = broadcast(probes)
+        .join(corpus, col("neighbor_id") =!= col("query_id"))
+        .withColumn("d2", exd2)
+        .withColumn("rk", row_number().over(tw)).filter(col("rk") <= TopK)
+        .select("query_id", "neighbor_id")
+      truth.join(approxTopk, Seq("query_id", "neighbor_id"), "left")
+        .groupBy("query_id")
+        .agg(count(col("hit")).as("n_hits"),
+          round(count(col("hit")) / count(lit(1)), 6).as("recall"))
+        .orderBy("query_id")
+    }),
 
     // the full SemDeDup pipeline end-to-end: k-means clustering over
     // raw embeddings, then within-cluster greedy cosine dedup — no
@@ -493,6 +546,58 @@ object AnnQueries {
          |  CAST($recon AS DOUBLE) / 10000.0 AS recon_d2
          |FROM q0asgf a0 $joins
          |ORDER BY vec_id""".stripMargin
+    },
+
+    "ann_pq_recall" -> {
+      val w = 64 / PqSub
+      val subCtes = (0 until PqSub).map(sub =>
+        s"sub$sub AS (SELECT vec_id, v[${sub * w + 1}:${(sub + 1) * w}] AS v FROM e)")
+        .mkString(", ")
+      val chains = (0 until PqSub).map(sub =>
+        kmeansChain(s"q$sub", s"sub$sub", PqK, PqIters)).mkString(",\n")
+      val luts = (0 until PqSub).map(sub =>
+        s"""lut$sub AS (
+           |  SELECT d.vec_id AS query_id, c.label,
+           |         round(sum((d.x - c.cval) * (d.x - c.cval)), 4) AS d2
+           |  FROM q${sub}vdim d JOIN q${sub}cent$PqIters c USING (dim)
+           |  WHERE d.vec_id % $QueryMod = 0
+           |  GROUP BY 1, 2
+           |)""".stripMargin).mkString(",\n")
+      val app = (0 until PqSub).map(sub =>
+        s"""  SELECT l.query_id, a.vec_id,
+           |         CAST(CAST(l.d2 AS DECIMAL(28,4)) * 10000 AS BIGINT) AS di
+           |  FROM q${sub}asgf a JOIN lut$sub l ON l.label = a.label""".stripMargin)
+        .mkString("\n  UNION ALL\n")
+      s"""$prepCte, $subCtes,
+         |$chains,
+         |$luts,
+         |app AS (
+         |$app
+         |), approx AS (
+         |  SELECT query_id, vec_id, CAST(sum(di) AS BIGINT) AS d2i
+         |  FROM app WHERE vec_id <> query_id GROUP BY 1, 2
+         |), atop AS (
+         |  SELECT query_id, vec_id AS neighbor_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id
+         |      ORDER BY d2i ASC, vec_id ASC) AS rk FROM approx)
+         |  WHERE rk <= $TopK
+         |), tscored AS (
+         |  SELECT q.vec_id AS query_id, x.vec_id AS neighbor_id,
+         |         round(list_sum(list_transform(generate_series(1, len(q.v)),
+         |           i -> (q.v[i] - x.v[i]) * (q.v[i] - x.v[i]))), 4) AS d2
+         |  FROM e q JOIN e x ON x.vec_id <> q.vec_id
+         |  WHERE q.vec_id % $QueryMod = 0
+         |), truth AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id
+         |      ORDER BY d2 ASC, neighbor_id ASC) AS rk FROM tscored)
+         |  WHERE rk <= $TopK)
+         |SELECT t.query_id,
+         |       CAST(count(a.neighbor_id) AS BIGINT) AS n_hits,
+         |       round(count(a.neighbor_id) / count(*), 6) AS recall
+         |FROM truth t LEFT JOIN atop a
+         |  ON a.query_id = t.query_id AND a.neighbor_id = t.neighbor_id
+         |GROUP BY t.query_id ORDER BY t.query_id""".stripMargin
     },
 
     "ann_semdedup_kmeans" ->

@@ -159,7 +159,8 @@ class PlanAuditSpec extends AnyFunSuite {
     // ann_threshold_pairs and ann_topk are DELIBERATE probe-set
     // broadcast nested-loops (bounded side broadcast); everything
     // else must be hash/merge joins.
-    val allowedNlj = Set("ann_threshold_pairs", "ann_topk", "ann_ivf", "ann_doc_topk")
+    val allowedNlj = Set("ann_threshold_pairs", "ann_topk", "ann_ivf",
+      "ann_doc_topk", "ann_pq_recall", "ann_recall")
     for ((name, _) <- graft.SparkEntry.queries if !allowedNlj(name)) {
       val p = plan(name)
       assert(!p.contains("CartesianProduct"),
