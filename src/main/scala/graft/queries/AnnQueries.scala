@@ -244,19 +244,33 @@ object AnnQueries {
     "ann_pq_recall" -> ((s, dir) => {
       val p = prep(s, dir)
       val w = 64 / PqSub
-      val approx = (0 until PqSub).map { sub =>
+      // per-subspace (codes, LUT): codes = one small int per vector;
+      // LUT = |probes|·PqK rows of exact probe-to-centroid distances
+      // in exact-int micro-units
+      val subs = (0 until PqSub).map { sub =>
         val sv = p.select(col("vec_id"), slice(col("v"), sub * w + 1, w).as("v"))
         val cent = Ann.kmeansCentroids(sv, PqK, PqIters)
-        val codes = Ann.nearestCentroid(sv, cent).select(col("vec_id"), col("label"))
+        val codes = Ann.nearestCentroid(sv, cent)
+          .select(col("vec_id"), col("label").as(s"c$sub"))
         val lut = Ann.centroidDistances(
           sv.filter(col("vec_id") % QueryMod === 0), broadcast(cent))
-        codes.join(broadcast(lut), Seq("label"))
-          .select(col("query_id"), col("vec_id"),
-            (col("d2").cast("decimal(28,4)") * 10000).cast("long").as("di"))
-      }.reduce(_ unionByName _)
+          .select(col("query_id"), col("label").as(s"c$sub"),
+            (col("d2").cast("decimal(28,4)") * 10000).cast("long").as(s"di$sub"))
+        (codes, lut)
+      }
+      // one row per (vector, probe) via 4 broadcast LUT joins and a
+      // row-local sum — no aggregation shuffle anywhere in the scored
+      // pass (the union+groupBy alternative re-shuffles 4·n·|probes|
+      // rows just to add four numbers)
+      val coded = subs.map(_._1).reduce(_.join(_, Seq("vec_id")))
+      val scored = (1 until PqSub).foldLeft(
+        coded.join(broadcast(subs(0)._2), Seq("c0"))) { (df, sub) =>
+        df.join(broadcast(subs(sub)._2), Seq("query_id", s"c$sub"))
+      }
+      val approx = scored
         .filter(col("vec_id") =!= col("query_id"))
-        .groupBy("query_id", "vec_id")
-        .agg(sum(col("di")).as("d2i"))
+        .select(col("query_id"), col("vec_id"),
+          (0 until PqSub).map(sub => col(s"di$sub")).reduce(_ + _).as("d2i"))
       val aw = Window.partitionBy("query_id")
         .orderBy(col("d2i").asc, col("vec_id").asc)
       val approxTopk = approx
