@@ -66,6 +66,20 @@ class KmeansSpec extends AnyFunSuite {
     assert(i2 <= i1 + 1e-6 && i3 <= i2 + 1e-6, s"$i1 -> $i2 -> $i3")
   }
 
+  test("converged centroids are the exact component means of their members") {
+    import spark.implicits._
+    // two tight groups; after one round each centroid is the plain
+    // mean of its group's components
+    val vecs = Seq(
+      1L -> Array(10f, 0f), 2L -> Array(0f, 10f),
+      3L -> Array(12f, 2f), 4L -> Array(2f, 12f))
+    val p = Ann.prepared(vecs.toDF("vec_id", "embedding"))
+    val cents = Ann.kmeansCentroids(p, k = 2, iters = 1).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    assert(cents((0, 0)) == 11.0 && cents((0, 1)) == 1.0) // mean of {1,3}
+    assert(cents((1, 0)) == 1.0 && cents((1, 1)) == 11.0) // mean of {2,4}
+  }
+
   test("PQ invariants: full coverage, codes in range, nonneg recon error") {
     val dir = "/root/testdata/sf0.001"
     assume(new java.io.File(s"$dir/embeddings.parquet").exists())
