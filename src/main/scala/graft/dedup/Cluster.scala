@@ -34,24 +34,9 @@ object Cluster {
 
   private val log = org.slf4j.LoggerFactory.getLogger(getClass)
 
-  /** Drop the persisted blocks behind an eager `localCheckpoint` the
-    * moment the frame is superseded. Left alone, checkpoint blocks
-    * survive until the driver GCs the frame AND ContextCleaner runs
-    * (periodic GC defaults to 30 min) — an iterative loop therefore
-    * keeps O(iterations) copies of the edge set resident. Harmless at
-    * sf0.1; at 100 TB the superseded copies of a billions-of-edges
-    * set evict everything else in the storage pool. Unpersist is
-    * idempotent and non-blocking; a frame that isn't checkpoint-backed
-    * is left untouched. Spark logs a WARN per unpersisted checkpoint
-    * ("lineage has been truncated and cannot be recomputed") — benign
-    * here by construction: release is only called on frames whose last
-    * reader has finished. */
-  private def release(df: DataFrame): Unit =
-    df.queryExecution.analyzed.foreach {
-      case lr: org.apache.spark.sql.execution.LogicalRDD =>
-        scala.util.Try(lr.rdd.unpersist(false))
-      case _ => ()
-    }
+  /** Checkpoint-release on supersede — shared with the k-means loop
+    * (see [[graft.core.Frames.release]] for the full rationale). */
+  private def release(df: DataFrame): Unit = graft.core.Frames.release(df)
 
   /** @param edges undirected edges, columns (src: long, dst: long);
     *              either direction suffices; duplicates tolerated.

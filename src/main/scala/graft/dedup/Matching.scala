@@ -69,9 +69,12 @@ object Matching {
 
   /** [[qualifyingPairs]] for a caller that has ALREADY materialized
     * the name index (avoids a second checkpoint job when the caller
-    * needs the index for its own sizing, e.g. Pipeline's driver
-    * fast-path gate). */
-  private[dedup] def qualifyingPairsPrepared(stats: DataFrame,
+    * needs the index for its own sizing — e.g. Pipeline's driver
+    * fast-path gate, or the report queries sharing one Memo'd index
+    * across the per-table pair family). The frame MUST be
+    * materialized (checkpointed or cached): the sizing aggregate and
+    * both join sides re-read it. */
+  def qualifyingPairsPrepared(stats: DataFrame,
       settings: DedupSettings = DedupSettings(), salt: Int = 0): DataFrame = {
     settings.maxBlockNames match {
       case Some(cap) =>

@@ -175,7 +175,23 @@ object Ann {
       .groupBy("label", "dim")
       .agg((sum(col("x").cast("decimal(28,12)")).cast("double") / count(lit(1))).as("cval"))
 
-  /** Squared L2 distance of each query to each centroid, rounded. */
+  /** Squared L2 distance of each query to each centroid, rounded.
+    *
+    * Why the sum stays double (ADVICE r9 suggested a DECIMAL sum like
+    * the centroid means): the hazard class that actually bit
+    * (text_dsir r9, text_lm_score r7) is GRID-ALIGNED inputs — values
+    * pre-rounded to a decimal grid whose sums land exactly on
+    * `round`'s half-way boundaries, where engine-order differences
+    * flip the rounded digit systematically. The squared differences
+    * here are arbitrary reals: the probability that a 64-term sum
+    * lands within double-reassociation distance (~1e-15 absolute) of
+    * a 0.00005 boundary is ~1e-11 per value, while a double→DECIMAL
+    * cast of every term would TRADE that for the cross-engine
+    * cast-semantics risk on ~n·k values per round (Spark casts via
+    * shortest-decimal toString, DuckDB via scaled-double rounding —
+    * agreeing almost always, but not by construction). The DECIMAL
+    * treatment is reserved for readouts of grid-valued columns (see
+    * ann_kmeans_stats / ann_pq), where it is exact. */
   def centroidDistances(queries: DataFrame, cent: DataFrame): DataFrame =
     queries.select(col("vec_id").as("query_id"), posexplode(col("v")).as(Seq("dim", "qx")))
       .join(cent, Seq("dim"))
@@ -219,10 +235,16 @@ object Ann {
     * O(iters · n · dim · k) compute with only gram-sized shuffles. A
     * cluster that loses all members simply drops out of the centroid
     * table (standard Lloyd's degeneracy; deterministic here). */
-  def kmeans(vecs: DataFrame, k: Int, iters: Int): DataFrame = {
+  def kmeans(vecs: DataFrame, k: Int, iters: Int): DataFrame =
+    kmeansFromCentroids(vecs, kmeansCentroids(vecs, k, iters))
+
+  /** Final assignment against an already-trained centroid table —
+    * split out so a caller that Memo'd the codebook ([[AnnQueries]])
+    * derives the assignment without re-running the Lloyd's chain. */
+  def kmeansFromCentroids(vecs: DataFrame, cent: DataFrame): DataFrame = {
     val base = vecs.select(col("vec_id"), col("v"))
     val w = Window.partitionBy("cluster")
-    nearestCentroid(base, kmeansCentroids(base, k, iters))
+    nearestCentroid(base, cent)
       .select(col("vec_id"), col("label").cast("long").as("cluster"), col("d2"))
       .withColumn("cluster_size", count(lit(1)).over(w))
   }
@@ -237,13 +259,24 @@ object Ann {
     var cent = base.orderBy("vec_id").limit(k)
       .withColumn("label", row_number().over(seedW) - 1)
       .select(col("label"), posexplode(col("v")).as(Seq("dim", "cval")))
+      .localCheckpoint(true)
     for (_ <- 1 to iters) {
       val labels = nearestCentroid(base, cent)
+      val prev = cent
+      // eager checkpoint per round: the centroid table is k·dim rows
+      // (tiny at any corpus size), but left as lineage each round's
+      // plan re-executes every earlier round — O(iters²) recompute,
+      // and the caller's final assignment would re-run the whole
+      // chain once more (ADVICE r9). Materializing the k·dim frame
+      // costs one small job; the superseded round's blocks are
+      // released immediately.
       cent = base.join(labels.select("vec_id", "label"), Seq("vec_id"))
         .select(col("label"), posexplode(col("v")).as(Seq("dim", "x")))
         .groupBy("label", "dim")
         .agg((sum(col("x").cast("decimal(28,12)")).cast("double")
           / count(lit(1))).as("cval"))
+        .localCheckpoint(true)
+      graft.core.Frames.release(prev)
     }
     cent
   }
