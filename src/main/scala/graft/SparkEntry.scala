@@ -11,10 +11,12 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     DedupQueries.queries ++ RelationalQueries.queries ++ EventQueries.queries ++
-      TextQueries.queries ++ AnnQueries.queries ++ MultimodalQueries.queries
+      TextQueries.queries ++ AnnQueries.queries ++ MultimodalQueries.queries ++
+      StreamingQueries.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     DedupQueries.oracle ++ RelationalQueries.oracle ++ EventQueries.oracle ++
-      TextQueries.oracle ++ AnnQueries.oracle ++ MultimodalQueries.oracle
+      TextQueries.oracle ++ AnnQueries.oracle ++ MultimodalQueries.oracle ++
+      StreamingQueries.oracle
 }

@@ -202,6 +202,111 @@ object Matching {
     Some((comps, cand.iterator.map { case ((n, c), m) => (n, c, m) }.toSeq))
   }
 
+  /** Aggregate profile of the qualifying pairs (the dedup_pairs_stats
+    * audit: n_pairs / n_token_matches / avg_ratio) — same pair
+    * generation, thresholds and governor policy as
+    * [[qualifyingPairsPrepared]], but expressed WITHOUT a Filter
+    * node. With a Filter, Catalyst pushes the qualifying predicate
+    * into the pair join's condition, where the Jaro-Winkler call is
+    * inlined once per predicate branch and once more in the ratio
+    * projection — on audit workloads where ~every pair qualifies
+    * (customer at sf0.1: all 112M pairs) the codegen'd kernel then
+    * runs 3× per pair. Folding the predicate into conditional
+    * aggregates (count/sum/avg over `when(qualifies, …)`) evaluates
+    * JW exactly once per pair (CollapseProject refuses to inline a
+    * non-cheap alias referenced by several aggregates), and the pair
+    * rows slim to (ratio, token_match) — no name/row payload through
+    * the join. JW is symmetric, so the profile also skips the
+    * canonical a<b swap the row-returning path needs. */
+  def pairProfile(stats: DataFrame,
+      settings: DedupSettings = DedupSettings()): DataFrame = {
+    val slim = settings.maxBlockNames match {
+      case Some(cap) =>
+        val sized = stats.groupBy("block_key").agg(count(lit(1)).as("_bn"))
+          .agg(
+            collect_list(when(col("_bn") > cap, col("block_key"))).as("_hot"),
+            sum(when(col("_bn") <= cap, col("_bn"))).as("_small"))
+          .head()
+        val hotKeys = sized.getSeq[String](0)
+        val smallNames = if (sized.isNullAt(1)) 0L else sized.getLong(1)
+        if (hotKeys.nonEmpty) log.warn(s"cost governor: ${hotKeys.length} " +
+          s"block(s) exceed maxBlockNames=$cap — profiling their pairs under " +
+          (if (settings.hotBlockWindow > 1)
+            s"sorted-neighborhood(window=${settings.hotBlockWindow})" else "drop"))
+        if (hotKeys.isEmpty) slimPairs(stats, smallNames)
+        else {
+          val spark = stats.sparkSession
+          import spark.implicits._
+          val hotDf = broadcast(hotKeys.toDF("block_key"))
+          val small = stats.join(hotDf, Seq("block_key"), "left_anti")
+          val base = slimPairs(small, smallNames)
+          if (settings.hotBlockWindow <= 1) base
+          else base.unionByName(slimSorted(
+            stats.join(hotDf, Seq("block_key"), "left_semi"),
+            settings.hotBlockWindow))
+        }
+      case None => slimPairs(stats, -1L)
+    }
+    val qual = (col("token_match") && col("ratio") >= settings.softThreshold) ||
+      col("ratio") >= settings.hardThreshold
+    slim.agg(
+      count(when(qual, 1)).as("n_pairs"),
+      // 1 per qualifying token match, 0 per other QUALIFYING pair,
+      // null otherwise — so the sum is 0 when qualifying pairs exist
+      // without token matches but NULL when nothing qualifies,
+      // exactly the twin's sum-over-filtered-rows semantics
+      sum(when(qual && col("token_match"), 1L)
+        .otherwise(when(qual, 0L))).as("n_token_matches"),
+      round(avg(when(qual, col("ratio"))), 6).as("avg_ratio"))
+  }
+
+  /** [[allPairs]] slimmed to (ratio, token_match), no predicate, no
+    * canonical swap — the profile-aggregation feed. */
+  private def slimPairs(capped: DataFrame, knownNames: Long): DataFrame = {
+    val s = {
+      val n = if (knownNames >= 0) knownNames else capped.count()
+      if (n < 500) 4 else 96
+    }
+    val salted = capped.withColumn("chunk", pmod(hash(col("base_name")), lit(s)))
+    val a = salted.select(
+      col("block_key"),
+      col("base_name").as("l_name"),
+      col("token_key").as("l_token_key"),
+      col("chunk").as("l_chunk"),
+      explode(sequence(col("chunk"), lit(s - 1))).as("chunk"))
+    val b = salted.select(
+      col("block_key"),
+      col("base_name").as("r_name"),
+      col("token_key").as("r_token_key"),
+      col("chunk"))
+    // pinned repartition for the same AQE reason as allPairs
+    a.repartition(s, col("block_key"), col("chunk"))
+      .join(b.repartition(s, col("block_key"), col("chunk")), Seq("block_key", "chunk"))
+      .where(col("l_chunk") =!= col("chunk") || col("l_name") < col("r_name"))
+      .select(jaro_winkler(col("l_name"), col("r_name")).as("ratio"),
+        (col("l_token_key") === col("r_token_key")).as("token_match"))
+  }
+
+  /** [[sortedNeighborhoodPairs]] slimmed the same way. */
+  private def slimSorted(stats: DataFrame, window: Int): DataFrame = {
+    val byName = org.apache.spark.sql.expressions.Window
+      .partitionBy("block_key").orderBy("base_name")
+    val ranked = stats.withColumn("rnk", row_number().over(byName))
+    val a = ranked.select(
+      col("block_key"),
+      col("base_name").as("a_name"),
+      col("token_key").as("a_token_key"),
+      explode(sequence(col("rnk") + 1, col("rnk") + (window - 1))).as("rnk"))
+    val b = ranked.select(
+      col("block_key"),
+      col("base_name").as("b_name"),
+      col("token_key").as("b_token_key"),
+      col("rnk"))
+    a.join(b, Seq("block_key", "rnk"))
+      .select(jaro_winkler(col("a_name"), col("b_name")).as("ratio"),
+        (col("a_token_key") === col("b_token_key")).as("token_match"))
+  }
+
   /** Data-visible cost-governor report (ADVICE r2: divergence from
     * exact reference semantics should be observable in data, not only
     * a warn line). One row: how many blocks exist, how many exceed

@@ -39,7 +39,6 @@ object JaroWinklerAlgo {
     val len1 = a.length
     val len2 = b.length
     if (len1 == 0 || len2 == 0) return 0.0
-    if (len1 <= 64 && len2 <= 64) return computeBytesSmall(a, b)
     val range = math.max((if (len1 > len2) len1 else len2) / 2 - 1, 0)
 
     val matched1 = new Array[Boolean](len1)
@@ -70,63 +69,6 @@ object JaroWinklerAlgo {
     while (i < len1) {
       if (matched1(i)) {
         while (!matched2(k)) k += 1
-        if (a(i) != b(k)) mismatches += 1
-        k += 1
-      }
-      i += 1
-    }
-    val t = mismatches / 2
-    val md = m.toDouble
-    val jaro = (md / len1 + md / len2 + (md - t) / md) / 3.0
-    if (jaro <= 0.7) return jaro
-
-    val maxPrefix = math.min(4, math.min(len1, len2))
-    var l = 0
-    while (l < maxPrefix && a(l) == b(l)) l += 1
-    jaro + l * 0.1 * (1.0 - jaro)
-  }
-
-  /** [[computeBytes]] for both sides ≤ 64 bytes — virtually every
-    * normalized name. The matched-position flags live in two Long
-    * bitmasks instead of two heap arrays: the quadratic pair joins
-    * evaluate this ~10⁸ times per audit query, and two allocations
-    * per call made the kernel GC-bound before it was compute-bound.
-    * Bit-identical results to the array path (same scan order, same
-    * tie handling). */
-  private def computeBytesSmall(a: Array[Byte], b: Array[Byte]): Double = {
-    val len1 = a.length
-    val len2 = b.length
-    val range = math.max((if (len1 > len2) len1 else len2) / 2 - 1, 0)
-
-    var matched1 = 0L
-    var matched2 = 0L
-    var m = 0
-    var i = 0
-    while (i < len1) {
-      val lo = if (i - range > 0) i - range else 0
-      val hi = if (i + range < len2 - 1) i + range else len2 - 1
-      val ai = a(i)
-      var j = lo
-      var found = false
-      while (!found && j <= hi) {
-        if ((matched2 & (1L << j)) == 0L && ai == b(j)) {
-          matched1 |= 1L << i
-          matched2 |= 1L << j
-          m += 1
-          found = true
-        }
-        j += 1
-      }
-      i += 1
-    }
-    if (m == 0) return 0.0
-
-    var mismatches = 0
-    var k = 0
-    i = 0
-    while (i < len1) {
-      if ((matched1 & (1L << i)) != 0L) {
-        while ((matched2 & (1L << k)) == 0L) k += 1
         if (a(i) != b(k)) mismatches += 1
         k += 1
       }

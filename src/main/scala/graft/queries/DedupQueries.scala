@@ -137,11 +137,7 @@ object DedupQueries {
     // salted pair join spreads the quadratic work across cores;
     // output is the aggregate profile.
     "dedup_pairs_stats" -> ((s, dir) =>
-      Matching.qualifyingPairsPrepared(customerNameStats(s, dir))
-        .agg(
-          count(lit(1)).as("n_pairs"),
-          sum(when(col("token_match"), 1L).otherwise(0L)).as("n_token_matches"),
-          round(avg(col("ratio")), 6).as("avg_ratio"))),
+      Matching.pairProfile(customerNameStats(s, dir))),
 
     // the cost governor end-to-end (default-on policy, here with a
     // deliberately small cap so the governed path is oracle-visible):

@@ -41,7 +41,8 @@ object StreamDedup {
     * Returns the started query (memory/parquet/any sink decided by
     * the caller inside `sink`). */
   def incrementalDedup(stream: DataFrame, textCol: String, indexPath: String,
-      checkpoint: String)(sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+      checkpoint: String, idCol: Option[String] = None)(
+      sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
     val writer: DataStreamWriter[Row] = stream.writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
@@ -49,9 +50,21 @@ object StreamDedup {
         val spark = batch.sparkSession
         val hashed = batch.withColumn("content_hash", md5(col(textCol).cast("string")))
         val seen = readIndex(spark, indexPath)
-        val fresh = hashed
-          .join(seen, Seq("content_hash"), "left_anti")
-          .dropDuplicates("content_hash")
+        val antiJoined = hashed.join(seen, Seq("content_hash"), "left_anti")
+        // in-batch survivor: dropDuplicates keeps an ARBITRARY row per
+        // hash (fine for pure dedup); with idCol the lowest id wins —
+        // the deterministic policy the batch dedup queries use, which
+        // is what lets a streaming run be graded against the batch
+        // oracle (same final state on the same data, any batch split)
+        val deduped = idCol match {
+          case Some(id) =>
+            val w = org.apache.spark.sql.expressions.Window
+              .partitionBy("content_hash").orderBy(col(id).asc)
+            antiJoined.withColumn("_rn", row_number().over(w))
+              .filter(col("_rn") === 1).drop("_rn")
+          case None => antiJoined.dropDuplicates("content_hash")
+        }
+        val fresh = deduped
           .localCheckpoint(true) // decouple sink + index writes from re-planning
         sink(fresh.drop("content_hash"), batchId)
         fresh.select("content_hash")

@@ -83,4 +83,31 @@ class NormalizeSpec extends AnyFunSuite {
     assert(derive("Tata Consultancy Services Limited")._3 == "T_5_TATA")
     assert(derive("Microsoft Corporation Worldwide")._3.startsWith("M_"))
   }
+
+  test("non-ASCII: (?U)\\w keeps accented, CJK and combining-mark word chars") {
+    // The reference's Python re \w is Unicode-aware; (?U) replicates
+    // it (expected values verified under CPython:
+    // re.sub(r'[^\w\s&/-]', ' ', name.upper())).
+    assert(derive("Caf\u00e9 GmbH") ==
+      ("CAF\u00c9 GMBH", "CAF\u00c9", "C_0_CAF\u00c9"))
+    // CJK has no case mapping; the name survives normalization whole
+    // (6 code points -> length bucket 1, first token = whole name)
+    assert(derive("\u682a\u5f0f\u4f1a\u793e\u30c8\u30e8\u30bf") ==
+      ("\u682a\u5f0f\u4f1a\u793e\u30c8\u30e8\u30bf",
+        "\u682a\u5f0f\u4f1a\u793e\u30c8\u30e8\u30bf",
+        "\u682a_1_\u682a\u5f0f\u4f1a\u793e\u30c8\u30e8\u30bf"))
+    // combining marks are word chars (\p{Mn} is inside (?U)\w), and
+    // the engine does NOT canonical-normalize: decomposed e+\u0301 is
+    // a DIFFERENT name than composed \u00e9 (fold spellings upstream
+    // with unicode_norm('nfc') when a corpus mixes them)
+    assert(derive("Cafe\u0301 Ltd")._2 == "CAFE\u0301")
+    assert(derive("Cafe\u0301 Ltd")._2 != derive("Caf\u00e9 Ltd")._2)
+    // DIALECT NOTE (SURVEY.md "Known risks"): the DuckDB twins' RE2
+    // \w is ASCII-only — there 'E\u0301' loses the mark, '\u00c9'
+    // becomes a space, and CJK names collapse to '' / block "NONE".
+    // Parity on the oracle testdata holds because the generated names
+    // are ASCII; non-ASCII correctness is pinned HERE, on the
+    // reference-faithful side, and the differential fuzzer keeps its
+    // name alphabet ASCII for the same reason (tools/fuzz.py).
+  }
 }

@@ -154,6 +154,23 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), p.take(3000))
   }
 
+  test("pair profile evaluates Jaro-Winkler exactly once per pair and reads the shared name index") {
+    assume(new java.io.File(s"$sfDir/customer.parquet").exists())
+    // dedup_pairs_stats runs the predicate as conditional aggregates,
+    // not a Filter: a Filter's predicate gets pushed into the join
+    // condition with the JW call inlined once per branch plus once in
+    // the ratio projection — 3 kernel evaluations per pair on the
+    // all-qualifying audit workload (Matching.pairProfile). One
+    // occurrence in the optimized plan IS the property.
+    val df = graft.SparkEntry.queries("dedup_pairs_stats")(spark, sfDir)
+    val opt = df.queryExecution.optimizedPlan.toString
+    val jwCount = "jaro_winkler".r.findAllIn(opt).length
+    assert(jwCount === 1, s"expected 1 jaro_winkler, got $jwCount:\n${opt.take(3000)}")
+    // and the distinct-name index is the session-shared Memo'd frame,
+    // not a per-query rebuild (VERDICT r9 item 7)
+    assert(opt.contains("InMemoryRelation"), opt.take(3000))
+  }
+
   test("no declared query degenerates to a cartesian product") {
     assume(new java.io.File(s"$sfDir/lineitem.parquet").exists())
     // Every allowlisted query embeds, BY DESIGN, a broadcast
