@@ -79,9 +79,15 @@ object TextOps {
   def wordHash32(c: Column): Column =
     conv(substring(md5(c), 1, 8), 16, 10).cast("long")
 
-  /** Exact Jaccard over two distinct-element arrays. */
+  /** Exact Jaccard over two distinct-element arrays. NULL when both
+    * are empty (|a∪b| = 0): mirrors SQL division-by-zero semantics
+    * (DuckDB x/0 = NULL; plain `/` under Spark's default ANSI mode
+    * instead THROWS, which the differential fuzzer caught on a pair
+    * of whitespace-only docs — tools/fuzz.py seed 1), so downstream
+    * `jaccard >= θ` filters drop the degenerate pair in both engines
+    * rather than crashing one of them. */
   def jaccard(a: Column, b: Column): Column = {
     val inter = size(array_intersect(a, b))
-    inter / (size(a) + size(b) - inter)
+    try_divide(inter, size(a) + size(b) - inter)
   }
 }

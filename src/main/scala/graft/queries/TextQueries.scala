@@ -87,6 +87,15 @@ object TextQueries {
       docsSpread(s, dir)
         .withColumn("w", TextOps.words(col("text")))
         .select(col("doc_id"), TextOps.shingles(col("w"), ShingleK).as("sh"))
+        // a doc with < ShingleK words has NO shingles and hence no
+        // MinHash: it does not belong in the signature index (its
+        // null-sig rows would all share one band bucket and falsely
+        // pair every tiny doc with every other). The DuckDB twins
+        // drop such docs implicitly (their pos-join produces no sh
+        // rows); the fuzzer caught the Spark side emitting them
+        // (tools/fuzz.py: text_minhash_sigs row counts,
+        // text_lsh_bucket_stats bucket counts).
+        .filter(size(col("sh")) > 0)
     }
 
   /** doc_id + the 12 MinHash signature columns (cached index; 3 md5

@@ -1,0 +1,340 @@
+#!/usr/bin/env python3
+"""Randomized differential fuzzer vs the DuckDB oracle (VERDICT r9
+item 2). Rounds 7 and 9 each caught a real cross-engine divergence
+only because the fixed testdata happened to hit a boundary; this tool
+makes that systematic: per seed, generate random-but-adversarial
+customer/supplier/part/documents/embeddings tables (seeded numpy —
+reruns are byte-identical), run every dedup_*/text_*/ann_*/enrich_*
+query through graft.tools.FuzzVerify (ONE JVM for all seeds), replay
+each DuckDB twin on the same parquet, and diff with the driver's
+compare (columns sorted by name, dtypes, then stringified values).
+
+Generator design notes (what each ingredient is aimed at):
+  - names: ASCII only — NormalizeSpec pins the known (?U)\\w-vs-RE2
+    dialect gap on non-ASCII, so feeding the twins accented/CJK names
+    would only re-find the documented divergence. Within ASCII it
+    stacks suffixes to the fixpoint bound, acronym keys, country
+    tails, punctuation that normalizes away, case/whitespace variants,
+    exact dups, one-char JW near-dups, empty/blank names.
+  - documents: duplicate + near-duplicate families (MinHash/SimHash),
+    repeated lines (line dedup), PII literals, bullet/symbol-heavy and
+    short docs (Gopher rules), empty and whitespace-only texts.
+    ASCII by default; --unicode-docs adds accented/CJK docs to probe
+    the text twins' dialect surface.
+  - embeddings: unit-ish gaussians plus exact duplicates, 1e-6-jitter
+    near-dups (cosine boundary adjacency), tiny-norm vectors, and
+    exactly-representable component values (k/8) that make cross-
+    engine double sums land on representable boundaries.
+
+Usage: tools/fuzz.py [--seeds=N] [--root=DIR] [--unicode-docs]
+                     [--prefixes=p1,p2] [--no-verify]
+Dev tool only — not part of the Spark library.
+"""
+import json, subprocess, sys
+from pathlib import Path
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+SEEDS = 20
+ROOT = Path("/tmp/graft_fuzz")
+PREFIXES = "dedup_,text_,ann_,enrich_"
+UNICODE_DOCS = False
+RUN_VERIFY = True
+for a in sys.argv[1:]:
+    if a.startswith("--seeds="):
+        SEEDS = int(a.split("=", 1)[1])
+    elif a.startswith("--root="):
+        ROOT = Path(a.split("=", 1)[1])
+    elif a.startswith("--prefixes="):
+        PREFIXES = a.split("=", 1)[1]
+    elif a == "--unicode-docs":
+        UNICODE_DOCS = True
+    elif a == "--no-verify":
+        RUN_VERIFY = False
+
+# ---------------------------------------------------------------- names
+BASES = ["ACME", "GLOBAL", "TATA", "APEX", "NOVA", "STELLAR", "UNITED",
+         "PACIFIC", "QUANTUM", "VERTEX", "DELTA", "OMEGA", "PIONEER",
+         "SUMMIT", "HORIZON", "ZENITH", "ATLAS", "ORION", "MERIDIAN",
+         "CASCADE"]
+MIDS = ["SOFTWARE", "BANK", "PHARMA", "STORE", "ENGINEERING", "TECH",
+        "CAPITAL", "MEDICAL", "MARKET", "SYSTEMS", "TRADING", "LOGISTICS",
+        "ENERGY", "FOODS", ""]
+# mixed-case spellings of Rules.Suffixes entries (normalize upcases)
+SUFFIXES = ["Private Limited", "GmbH & Co KG", "Incorporated", "Pte Ltd",
+            "Pvt Ltd", "Limited", "Company", "S R L", "GmbH", "Ltd",
+            "LLC", "LLP", "PLC", "Inc", "A/S", "S A", "Co", "Co Pvt Ltd",
+            "Co Pvt Ltd Private Limited", ""]
+COUNTRIES = ["United Kingdom", "India", "Germany", "Hong Kong", "USA",
+             "Japan", "Cote Divoire", ""]
+ACRONYMS = ["TCS", "HDFC", "IBM INDIA", "tcs"]
+PUNCT_TEMPLATES = ["{}, {}.", "{} & Sons {}", "{}-{}/Intl", "  {}   {}  ",
+                   "{} ({}) !!", "{}*{}#"]
+WEIRD_NAMES = ["", " ", "...", "!!!", "& - /", "A", "Z" * 120,
+               "CO", "LTD", "INDIA", "PRIVATE LIMITED"]
+
+
+def gen_name(rng):
+    r = rng.random()
+    base = rng.choice(BASES)
+    mid = rng.choice(MIDS)
+    core = f"{base} {mid}".strip()
+    if r < 0.06:
+        return rng.choice(WEIRD_NAMES)
+    if r < 0.12:
+        return rng.choice(ACRONYMS)
+    if r < 0.25:
+        t = rng.choice(PUNCT_TEMPLATES)
+        return t.format(core, rng.choice(SUFFIXES) or "Co")
+    name = core
+    if rng.random() < 0.7:
+        suf = rng.choice(SUFFIXES)
+        if suf:
+            name += " " + suf
+    if rng.random() < 0.3:
+        ctry = rng.choice(COUNTRIES)
+        if ctry:
+            name += " " + ctry
+    if rng.random() < 0.15:  # case variant
+        name = name.lower() if rng.random() < 0.5 else name.title()
+    return name
+
+
+def mutate(rng, name):
+    """One-char edit for Jaro-Winkler near-dup pressure."""
+    if not name.strip():
+        return name + "X"
+    i = int(rng.integers(0, len(name)))
+    c = chr(ord('A') + int(rng.integers(0, 26)))
+    op = rng.random()
+    if op < 0.4:
+        return name[:i] + c + name[i + 1:]
+    if op < 0.7:
+        return name[:i] + c + name[i:]
+    return name[:i] + name[i + 1:]
+
+
+def gen_names(rng, n):
+    names = []
+    while len(names) < n:
+        name = gen_name(rng)
+        names.append(name)
+        r = rng.random()
+        if r < 0.15 and len(names) < n:       # exact duplicate
+            names.append(name)
+        elif r < 0.35 and len(names) < n:     # near-duplicate
+            names.append(mutate(rng, name))
+    return names[:n]
+
+
+# ------------------------------------------------------------ documents
+WORDS = ("the quick brown fox jumps over lazy dog machine learning data "
+         "pipeline quality filter token language model corpus sample "
+         "training text analysis score count word line duplicate near "
+         "exact shingle hash band bucket join cluster embedding vector "
+         "cosine distance index search approximate neighbor stop and of "
+         "to in a is it for on with as by this that").split()
+UNICODE_WORDS = ["café", "naïve", "über", "señor",
+                 "株式会社", "中文",
+                 "café", "élève"]
+PII = ["contact john.doe@example.com now", "call 555-123-4567 today",
+       "ssn 123-45-6789 on file", "ip 192.168.1.1 logged"]
+LANGS = ["en", "de", "fr", "es", "zh"]
+SOURCES = [f"src{i}" for i in range(20)]
+
+
+def gen_doc(rng):
+    r = rng.random()
+    if r < 0.03:
+        return ""
+    if r < 0.05:
+        return "   "
+    nwords = int(rng.integers(3, 120))
+    pool = list(WORDS)
+    if UNICODE_DOCS and rng.random() < 0.2:
+        pool += UNICODE_WORDS
+    words = [pool[int(rng.integers(0, len(pool)))] for _ in range(nwords)]
+    if rng.random() < 0.1:                      # PII literals
+        words.insert(int(rng.integers(0, len(words))), rng.choice(PII))
+    if rng.random() < 0.1:                      # bullet/symbol heavy
+        words = ["- " + w if i % 3 == 0 else w for i, w in enumerate(words)]
+    if rng.random() < 0.08:                     # numbers + symbols
+        words += [str(int(rng.integers(0, 10 ** 6))), "$$$", "%%%", "..."]
+    text = " ".join(words)
+    if rng.random() < 0.15:                     # repeated lines
+        line = " ".join(words[:min(8, len(words))])
+        text = "\n".join([line, text, line, line])
+    if rng.random() < 0.1:
+        text = text.upper()
+    return text
+
+
+def gen_documents(rng, n):
+    texts = []
+    while len(texts) < n:
+        t = gen_doc(rng)
+        texts.append(t)
+        r = rng.random()
+        if r < 0.12 and len(texts) < n:        # exact duplicate
+            texts.append(t)
+        elif r < 0.3 and len(texts) < n and t.strip():  # near-dup family
+            words = t.split(" ")
+            for _ in range(int(rng.integers(1, 4))):
+                if len(texts) >= n:
+                    break
+                w = list(words)
+                i = int(rng.integers(0, len(w)))
+                w[i] = rng.choice(WORDS)
+                texts.append(" ".join(w))
+    texts = texts[:n]
+    return pd.DataFrame({
+        "doc_id": np.arange(n, dtype=np.int64),
+        "text": texts,
+        "lang": [LANGS[int(rng.integers(0, len(LANGS)))] for _ in range(n)],
+        "source": [SOURCES[int(rng.integers(0, len(SOURCES)))] for _ in range(n)],
+        "n_chars": np.array([len(t) for t in texts], dtype=np.int64),
+    })
+
+
+# ----------------------------------------------------------- embeddings
+def gen_embeddings(rng, n, dim=64):
+    vecs = rng.standard_normal((n, dim)).astype(np.float32)
+    # exactly-representable grid values: double sums land on boundaries
+    grid_rows = rng.choice(n, size=max(1, n // 10), replace=False)
+    vecs[grid_rows] = (rng.integers(-8, 9, size=(len(grid_rows), dim))
+                       / 8.0).astype(np.float32)
+    # exact duplicates + 1e-6 near-dups (cosine ~1 boundary)
+    for i in range(0, n - 1, 17):
+        vecs[i + 1] = vecs[i]
+    for i in range(5, n - 1, 23):
+        vecs[i + 1] = vecs[i] + np.float32(1e-6)
+    # tiny-norm vector (NOT exactly zero: both engines then divide by a
+    # denormal-adjacent norm instead of 0)
+    vecs[n - 1] = np.float32(1e-20)
+    return pd.DataFrame({
+        "vec_id": np.arange(n, dtype=np.int64),
+        "embedding": [v for v in vecs],
+        "label": rng.integers(0, 10, size=n).astype(np.int32),
+    })
+
+
+def gen_seed(seed, out_dir):
+    rng = np.random.default_rng(seed * 9973 + 11)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    n_cust, n_supp, n_part, n_doc, n_emb = 250, 60, 150, 160, 96
+    pd.DataFrame({
+        "c_custkey": np.arange(n_cust, dtype=np.int64),
+        "c_name": gen_names(rng, n_cust),
+        "c_nationkey": rng.integers(0, 25, size=n_cust).astype(np.int32),
+        # boundary-adjacent doubles: k/200 halves land exactly on the
+        # round-half grid; a few irrationals for contrast
+        "c_acctbal": np.where(rng.random(n_cust) < 0.5,
+                              rng.integers(-1000, 200000, size=n_cust) / 200.0,
+                              rng.standard_normal(n_cust) * 5000.0),
+        "c_mktsegment": [["BUILDING", "MACHINERY", "FURNITURE", "AUTOMOBILE",
+                          "HOUSEHOLD"][int(rng.integers(0, 5))]
+                         for _ in range(n_cust)],
+    }).to_parquet(out_dir / "customer.parquet", index=False)
+    pd.DataFrame({
+        "s_suppkey": np.arange(n_supp, dtype=np.int64),
+        "s_name": gen_names(rng, n_supp),
+        "s_nationkey": rng.integers(0, 25, size=n_supp).astype(np.int32),
+        "s_acctbal": rng.integers(-1000, 2000000, size=n_supp) / 200.0,
+    }).to_parquet(out_dir / "supplier.parquet", index=False)
+    part_names = gen_names(rng, max(20, n_part // 4))  # heavy duplication
+    pd.DataFrame({
+        "p_partkey": np.arange(n_part, dtype=np.int64),
+        "p_name": [part_names[int(rng.integers(0, len(part_names)))]
+                   for _ in range(n_part)],
+        "p_brand": [f"Brand#{int(rng.integers(1, 6))}{int(rng.integers(1, 6))}"
+                    for _ in range(n_part)],
+        "p_type": [["small widget", "large bolt", "blue rod"]
+                   [int(rng.integers(0, 3))] for _ in range(n_part)],
+        "p_size": rng.integers(1, 51, size=n_part).astype(np.int32),
+        "p_retailprice": rng.integers(90000, 200000, size=n_part) / 100.0,
+    }).to_parquet(out_dir / "part.parquet", index=False)
+    gen_documents(rng, n_doc).to_parquet(out_dir / "documents.parquet",
+                                         index=False)
+    gen_embeddings(rng, n_emb).to_parquet(out_dir / "embeddings.parquet",
+                                          index=False)
+
+
+# ------------------------------------------------------------- comparison
+def compare_seed(seed, oracle):
+    """check.py's driver-style compare, restricted to one seed dir."""
+    data, out = ROOT / f"seed{seed}" / "data", ROOT / f"seed{seed}" / "out"
+    con = duckdb.connect()
+    for t in ["customer", "supplier", "part", "documents", "embeddings"]:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{data}/{t}.parquet'")
+    fails = []
+    for name, sql in sorted(oracle.items()):
+        pdir = out / name
+        if not pdir.exists():
+            fails.append((name, "no spark output")); continue
+        try:
+            got = con.sql(f"SELECT * FROM '{pdir}/*.parquet'").df()
+            want = con.sql(sql).df()
+        except Exception as e:
+            fails.append((name, f"oracle error: {e}")); continue
+        got = got.reindex(sorted(got.columns), axis=1)
+        want = want.reindex(sorted(want.columns), axis=1)
+        if list(got.columns) != list(want.columns):
+            fails.append((name, f"columns {list(got.columns)} != {list(want.columns)}"))
+            continue
+        if len(got) != len(want):
+            fails.append((name, f"rows {len(got)} != {len(want)}")); continue
+        dtg = {c: str(got[c].dtype) for c in got.columns}
+        dtw = {c: str(want[c].dtype) for c in want.columns}
+        if dtg != dtw:
+            bad = {c: (dtg[c], dtw[c]) for c in dtg if dtg[c] != dtw[c]}
+            fails.append((name, f"dtype mismatch {bad}")); continue
+        g = got.astype(str).reset_index(drop=True)
+        w = want.astype(str).reset_index(drop=True)
+        if not g.equals(w):
+            diff = (g != w).any(axis=1)
+            idx = diff.idxmax()
+            fails.append((name, f"{int(diff.sum())}/{len(g)} rows differ; "
+                          f"spark={got.iloc[idx].to_dict()} "
+                          f"duckdb={want.iloc[idx].to_dict()}"))
+    con.close()
+    return fails
+
+
+def main():
+    print(f"[fuzz] generating {SEEDS} seed datasets under {ROOT} "
+          f"(unicode_docs={UNICODE_DOCS})")
+    for s in range(SEEDS):
+        gen_seed(s, ROOT / f"seed{s}" / "data")
+    if RUN_VERIFY:
+        cmd = ["sbt", "-batch",
+               f"runMain graft.tools.FuzzVerify {ROOT} {SEEDS} {PREFIXES}"]
+        r = subprocess.run(cmd, capture_output=True, text=True,
+                           cwd=str(Path(__file__).resolve().parent.parent))
+        for line in (r.stdout + r.stderr).splitlines():
+            if "[fuzz]" in line:
+                print(line)
+        if r.returncode != 0 and not (ROOT / "oracle_sql.json").exists():
+            # total failure (compile error etc.) — nothing to compare
+            print(r.stdout[-4000:]); print(r.stderr[-4000:])
+            sys.exit(1)
+        # per-query Spark failures surface below as "no spark output"
+        # for their seed — keep going so ONE run reports every
+        # divergence, not just the first
+    oracle = json.loads((ROOT / "oracle_sql.json").read_text())
+    total_fails = 0
+    for s in range(SEEDS):
+        fails = compare_seed(s, oracle)
+        status = "GREEN" if not fails else f"{len(fails)} FAIL"
+        print(f"seed{s}: {status} ({len(oracle)} queries)")
+        for name, why in fails:
+            print(f"  FAIL {name}: {why[:500]}")
+        total_fails += len(fails)
+    print(f"\n{'ALL GREEN' if total_fails == 0 else f'{total_fails} FAILURES'}"
+          f" ({SEEDS} seeds x {len(oracle)} queries)")
+    sys.exit(1 if total_fails else 0)
+
+
+if __name__ == "__main__":
+    main()
