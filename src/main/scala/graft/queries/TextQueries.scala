@@ -996,14 +996,17 @@ object TextQueries {
           .cast("decimal(20,6)"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"), sum(col("logp_dec")).as("sum_logp"))
-      // final mean at 4 dp, not 6: round(double, d) can diverge
-      // cross-engine within ~ulp of a .5·10^-d boundary (Spark rounds
-      // the exact binary expansion, DuckDB rounds value·10^d), and at
-      // 6 dp a 50k-doc corpus measurably hits that zone (1-row sf1
-      // mismatch). 4 dp widens the grid 100× relative to double ulp
-      // and absorbs per-bigram ln() last-ulp noise.
+      // readout with NO rounding call (the text_dsir pattern): the
+      // exact DECIMAL sum goes through a BIGINT micro-unit, then two
+      // identical IEEE divisions on both engines → bit-identical
+      // doubles. The earlier round(double, 4) readout still diverged
+      // when the true quotient landed on a .00005 boundary (Spark
+      // HALF_UPs the shortest decimal expansion, DuckDB rounds
+      // value·10^4) — caught by tools/fuzz.py seed 5 after round 7
+      // had already widened the grid from 6 dp to 4 dp.
       .withColumn("avg_logp",
-        round(col("sum_logp").cast("double") / col("n_bigrams").cast("double"), 4))
+        (col("sum_logp").multiply(lit(1000000)).cast("long").cast("double")
+          / 1000000.0) / col("n_bigrams").cast("double"))
     d.select(col("doc_id"))
       .join(scored.select("doc_id", "n_bigrams", "avg_logp"), Seq("doc_id"), "left")
       .select(col("doc_id"),
@@ -1655,7 +1658,8 @@ object TextQueries {
         |  GROUP BY 1)
         |SELECT d.doc_id,
         |  coalesce(s.n_bigrams, 0) AS n_bigrams,
-        |  round(CAST(s.sum_logp AS DOUBLE) / CAST(s.n_bigrams AS DOUBLE), 4) AS avg_logp
+        |  (CAST(CAST(s.sum_logp * 1000000 AS BIGINT) AS DOUBLE) / 1000000.0)
+        |    / CAST(s.n_bigrams AS DOUBLE) AS avg_logp
         |FROM documents d LEFT JOIN scored s USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
 

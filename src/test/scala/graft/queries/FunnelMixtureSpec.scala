@@ -130,12 +130,14 @@ class FunnelMixtureSpec extends AnyFunSuite {
     import spark.implicits._
     // corpus: a×3 b×2 c×1 → V=3, c1(a)=3; bigrams (a,b)×2, (a,c)×1
     // logp(a,b) = ln(3/6) = -0.693147; logp(a,c) = ln(2/6) = -1.098612
-    // (per-bigram 6 dp; the reported mean is at 4 dp)
+    // (per-bigram 6 dp; the mean is read out UNROUNDED through the
+    // exact micro-unit path — tools/fuzz.py seed 5 killed the 4-dp
+    // readout, see lmScore)
     val d = Seq((1L, "a b"), (2L, "a b"), (3L, "a c")).toDF("doc_id", "text")
     val got = TextQueries.lmScore(d).orderBy("doc_id").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
     assert(got.toSeq == Seq(
-      (1L, 1L, -0.6931), (2L, 1L, -0.6931), (3L, 1L, -1.0986)))
+      (1L, 1L, -0.693147), (2L, 1L, -0.693147), (3L, 1L, -1.098612)))
   }
 
   test("lm score: single-word docs emit zero bigrams and a null score") {
