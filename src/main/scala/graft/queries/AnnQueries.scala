@@ -29,6 +29,9 @@ object AnnQueries {
   private val IpIters = 4 // residual codebook Lloyd's rounds
   private val IpNProbe = 2 // coarse cells probed per query
   private val IpRerank = 50 // ADC shortlist re-ranked with exact distances
+  // nProbe curve points for ann_recall_curve (nested by centroid
+  // rank: each point is a filter over the max-nProbe candidate pass)
+  private val ProbeCurve = Seq(1, 2, 4, 8)
 
   /** The bounded probe set every audit/search query uses: the
     * QueryMod sieve picks every 50th vector, the id cap bounds the
@@ -275,6 +278,62 @@ object AnnQueries {
         .agg(count(col("hit")).as("n_hits"),
           round(count(col("hit")) / count(lit(1)), 6).as("recall"))
         .orderBy("query_id")
+    }),
+
+    // nProbe-sizing curve: IVF recall@k at nProbe ∈ {1,2,4,8} over
+    // the TRAINED k-means partitioning (not the shipped label
+    // column). ann_recall measures 0.275 at sf1 with the given
+    // labels — probing 2 of 10 near-arbitrary cells recovers ~30% —
+    // so the knob question "what nProbe does THIS partitioning need
+    // for the recall target?" gets its own audit. One brute-truth
+    // pass + ONE Memo'd scored-candidate pass at the largest nProbe
+    // (the subsets are nested by centroid rank, so each curve point
+    // is a filter + window over the same frame, never a re-join).
+    // Readout is exact integers (n_hits / n_truth per n_probe; every
+    // probe has exactly TopK truths, so n_hits/n_truth IS the mean
+    // recall) — no round(double) anywhere, per the dsir lesson.
+    "ann_recall_curve" -> ((s, dir) => {
+      import s.implicits._
+      val p = prep(s, dir)
+      val q = p.filter(probeSet)
+      val truth = Ann.bruteForceTopK(q, p, TopK)
+        .select("query_id", "neighbor_id")
+      val cand = graft.core.Memo.cached(s,
+        s"ann_recall_curve:$dir:k$KmK:i$KmIters:p${ProbeCurve.max}") {
+        val probeW = Window.partitionBy("query_id")
+          .orderBy(col("d2").asc, col("label").asc)
+        val probed = Ann.centroidDistances(
+          q.select(col("vec_id"), col("v")), broadcast(coarseCent(s, dir)))
+          .withColumn("crk", row_number().over(probeW))
+          .filter(col("crk") <= ProbeCurve.max)
+          .select(col("query_id"), col("label").cast("long").as("cell"), col("crk"))
+        val neighbors = p.select(col("vec_id").as("neighbor_id"), col("u").as("nu"))
+          .join(kmeansAssign(s, dir)
+            .select(col("vec_id").as("neighbor_id"), col("cluster").as("cell")),
+            Seq("neighbor_id"))
+        probed.join(neighbors, Seq("cell"))
+          .filter(col("neighbor_id") =!= col("query_id"))
+          .join(broadcast(q.select(col("vec_id").as("query_id"), col("u").as("qu"))),
+            Seq("query_id"))
+          .select(col("query_id"), col("neighbor_id"),
+            Ann.cosine(col("qu"), col("nu")).as("cos"), col("crk"))
+      }
+      val w = Window.partitionBy("n_probe", "query_id")
+        .orderBy(col("cos").desc, col("neighbor_id").asc)
+      val approx = ProbeCurve.map(np =>
+        cand.filter(col("crk") <= np).withColumn("n_probe", lit(np)))
+        .reduce(_ unionByName _)
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= TopK)
+        .select("n_probe", "query_id", "neighbor_id")
+      val hits = approx.join(truth, Seq("query_id", "neighbor_id"))
+        .groupBy("n_probe").agg(count(lit(1)).as("n_hits"))
+      ProbeCurve.toDF("n_probe")
+        .join(hits, Seq("n_probe"), "left")
+        .crossJoin(truth.agg(count(lit(1)).as("n_truth")))
+        .select(col("n_probe"), coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+          col("n_truth"))
+        .orderBy("n_probe")
     }),
 
     // deterministic distributed k-means (Lloyd's): the operator that
@@ -1019,6 +1078,60 @@ object AnnQueries {
          |       round(count(i.neighbor_id) / count(*), 6) AS recall
          |FROM truth t LEFT JOIN ivf i
          |  ON i.query_id = t.query_id AND i.neighbor_id = t.neighbor_id
-         |GROUP BY t.query_id ORDER BY t.query_id""".stripMargin
+         |GROUP BY t.query_id ORDER BY t.query_id""".stripMargin,
+
+    "ann_recall_curve" -> {
+      val npValues = ProbeCurve.map(np => s"($np)").mkString(", ")
+      s"""$prepCte, $kmeansCtes,
+         |q AS (SELECT * FROM n WHERE ${probeSql()}),
+         |tscored AS (
+         |  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+         |         ${cosSql("q.v", "n.v", "q.nrm", "n.nrm")} AS cos
+         |  FROM q JOIN n ON n.vec_id <> q.vec_id),
+         |truth AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id
+         |      ORDER BY cos DESC, neighbor_id ASC) AS rk
+         |    FROM tscored) WHERE rk <= $TopK),
+         |qcdist AS (
+         |  SELECT vec_id AS query_id, c.label,
+         |         round(sum((x - cval) * (x - cval)), 4) AS d2
+         |  FROM vdim JOIN cent$KmIters c USING (dim)
+         |  WHERE ${probeSql()} GROUP BY 1, 2
+         |), probed AS (
+         |  SELECT query_id, CAST(label AS BIGINT) AS cell, crk FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id
+         |      ORDER BY d2 ASC, label ASC) AS crk FROM qcdist)
+         |  WHERE crk <= ${ProbeCurve.max}
+         |), nn AS (
+         |  SELECT n.vec_id, n.v, n.nrm, CAST(a.label AS BIGINT) AS cell
+         |  FROM n JOIN asgf a USING (vec_id)
+         |), cand AS (
+         |  SELECT p.query_id, nn.vec_id AS neighbor_id,
+         |         ${cosSql("q.v", "nn.v", "q.nrm", "nn.nrm")} AS cos, p.crk
+         |  FROM probed p
+         |  JOIN nn ON nn.cell = p.cell
+         |  JOIN q ON q.vec_id = p.query_id
+         |  WHERE nn.vec_id <> p.query_id
+         |), approx AS (
+         |  SELECT n_probe, query_id, neighbor_id FROM (
+         |    SELECT np.n_probe, c.query_id, c.neighbor_id,
+         |           row_number() OVER (PARTITION BY np.n_probe, c.query_id
+         |             ORDER BY c.cos DESC, c.neighbor_id ASC) AS rk
+         |    FROM (VALUES $npValues) np(n_probe)
+         |    JOIN cand c ON c.crk <= np.n_probe)
+         |  WHERE rk <= $TopK
+         |), hits AS (
+         |  SELECT a.n_probe, count(*) AS n_hits
+         |  FROM approx a JOIN truth t USING (query_id, neighbor_id)
+         |  GROUP BY 1
+         |)
+         |SELECT CAST(np.n_probe AS INTEGER) AS n_probe,
+         |       CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+         |       (SELECT count(*) FROM truth) AS n_truth
+         |FROM (VALUES $npValues) np(n_probe)
+         |LEFT JOIN hits h ON h.n_probe = np.n_probe
+         |ORDER BY n_probe""".stripMargin
+    }
   )
 }

@@ -185,7 +185,8 @@ class PlanAuditSpec extends AnyFunSuite {
     // above). Widening this set needs the same justification: a
     // bounded broadcast side, never a corpus×corpus loop.
     val allowedNlj = Set("ann_threshold_pairs", "ann_topk", "ann_ivf",
-      "ann_doc_topk", "ann_pq_recall", "ann_recall", "ann_ivf_pq_recall")
+      "ann_doc_topk", "ann_pq_recall", "ann_recall", "ann_ivf_pq_recall",
+      "ann_recall_curve")
     for ((name, _) <- graft.SparkEntry.queries if !allowedNlj(name)) {
       val p = plan(name)
       assert(!p.contains("CartesianProduct"),
