@@ -1,41 +1,56 @@
 package graft.queries
 
 import graft.core.Tables
-import graft.streaming.StreamDedup
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.streaming.{EventStreams, StreamDedup, StreamNearDup}
+import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
 
 /** Streaming operators under the DuckDB correctness gate (VERDICT r9
   * item 4): where a streaming path's FINAL STATE is expressible as a
   * batch query, it is declared here and graded like every batch
   * operator — closing the "streaming siblings are spec-only" gap.
+  * Each query drives the REAL machinery end-to-end: a file source,
+  * two `Trigger.AvailableNow` runs ("yesterday's ingest", "today's")
+  * sharing one checkpoint, so run 2 resumes run 1's offsets and
+  * state exactly as a restarted production job would.
   *
-  * The other streaming ops (watermarked near-dup state, funnels, the
-  * anomaly monitor) have no batch-equal final state by nature
-  * (watermark drops are arrival-order-dependent); they stay under
-  * their batch-parity specs in graft/streaming. */
+  * The other streaming ops (watermark-dropped late data, funnels,
+  * the anomaly monitor) have no batch-equal final state by nature
+  * (drops are arrival-order-dependent); they stay under their
+  * batch-parity specs in graft/streaming. */
 object StreamingQueries {
+
+  /** Scratch tree for a two-run streaming query; best-effort removed
+    * after the result is materialized. */
+  private def scratch(prefix: String): java.nio.file.Path =
+    java.nio.file.Files.createTempDirectory(prefix)
+
+  private def rmTree(f: java.io.File): Unit = {
+    val kids = f.listFiles()
+    if (kids != null) kids.foreach(rmTree)
+    f.delete(): Unit
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Cross-RUN incremental exact dedup, END-TO-END through the real
     // streaming machinery: the documents table is split into two
-    // id-ordered halves ("yesterday's ingest", "today's"), each
-    // shipped through StreamDedup.incrementalDedup as its own
-    // Trigger.AvailableNow run over a file source with a shared
-    // checkpoint + persistent hash index — run 2 resumes the
-    // checkpoint, reads only the new files, and dedups against the
-    // on-disk index of everything run 1 shipped. With the
-    // deterministic min-id in-batch survivor and the id-ordered
-    // split, the union of both runs' survivors must equal the BATCH
-    // exact-dedup answer (min doc_id per content hash) — which is
-    // exactly what the DuckDB twin grades. Scale: the per-batch
-    // anti-join shuffles by hash like any equi-join and the index is
-    // a parquet table — O(distinct history) on disk, not in executor
-    // memory.
+    // id-ordered halves, each shipped through
+    // StreamDedup.incrementalDedup as its own Trigger.AvailableNow
+    // run over a file source with a shared checkpoint + persistent
+    // hash index — run 2 resumes the checkpoint, reads only the new
+    // files, and dedups against the on-disk index of everything run
+    // 1 shipped. With the deterministic min-id in-batch survivor and
+    // the id-ordered split, the union of both runs' survivors must
+    // equal the BATCH exact-dedup answer (min doc_id per content
+    // hash) — which is exactly what the DuckDB twin grades. Scale:
+    // the per-batch anti-join shuffles by hash like any equi-join
+    // and the index is a parquet table — O(distinct history) on
+    // disk, not in executor memory.
     "stream_incremental_dedup" -> ((s, dir) => {
       val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
       val mid = docs.agg(max(col("doc_id"))).head().getLong(0) / 2
-      val tmp = java.nio.file.Files.createTempDirectory("graft_stream_dedup")
+      val tmp = scratch("graft_stream_dedup")
       val in = s"$tmp/in"
       val idx = s"$tmp/idx"
       val ck = s"$tmp/ck"
@@ -55,16 +70,119 @@ object StreamingQueries {
         .select(col("doc_id"), md5(col("text").cast("string")).as("content_hash"))
         .orderBy("doc_id")
         .localCheckpoint(true) // materialize before the tmp dir is deleted
-      // best-effort cleanup of the run's scratch tree
-      def rm(f: java.io.File): Unit = {
-        val kids = f.listFiles()
-        if (kids != null) kids.foreach(rm)
-        f.delete(): Unit
+      rmTree(tmp.toFile)
+      result
+    }),
+
+    // Cross-RUN incremental NEAR-dup detection through the same
+    // two-run checkpoint-resume harness: MinHash-LSH band buckets
+    // live in flatMapGroupsWithState keyed state, which the shared
+    // checkpoint carries across runs — run 2's docs pair against the
+    // reps run 1 left in every bucket. Grading needs relational
+    // semantics, so the state function runs in its audit mode
+    // (addMatchedReps=true, uncapped): the emitted stream is then
+    // exactly "all same-band-bucket pairs with signature agreement
+    // ≥ minEst", independent of arrival order — the DuckDB twin's
+    // self-join. Parameters mirror the batch text_lsh family
+    // (12 sigs, 6 bands × 2 rows, 2-shingles) over a deterministic
+    // 50% sample (doc_id % 2 = 0 — the same sampling-commutes
+    // argument as text_lsh_pairs_sample's 25%; the full-corpus twin
+    // is oracle-infeasible at sf1, and 50% keeps the gate
+    // non-trivial at sf0.01). The readout converts the agreement estimate
+    // back to its exact integer numerator (est·12) so no
+    // double-rounding can diverge cross-engine.
+    "stream_incremental_neardup" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      val docs = Tables.documents(s, dir)
+        .filter(col("doc_id") % 2 === 0)
+        .select(col("doc_id"), col("text"))
+        // constant event time: nothing is late, nothing times out —
+        // the batch-equal final state the gate requires
+        .withColumn("ts", lit("2024-01-01 00:00:00").cast("timestamp"))
+      val mid = docs.agg(max(col("doc_id"))).head().getLong(0) / 2
+      val tmp = scratch("graft_stream_neardup")
+      val in = s"$tmp/in"
+      val ck = s"$tmp/ck"
+      val out = s"$tmp/out"
+      def runOnce(batch: DataFrame): Unit = {
+        batch.coalesce(1).write.mode("append").parquet(in)
+        val stream = s.readStream.schema(docs.schema).parquet(in)
+        val pairs = StreamNearDup.candidatePairs(stream, "doc_id", "text",
+          tsCol = "ts", delay = "1 hour",
+          numSigs = TextQueries.NumSigs, bands = TextQueries.Bands,
+          shingleK = TextQueries.ShingleK, minEst = 0.5,
+          maxReps = Int.MaxValue, addMatchedReps = true)
+        pairs.toDF().writeStream
+          .option("checkpointLocation", ck)
+          .trigger(Trigger.AvailableNow())
+          .foreachBatch { (b: DataFrame, _: Long) =>
+            b.write.mode("append").parquet(out)
+          }
+          .start().awaitTermination()
       }
-      rm(tmp.toFile)
+      runOnce(docs.filter(col("doc_id") <= mid))
+      runOnce(docs.filter(col("doc_id") > mid))
+      // explicit schema: a pairless corpus appends no parquet files
+      val result = s.read
+        .schema(Encoders.product[StreamNearDup.Candidate].schema)
+        .parquet(out)
+        // est = n_agree/12 exactly; ·12 + round restores the integer
+        .select(col("a_id"), col("b_id"),
+          round(col("est_jaccard") * TextQueries.NumSigs).cast("long").as("n_agree"))
+        // one row per agreeing band → pair-level uniqueness here
+        .dropDuplicates("a_id", "b_id")
+        .orderBy("a_id", "b_id")
+        .localCheckpoint(true)
+      rmTree(tmp.toFile)
+      result
+    }),
+
+    // Cross-RUN stateful windowed aggregation: tumbling 1-hour
+    // counts/sums per event type in COMPLETE output mode — the
+    // aggregation state (one row per window × type, bounded by the
+    // time span, not the event volume) lives in the checkpoint state
+    // store, so run 2 folds today's events into yesterday's windows
+    // and the final complete table equals the batch events_tumbling
+    // answer on the union — the twin grades it with the identical
+    // SQL. foreachBatch overwrites the sink per trigger (complete
+    // mode's contract), so the last write IS the final state.
+    "stream_tumbling_counts" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("event_id"), col("ts"), col("event_type"), col("value"))
+      val mid = ev.agg(max(col("event_id"))).head().getLong(0) / 2
+      val tmp = scratch("graft_stream_tumbling")
+      val in = s"$tmp/in"
+      val ck = s"$tmp/ck"
+      val out = s"$tmp/out"
+      def runOnce(batch: DataFrame): Unit = {
+        batch.coalesce(1).write.mode("append").parquet(in)
+        val stream = s.readStream.schema(batch.schema).parquet(in)
+        EventStreams.tumblingCounts(stream).writeStream
+          .option("checkpointLocation", ck)
+          .outputMode("complete")
+          .trigger(Trigger.AvailableNow())
+          .foreachBatch { (b: DataFrame, _: Long) =>
+            b.write.mode("overwrite").parquet(out)
+          }
+          .start().awaitTermination()
+      }
+      runOnce(ev.filter(col("event_id") <= mid))
+      runOnce(ev.filter(col("event_id") > mid))
+      val result = s.read.parquet(out)
+        .select(
+          date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+          col("event_type"), col("n"), col("total_value"))
+        .orderBy("window_start", "event_type")
+        .localCheckpoint(true)
+      rmTree(tmp.toFile)
       result
     })
   )
+
+  private def agreeSql: String =
+    (0 until TextQueries.NumSigs)
+      .map(i => s"(CASE WHEN sa.sig_$i = sb.sig_$i THEN 1 ELSE 0 END)")
+      .mkString(" + ")
 
   val oracle: Map[String, String] = Map(
     // the batch twin of the two-run incremental state: first-seen
@@ -72,6 +190,30 @@ object StreamingQueries {
     "stream_incremental_dedup" ->
       """SELECT min(doc_id) AS doc_id, md5(text) AS content_hash
         |FROM documents GROUP BY md5(text)
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+
+    // the batch twin of the audit-mode band-bucket state: all pairs
+    // sharing ≥1 LSH band whose signature agreement clears
+    // minEst = 0.5 ⟺ n_agree ≥ 6 of 12 (exact integer compare —
+    // no double threshold can straddle an engine boundary)
+    "stream_incremental_neardup" ->
+      s"""${TextQueries.shingleCte.replace("FROM documents",
+             "FROM documents WHERE doc_id % 2 = 0")}, ${TextQueries.bandsCte}, cand AS (
+         |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+         |), agree AS (
+         |  SELECT c.a_id, c.b_id, CAST($agreeSql AS BIGINT) AS n_agree
+         |  FROM cand c
+         |  JOIN sigs sa ON sa.doc_id = c.a_id
+         |  JOIN sigs sb ON sb.doc_id = c.b_id
+         |)
+         |SELECT a_id, b_id, n_agree FROM agree
+         |WHERE n_agree >= ${TextQueries.NumSigs / 2}
+         |ORDER BY a_id, b_id""".stripMargin,
+
+    // the final complete-mode table must equal the batch tumbling
+    // aggregation on the union of both runs — same twin, verbatim
+    "stream_tumbling_counts" -> EventQueries.oracle("events_tumbling")
   )
 }

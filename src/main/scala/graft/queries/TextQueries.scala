@@ -11,9 +11,9 @@ import org.apache.spark.sql.functions._
   * scoring, token counting, winnowing fingerprints. */
 object TextQueries {
 
-  private val NumSigs = 12 // MinHash signatures
-  private val Bands = 6 // LSH bands (r = 2 rows/band)
-  private val ShingleK = 2 // word shingle width
+  private[queries] val NumSigs = 12 // MinHash signatures
+  private[queries] val Bands = 6 // LSH bands (r = 2 rows/band)
+  private[queries] val ShingleK = 2 // word shingle width
   private val JaccardThreshold = 0.08
   // Hot-bucket governor for the LSH band join (the LSH counterpart of
   // dedup's maxBlockNames cap): a band bucket with n members implies
@@ -1059,7 +1059,7 @@ object TextQueries {
     * re-derives the whole shingle→MinHash pipeline 4+ times — at sf1
     * that turned a 16 s oracle into a >10 min one (round 9). The hint
     * is an optimization fence only; results are identical. */
-  private val shingleCte: String =
+  private[queries] val shingleCte: String =
     s"""WITH w AS MATERIALIZED (
        |  SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS w,
        |         generate_subscripts(string_split_regex(text, '\\s+'), 1) AS pos
@@ -1084,7 +1084,7 @@ object TextQueries {
   /** [[shingleCte]] over the 25% deterministic sample — the only
     * difference is the corpus restriction in the `w` CTE, exactly
     * mirroring the Spark side's semi-join on sampled doc_ids. */
-  private val shingleCteSample: String =
+  private[queries] val shingleCteSample: String =
     shingleCte.replace("FROM documents", "FROM documents WHERE doc_id % 4 = 0")
 
   /** SimHash signature table CTE (shared by the signature and pair
@@ -1106,7 +1106,7 @@ object TextQueries {
        |), sigtab AS (SELECT doc_id, CAST($sig AS BIGINT) AS simhash FROM bits)""".stripMargin
   }
 
-  private val bandsCte: String = {
+  private[queries] val bandsCte: String = {
     val bandRows = (0 until Bands).map(b =>
       s"SELECT doc_id, $b AS band, md5('$b|' || sig_${2 * b} || sig_${2 * b + 1}) AS key FROM sigs")
       .mkString(" UNION ALL ")

