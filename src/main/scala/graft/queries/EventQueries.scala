@@ -111,9 +111,14 @@ object EventQueries {
     }),
 
     // JSON scalar extraction + histogram over the extracted value.
+    // try_cast, not cast: props is arbitrary user payload, and under
+    // ANSI mode a single non-numeric k ('{"k": "xyz"}') would abort
+    // the whole scan — the fuzzer caught exactly that. NULL k (junk
+    // JSON, missing key, JSON null) groups into the NULL bucket in
+    // both engines.
     "events_json" -> ((s, dir) =>
       Tables.events(s, dir)
-        .select(get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .select(get_json_object(col("props"), "$.k").try_cast("long").as("k"))
         .groupBy(floor(col("k") / 10).as("k_bucket"))
         .agg(count(lit(1)).as("n"))
         .orderBy("k_bucket")),
@@ -294,17 +299,23 @@ object EventQueries {
         |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         |FROM expanded GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
+    // strict `>`: Spark's session_window treats an event landing
+    // EXACTLY at the previous event's ts + gap as part of the same
+    // session (adjacent [ts, ts+gap) windows merge) — the events
+    // fuzzer caught the old `>=` splitting those. The running sum
+    // orders by (ts, event_id) like the lag window: a ts-only ROWS
+    // frame is nondeterministic on same-(user, ts) ties.
     "events_session_native" ->
       """WITH flagged AS (
-        |  SELECT user_id, ts, value,
+        |  SELECT user_id, ts, event_id, value,
         |    CASE WHEN lag(ts) OVER w IS NULL
-        |           OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+        |           OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
         |         THEN 1 ELSE 0 END AS new_session
         |  FROM events
         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)),
         |sessions AS (
         |  SELECT *, sum(new_session) OVER (PARTITION BY user_id
-        |    ORDER BY ts ASC ROWS UNBOUNDED PRECEDING) AS session_seq
+        |    ORDER BY ts ASC, event_id ASC ROWS UNBOUNDED PRECEDING) AS session_seq
         |  FROM flagged)
         |SELECT user_id,
         |       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
@@ -329,10 +340,16 @@ object EventQueries {
         |  ON p.user_id = s.user_id AND p.ts >= s.signup_ts
         |ORDER BY event_id""".stripMargin,
 
+    // json_valid guard + TRY_CAST mirror the Spark side's
+    // null-on-junk semantics (get_json_object → NULL on malformed
+    // JSON; try_cast → NULL on non-numeric k): DuckDB's
+    // json_extract_string ERRORS on malformed JSON and plain CAST
+    // errors on 'xyz', both caught by the events fuzzer
     "events_json" ->
-      """SELECT CAST(floor(CAST(json_extract_string(props, '$.k') AS BIGINT) / 10) AS BIGINT) AS k_bucket,
+      """SELECT CAST(floor(TRY_CAST(CASE WHEN json_valid(props)
+        |         THEN json_extract_string(props, '$.k') END AS BIGINT) / 10) AS BIGINT) AS k_bucket,
         |       count(*) AS n
-        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+        |FROM events GROUP BY 1 ORDER BY 1 NULLS FIRST""".stripMargin,
 
     "events_funnel" ->
       """WITH su AS (

@@ -66,6 +66,26 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(batch.count(_.getLong(0) == 2L) == 1)
   }
 
+  test("session_window merges an event landing EXACTLY gap after the previous") {
+    // Spark's session windows are [ts, ts+gap) per event, and
+    // ADJACENT windows merge: an event at prev + 30min (the gap)
+    // extends the session; only a strictly larger gap splits. The
+    // events fuzzer caught the DuckDB twin splitting on >= — this
+    // pins the Spark-side semantics the twin now mirrors with
+    // strict >.
+    import spark.implicits._
+    val exact = Seq(
+      (1L, ts(0), "click", 1.0),
+      (1L, ts(30), "click", 1.0),   // exactly gap later: SAME session
+      (1L, ts(61), "click", 1.0))   // 31 min later: NEW session
+    val got = EventStreams.sessions(
+      exact.toDF("user_id", "ts", "event_type", "value"))
+      .orderBy("session_start").collect()
+    assert(got.length == 2, got.mkString("; "))
+    assert(got(0).getLong(3) == 2L, s"first session must hold both boundary events: ${got(0)}")
+    assert(got(1).getLong(3) == 1L)
+  }
+
   test("streaming anomaly flags equal the batch query against the same baseline") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

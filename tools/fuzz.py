@@ -39,7 +39,7 @@ import pandas as pd
 
 SEEDS = 20
 ROOT = Path("/tmp/graft_fuzz")
-PREFIXES = "dedup_,text_,ann_,enrich_"
+PREFIXES = "dedup_,text_,ann_,enrich_,events_,stream_"
 UNICODE_DOCS = False
 RUN_VERIFY = True
 for a in sys.argv[1:]:
@@ -198,6 +198,90 @@ def gen_documents(rng, n):
     })
 
 
+# --------------------------------------------------------------- events
+EVENT_TYPES = ["signup", "view", "click", "purchase", "ping"]
+# adversarial props for events_json: missing key, non-numeric k,
+# malformed JSON, JSON null, NULL column — Spark's get_json_object +
+# cast returns NULL for every one of these; the twin must agree
+PROPS_SPECIALS = ['{}', '{"j": 5}', '{"k": "xyz"}', '{"k": null}',
+                  'not json', '', None]
+
+
+def gen_events(rng, n, n_users=40):
+    """Events with the boundaries the event-time twins compute on:
+    exact hour starts and epoch-week multiples (tumbling/retention
+    buckets), .000001/.999999 fractional seconds (floor(epoch)
+    truncation), same-(user, ts) ties (lag ordering falls to
+    event_id), pairs exactly 1800 s apart (the session-gap and
+    range-join `> 1800` / `>= ts - 1800` boundaries), negative k and
+    junk props (json bucket), half-even-representable values like
+    k + 0.125 (DECIMAL(18,2) cast rounding), negative values, and
+    NULL values."""
+    base_us = np.datetime64("2024-01-01T00:00:00", "us").astype(np.int64)
+    span_us = 3 * 86400 * 1_000_000
+    ts_us = base_us + rng.integers(0, span_us, size=n)
+    r = rng.random(n)
+    hour = 3600 * 1_000_000
+    # exact hour starts
+    ts_us = np.where(r < 0.08, (ts_us // hour) * hour, ts_us)
+    # epoch-week multiples (the retention cohort boundary)
+    week = 604800 * 1_000_000
+    ts_us = np.where((r >= 0.08) & (r < 0.12), (ts_us // week) * week, ts_us)
+    # fractional-second extremes around floor(epoch) truncation
+    sec = 1_000_000
+    ts_us = np.where((r >= 0.12) & (r < 0.16), (ts_us // sec) * sec + 999_999, ts_us)
+    ts_us = np.where((r >= 0.16) & (r < 0.20), (ts_us // sec) * sec + 1, ts_us)
+    user_id = rng.integers(0, n_users, size=n)
+    etype = [EVENT_TYPES[int(rng.integers(0, len(EVENT_TYPES)))]
+             for _ in range(n)]
+    # per-user funnels need ordered signup -> view -> purchase chains:
+    # force the first events of a third of the users into that shape
+    for u in range(0, n_users, 3):
+        idx = np.where(user_id == u)[0]
+        if len(idx) >= 3:
+            for j, t in zip(idx[:3], ["signup", "view", "purchase"]):
+                etype[j] = t
+            order = np.sort(ts_us[idx[:3]])
+            ts_us[idx[:3]] = order
+    # exact 1800 s gaps: the session twin's `> 1800` and the range
+    # join's `>= ts - 1800` both sit ON this boundary
+    for i in range(0, n - 1, 37):
+        user_id[i + 1] = user_id[i]
+        ts_us[i + 1] = ts_us[i] + 1800 * sec
+    # same-(user, ts) ties: ordering must fall to event_id in both
+    # engines
+    for i in range(7, n - 1, 41):
+        user_id[i + 1] = user_id[i]
+        ts_us[i + 1] = ts_us[i]
+    rv = rng.random(n)
+    value = rng.integers(-10000, 100000, size=n) / 100.0
+    # exactly-representable half-way points: k + 1/8 lands on .125 —
+    # a DECIMAL(18,2) rounding boundary both engines must break the
+    # same way
+    value = np.where(rv < 0.15, rng.integers(-100, 100, size=n) + 0.125, value)
+    value = np.where((rv >= 0.15) & (rv < 0.25),
+                     rng.integers(-100, 100, size=n) + 0.375, value)
+    value = value.astype(object)
+    for i in range(11, n, 29):  # NULL values
+        value[i] = None
+    props = []
+    for i in range(n):
+        q = rng.random()
+        if q < 0.15:
+            props.append(PROPS_SPECIALS[int(rng.integers(0, len(PROPS_SPECIALS)))])
+        else:
+            k = int(rng.integers(-40, 120))  # negative k: floor(k/10) bucket
+            props.append('{"k": %d}' % k)
+    return pd.DataFrame({
+        "event_id": np.arange(n, dtype=np.int64),
+        "ts": ts_us.astype("datetime64[us]"),
+        "user_id": user_id.astype(np.int64),
+        "event_type": etype,
+        "value": value,
+        "props": props,
+    })
+
+
 # ----------------------------------------------------------- embeddings
 def gen_embeddings(rng, n, dim=64):
     vecs = rng.standard_normal((n, dim)).astype(np.float32)
@@ -257,6 +341,7 @@ def gen_seed(seed, out_dir):
     }).to_parquet(out_dir / "part.parquet", index=False)
     gen_documents(rng, n_doc).to_parquet(out_dir / "documents.parquet",
                                          index=False)
+    gen_events(rng, 1200).to_parquet(out_dir / "events.parquet", index=False)
     gen_embeddings(rng, n_emb).to_parquet(out_dir / "embeddings.parquet",
                                           index=False)
 
@@ -266,7 +351,8 @@ def compare_seed(seed, oracle):
     """check.py's driver-style compare, restricted to one seed dir."""
     data, out = ROOT / f"seed{seed}" / "data", ROOT / f"seed{seed}" / "out"
     con = duckdb.connect()
-    for t in ["customer", "supplier", "part", "documents", "embeddings"]:
+    for t in ["customer", "supplier", "part", "documents", "embeddings",
+              "events"]:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{data}/{t}.parquet'")
     fails = []
     for name, sql in sorted(oracle.items()):
