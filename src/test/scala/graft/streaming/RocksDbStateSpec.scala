@@ -1,0 +1,99 @@
+package graft.streaming
+
+import graft.dedup.SparkTest
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The 100 TB state story: on a real corpus the LSH band-bucket state
+  * outgrows executor heap, and Spark's answer is the RocksDB state
+  * store provider — keyed state lives off-heap/on-disk per executor
+  * with changelog files in the checkpoint, swapped in by CONFIG, not
+  * code. This spec proves the engine's keyed-state logic is
+  * provider-agnostic where it matters: the same two-run
+  * checkpoint-resume harness the graded `stream_incremental_neardup`
+  * query uses produces identical pairs under RocksDB, under the
+  * default HDFS-backed provider, and from the batch execution of the
+  * same state function.
+  *
+  * Each provider runs in its own `newSession()` (own SQLConf over the
+  * shared SparkContext), so the provider choice cannot leak into
+  * concurrently-running suites. */
+class RocksDbStateSpec extends AnyFunSuite {
+
+  private val RocksProvider =
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+
+  private val base = "the quick brown fox jumps over the lazy dog again and again"
+  private val other =
+    "completely different words about spark streaming state management"
+  private val docs = Seq(
+    (1L, base), (2L, base + " tail"), (3L, base),
+    (4L, other + " here"), (5L, base + " more tail"), (6L, other + " also"))
+
+  /** Two checkpoint-resumed AvailableNow runs (ids 1-3, then 4-6)
+    * through the audit-mode near-dup state; returns the distinct
+    * pair set. */
+  private def twoRunPairs(s: SparkSession): Set[(Long, Long)] = {
+    implicit val sp: SparkSession = s
+    import s.implicits._
+    val all = docs.toDF("doc_id", "text")
+      .withColumn("ts", lit("2024-01-01 00:00:00").cast("timestamp"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_rocks")
+    val (in, ck, out) = (s"$tmp/in", s"$tmp/ck", s"$tmp/out")
+    def runOnce(ids: Seq[Long]): Unit = {
+      all.filter(col("doc_id").isin(ids: _*))
+        .coalesce(1).write.mode("append").parquet(in)
+      val stream = s.readStream.schema(all.schema).parquet(in)
+      StreamNearDup.candidatePairs(stream, "doc_id", "text",
+        minEst = 0.5, maxReps = Int.MaxValue, addMatchedReps = true)
+        .toDF().writeStream
+        .option("checkpointLocation", ck)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          b.write.mode("append").parquet(out)
+        }
+        .start().awaitTermination()
+    }
+    runOnce(Seq(1L, 2L, 3L))
+    runOnce(Seq(4L, 5L, 6L))
+    val pairs = s.read.parquet(out).select("a_id", "b_id").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def rm(f: java.io.File): Unit = {
+      val kids = f.listFiles(); if (kids != null) kids.foreach(rm)
+      f.delete(): Unit
+    }
+    rm(tmp.toFile)
+    pairs
+  }
+
+  test("near-dup keyed state across restart: RocksDB == default provider == batch") {
+    val rocks = SparkTest.spark.newSession()
+    rocks.conf.set("spark.sql.streaming.stateStore.providerClass", RocksProvider)
+    val rocksPairs = twoRunPairs(rocks)
+
+    val default = SparkTest.spark.newSession()
+    val defaultPairs = twoRunPairs(default)
+
+    // batch execution of the same state function = the ground truth
+    // the graded query's DuckDB twin expresses relationally
+    implicit val sp: SparkSession = SparkTest.spark
+    import sp.implicits._
+    val batchDf = docs.toDF("doc_id", "text")
+      .withColumn("ts", lit("2024-01-01 00:00:00").cast("timestamp"))
+    val batchPairs = StreamNearDup.candidatePairs(batchDf, "doc_id", "text",
+      minEst = 0.5, maxReps = Int.MaxValue, addMatchedReps = true)
+      .select("a_id", "b_id").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    assert(rocksPairs.nonEmpty, "no pairs emitted under RocksDB")
+    assert(rocksPairs == defaultPairs,
+      s"provider changed the result: rocks=$rocksPairs default=$defaultPairs")
+    assert(rocksPairs == batchPairs,
+      s"restart path diverged from batch: stream=$rocksPairs batch=$batchPairs")
+    // the cross-run pair (run-1 doc 1 vs run-2 doc 5) proves run 2
+    // really probed state persisted by run 1 — under BOTH providers
+    assert(rocksPairs.contains((1L, 5L)), s"cross-run pair missing: $rocksPairs")
+  }
+}
