@@ -104,8 +104,14 @@ object Bench {
 
     // deterministic run order: families sorted, queries sorted within
     // — round-over-round artifacts line up query-for-query.
+    // SPARK_GRAFT_BENCH_FAMILIES=text,rel restricts the run (a dev
+    // isolation knob: "does family X still misbehave without family
+    // Y having run first?"); the driver's full run leaves it unset.
+    val onlyFams = sys.env.get("SPARK_GRAFT_BENCH_FAMILIES")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val families = SparkEntry.queries.toSeq.sortBy(_._1)
       .groupBy { case (n, _) => familyOf(n) }.toSeq.sortBy(_._1)
+      .filter { case (f, _) => onlyFams.forall(_.contains(f)) }
 
     var indexBuild = 0.0
     val warmDetail = scala.collection.mutable.LinkedHashMap.empty[String, Double]
