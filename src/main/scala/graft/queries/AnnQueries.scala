@@ -574,7 +574,7 @@ object AnnQueries {
 
   /** 6 deterministic hyperplanes for 64-dim embeddings (md5-derived,
     * regenerated bit-identically by any engine). */
-  private val Planes: Seq[Seq[Double]] = Ann.hyperplanes(6, 64)
+  private[queries] val Planes: Seq[Seq[Double]] = Ann.hyperplanes(6, 64)
 
   /** DuckDB literal for one plane (Double.toString round-trips). */
   private def planeLit(p: Seq[Double]): String =

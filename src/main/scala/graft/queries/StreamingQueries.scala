@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.core.Tables
-import graft.streaming.{EventStreams, StreamDedup, StreamNearDup}
+import graft.streaming.{EventStreams, StreamAnnDedup, StreamDedup, StreamNearDup}
 import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
@@ -147,6 +147,54 @@ object StreamingQueries {
       result
     }),
 
+    // Cross-RUN incremental EMBEDDING near-dup — the sign-LSH
+    // sibling of stream_incremental_neardup: each vector lands in
+    // ONE keyed-state bucket (its hyperplane signature, computed by
+    // the same column expressions as the batch join), and run 2's
+    // vectors score exact cosines against the unit vectors run 1
+    // left in state. In audit mode the emitted pairs are EXACTLY the
+    // batch Ann.lshPairs relation, so the twin is the proven
+    // ann_lsh_pairs oracle verbatim — the strongest possible gate:
+    // the streaming path must reproduce the batch sign-LSH join
+    // bit-for-bit, including the in-state Scala cosine matching the
+    // codegen'd DotProduct + Round to the last ulp.
+    "stream_incremental_ann" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      val emb = Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("embedding"))
+        .withColumn("ts", lit("2024-01-01 00:00:00").cast("timestamp"))
+      val mid = emb.agg(max(col("vec_id"))).head().getLong(0) / 2
+      val tmp = scratch("graft_stream_ann")
+      val in = s"$tmp/in"
+      val ck = s"$tmp/ck"
+      val out = s"$tmp/out"
+      def runOnce(batch: DataFrame): Unit = {
+        batch.coalesce(1).write.mode("append").parquet(in)
+        val stream = s.readStream.schema(batch.schema).parquet(in)
+        StreamAnnDedup.candidatePairs(stream, "vec_id", "embedding",
+          planes = AnnQueries.Planes, tsCol = "ts", delay = "1 hour",
+          minCos = 0.20, maxReps = Int.MaxValue, addMatchedReps = true)
+          .toDF().writeStream
+          .option("checkpointLocation", ck)
+          .trigger(Trigger.AvailableNow())
+          .foreachBatch { (b: DataFrame, _: Long) =>
+            b.write.mode("append").parquet(out)
+          }
+          .start().awaitTermination()
+      }
+      runOnce(emb.filter(col("vec_id") <= mid))
+      runOnce(emb.filter(col("vec_id") > mid))
+      val result = s.read
+        .schema(Encoders.product[StreamAnnDedup.Candidate].schema)
+        .parquet(out)
+        // one bucket per vector → each pair emitted exactly once
+        .select("a_id", "b_id", "bucket", "cos")
+        .orderBy("a_id", "b_id")
+        .localCheckpoint(true)
+      rmTree(tmp.toFile)
+      result
+    }),
+
     // Cross-RUN stateful windowed aggregation: tumbling 1-hour
     // counts/sums per event type in COMPLETE output mode — the
     // aggregation state (one row per window × type, bounded by the
@@ -221,6 +269,10 @@ object StreamingQueries {
          |SELECT a_id, b_id, n_agree FROM agree
          |WHERE n_agree >= ${TextQueries.NumSigs / 2}
          |ORDER BY a_id, b_id""".stripMargin,
+
+    // audit-mode streaming sign-LSH == the batch bucketed join, so
+    // the twin is the proven ann_lsh_pairs oracle verbatim
+    "stream_incremental_ann" -> AnnQueries.oracle("ann_lsh_pairs"),
 
     // the final complete-mode table must equal the batch tumbling
     // aggregation on the union of both runs — same twin, verbatim

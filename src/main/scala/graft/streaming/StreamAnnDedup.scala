@@ -1,0 +1,123 @@
+package graft.streaming
+
+import graft.ext.Ann
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import java.sql.Timestamp
+
+/** Streaming sign-LSH NEAR-duplicate detection over an embedding
+  * stream — the continuous counterpart of the batch
+  * [[Ann.lshPairs]] bucketed join, and the embedding-space sibling of
+  * [[StreamNearDup]] (MinHash over text).
+  *
+  * Shape: each vector is normalized and routed to ONE keyed-state
+  * bucket — its sign-LSH signature (bit j = v·plane_j > 0), computed
+  * by the same column expressions the batch join uses, so stream and
+  * batch agree on candidacy bit-for-bit. The bucket keeps a bounded
+  * list of representative unit vectors; an arriving vector is
+  * compared against them and emits a pair per representative whose
+  * exact cosine clears `minCos`.
+  *
+  * Cross-engine determinism of the in-state cosine: the dot product
+  * runs in INDEX ORDER (the same contract as the codegen'd
+  * [[graft.functions.VectorAlgo.dot]] and the DuckDB twins'
+  * list_sum-over-list_transform), and the 6-dp rounding is the exact
+  * call Spark's own Round expression makes on a double — so a pair's
+  * `cos` is bit-identical whether it was scored in keyed state, in a
+  * whole-stage-codegen'd batch join, or by the DuckDB oracle.
+  *
+  * Scale/state design: state is per sign-LSH bucket (2^planes keys)
+  * — a keyed aggregation any cluster spreads like a shuffle. Buckets
+  * cap at `maxReps` representatives and expire `delay` after their
+  * newest vector (event-time timeout), bounding total state at
+  * O(active buckets · maxReps · dim), not O(history). The RocksDB
+  * state store provider lifts the per-executor bound off-heap with
+  * zero code change (RocksDbStateSpec proves provider-agnosticism
+  * for the shared keyed-state pattern). */
+object StreamAnnDedup {
+
+  case class BucketVec(bucket: Long, vec_id: Long, ts: Timestamp, u: Seq[Double])
+  case class VecRep(vec_id: Long, u: Seq[Double])
+  case class BucketState(reps: List[VecRep])
+  case class Candidate(a_id: Long, b_id: Long, bucket: Long, cos: Double)
+
+  /** Index-ordered dot + Spark-Round-identical 6-dp HALF_UP — see
+    * the determinism note in the object scaladoc. */
+  private[streaming] def cosine6(a: Seq[Double], b: Seq[Double]): Double = {
+    val n = math.min(a.length, b.length)
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += a(i) * b(i); i += 1 }
+    BigDecimal(s).setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble
+  }
+
+  /** Candidate near-dup pairs from a stream of embeddings.
+    *
+    * @param stream  streaming (or batch, for tests/backfills) frame
+    * @param idCol   long-castable vector id column
+    * @param embCol  array<float|double> embedding column; zero-norm
+    *                vectors normalize to the zero vector (cos 0 —
+    *                never a match) exactly as [[Ann.prepared]]
+    * @param planes  sign-LSH hyperplanes ([[Ann.hyperplanes]])
+    * @param addMatchedReps audit/backfill mode: every vector becomes
+    *                a rep, so the emitted pairs are exactly the batch
+    *                [[Ann.lshPairs]] relation (all same-bucket pairs
+    *                with cos ≥ minCos) — the mode the DuckDB-graded
+    *                `stream_incremental_ann` query runs. Production
+    *                keeps the default: matched vectors are dropped as
+    *                reps and `maxReps` bounds hot buckets. */
+  def candidatePairs(stream: DataFrame, idCol: String, embCol: String,
+      planes: Seq[Seq[Double]], tsCol: String = "ts", delay: String = "1 hour",
+      minCos: Double = 0.5, maxReps: Int = 64,
+      addMatchedReps: Boolean = false)(
+      implicit spark: SparkSession): Dataset[Candidate] = {
+    import spark.implicits._
+    val isStreaming = stream.isStreaming
+
+    val v = Ann.toDouble(col(embCol))
+    val banded = stream
+      .select(col(idCol).cast("long").as("vec_id"), col(tsCol).as("ts"), v.as("v"))
+      .withColumn("nrm", Ann.l2Norm(col("v")))
+      .withColumn("u", transform(col("v"),
+        x => x / when(col("nrm") === 0.0, lit(1.0)).otherwise(col("nrm"))))
+      .withColumn("bucket", Ann.lshBucket(col("v"), planes))
+      .select("bucket", "vec_id", "ts", "u")
+      .withWatermark("ts", delay)
+      .as[BucketVec]
+
+    banded.groupByKey(_.bucket)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (key: Long, vecs: Iterator[BucketVec], state: GroupState[BucketState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            var reps = state.getOption.map(_.reps).getOrElse(Nil)
+            val out = List.newBuilder[Candidate]
+            var maxTs = Long.MinValue
+            // deterministic in-batch order regardless of shuffle arrival
+            vecs.toSeq.sortBy(x => (x.ts.getTime, x.vec_id)).foreach { x =>
+              maxTs = math.max(maxTs, x.ts.getTime)
+              var matched = false
+              reps.foreach { r =>
+                if (r.vec_id != x.vec_id) {
+                  val c = cosine6(r.u, x.u)
+                  if (c >= minCos) {
+                    matched = true
+                    out += Candidate(math.min(r.vec_id, x.vec_id),
+                      math.max(r.vec_id, x.vec_id), key, c)
+                  }
+                }
+              }
+              if ((addMatchedReps || !matched) && reps.size < maxReps)
+                reps = VecRep(x.vec_id, x.u) :: reps
+            }
+            state.update(BucketState(reps))
+            if (isStreaming && maxTs != Long.MinValue)
+              state.setTimeoutTimestamp(maxTs, delay)
+            out.result().iterator
+          }
+      }
+  }
+}
