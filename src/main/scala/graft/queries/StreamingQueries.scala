@@ -42,6 +42,16 @@ object StreamingQueries {
     f.delete(): Unit
   }
 
+  /** Run `body` with a scratch tree, deleting it even on failure —
+    * the scratch lives in RAM (/dev/shm) when available, so a leak on
+    * a crashed run would cost memory, not just disk. `body` must
+    * materialize its result (localCheckpoint) before returning. */
+  private def withScratch(prefix: String)(
+      body: java.nio.file.Path => DataFrame): DataFrame = {
+    val tmp = scratch(prefix)
+    try body(tmp) finally rmTree(tmp.toFile)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Cross-RUN incremental exact dedup, END-TO-END through the real
     // streaming machinery: the documents table is split into two
@@ -60,28 +70,27 @@ object StreamingQueries {
     "stream_incremental_dedup" -> ((s, dir) => {
       val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
       val mid = docs.agg(max(col("doc_id"))).head().getLong(0) / 2
-      val tmp = scratch("graft_stream_dedup")
-      val in = s"$tmp/in"
-      val idx = s"$tmp/idx"
-      val ck = s"$tmp/ck"
-      val out = s"$tmp/out"
-      def runOnce(batch: DataFrame): Unit = {
-        // one file per run → one micro-batch per run, so the in-batch
-        // min-id survivor is the run-wide min-id survivor
-        batch.coalesce(1).write.mode("append").parquet(in)
-        val stream = s.readStream.schema(docs.schema).parquet(in)
-        StreamDedup.incrementalDedup(stream, "text", idx, ck, idCol = Some("doc_id")) {
-          (fresh, _) => fresh.write.mode("append").parquet(out)
-        }.awaitTermination()
+      withScratch("graft_stream_dedup") { tmp =>
+        val in = s"$tmp/in"
+        val idx = s"$tmp/idx"
+        val ck = s"$tmp/ck"
+        val out = s"$tmp/out"
+        def runOnce(batch: DataFrame): Unit = {
+          // one file per run → one micro-batch per run, so the in-batch
+          // min-id survivor is the run-wide min-id survivor
+          batch.coalesce(1).write.mode("append").parquet(in)
+          val stream = s.readStream.schema(docs.schema).parquet(in)
+          StreamDedup.incrementalDedup(stream, "text", idx, ck, idCol = Some("doc_id")) {
+            (fresh, _) => fresh.write.mode("append").parquet(out)
+          }.awaitTermination()
+        }
+        runOnce(docs.filter(col("doc_id") <= mid))
+        runOnce(docs.filter(col("doc_id") > mid))
+        s.read.parquet(out)
+          .select(col("doc_id"), md5(col("text").cast("string")).as("content_hash"))
+          .orderBy("doc_id")
+          .localCheckpoint(true) // materialize before the tmp dir is deleted
       }
-      runOnce(docs.filter(col("doc_id") <= mid))
-      runOnce(docs.filter(col("doc_id") > mid))
-      val result = s.read.parquet(out)
-        .select(col("doc_id"), md5(col("text").cast("string")).as("content_hash"))
-        .orderBy("doc_id")
-        .localCheckpoint(true) // materialize before the tmp dir is deleted
-      rmTree(tmp.toFile)
-      result
     }),
 
     // Cross-RUN incremental NEAR-dup detection through the same
@@ -110,41 +119,40 @@ object StreamingQueries {
         // the batch-equal final state the gate requires
         .withColumn("ts", lit("2024-01-01 00:00:00").cast("timestamp"))
       val mid = docs.agg(max(col("doc_id"))).head().getLong(0) / 2
-      val tmp = scratch("graft_stream_neardup")
-      val in = s"$tmp/in"
-      val ck = s"$tmp/ck"
-      val out = s"$tmp/out"
-      def runOnce(batch: DataFrame): Unit = {
-        batch.coalesce(1).write.mode("append").parquet(in)
-        val stream = s.readStream.schema(docs.schema).parquet(in)
-        val pairs = StreamNearDup.candidatePairs(stream, "doc_id", "text",
-          tsCol = "ts", delay = "1 hour",
-          numSigs = TextQueries.NumSigs, bands = TextQueries.Bands,
-          shingleK = TextQueries.ShingleK, minEst = 0.5,
-          maxReps = Int.MaxValue, addMatchedReps = true)
-        pairs.toDF().writeStream
-          .option("checkpointLocation", ck)
-          .trigger(Trigger.AvailableNow())
-          .foreachBatch { (b: DataFrame, _: Long) =>
-            b.write.mode("append").parquet(out)
-          }
-          .start().awaitTermination()
+      withScratch("graft_stream_neardup") { tmp =>
+        val in = s"$tmp/in"
+        val ck = s"$tmp/ck"
+        val out = s"$tmp/out"
+        def runOnce(batch: DataFrame): Unit = {
+          batch.coalesce(1).write.mode("append").parquet(in)
+          val stream = s.readStream.schema(docs.schema).parquet(in)
+          val pairs = StreamNearDup.candidatePairs(stream, "doc_id", "text",
+            tsCol = "ts", delay = "1 hour",
+            numSigs = TextQueries.NumSigs, bands = TextQueries.Bands,
+            shingleK = TextQueries.ShingleK, minEst = 0.5,
+            maxReps = Int.MaxValue, addMatchedReps = true)
+          pairs.toDF().writeStream
+            .option("checkpointLocation", ck)
+            .trigger(Trigger.AvailableNow())
+            .foreachBatch { (b: DataFrame, _: Long) =>
+              b.write.mode("append").parquet(out)
+            }
+            .start().awaitTermination()
+        }
+        runOnce(docs.filter(col("doc_id") <= mid))
+        runOnce(docs.filter(col("doc_id") > mid))
+        // explicit schema: a pairless corpus appends no parquet files
+        s.read
+          .schema(Encoders.product[StreamNearDup.Candidate].schema)
+          .parquet(out)
+          // est = n_agree/12 exactly; ·12 + round restores the integer
+          .select(col("a_id"), col("b_id"),
+            round(col("est_jaccard") * TextQueries.NumSigs).cast("long").as("n_agree"))
+          // one row per agreeing band → pair-level uniqueness here
+          .dropDuplicates("a_id", "b_id")
+          .orderBy("a_id", "b_id")
+          .localCheckpoint(true)
       }
-      runOnce(docs.filter(col("doc_id") <= mid))
-      runOnce(docs.filter(col("doc_id") > mid))
-      // explicit schema: a pairless corpus appends no parquet files
-      val result = s.read
-        .schema(Encoders.product[StreamNearDup.Candidate].schema)
-        .parquet(out)
-        // est = n_agree/12 exactly; ·12 + round restores the integer
-        .select(col("a_id"), col("b_id"),
-          round(col("est_jaccard") * TextQueries.NumSigs).cast("long").as("n_agree"))
-        // one row per agreeing band → pair-level uniqueness here
-        .dropDuplicates("a_id", "b_id")
-        .orderBy("a_id", "b_id")
-        .localCheckpoint(true)
-      rmTree(tmp.toFile)
-      result
     }),
 
     // Cross-RUN incremental EMBEDDING near-dup — the sign-LSH
@@ -164,35 +172,34 @@ object StreamingQueries {
         .select(col("vec_id"), col("embedding"))
         .withColumn("ts", lit("2024-01-01 00:00:00").cast("timestamp"))
       val mid = emb.agg(max(col("vec_id"))).head().getLong(0) / 2
-      val tmp = scratch("graft_stream_ann")
-      val in = s"$tmp/in"
-      val ck = s"$tmp/ck"
-      val out = s"$tmp/out"
-      def runOnce(batch: DataFrame): Unit = {
-        batch.coalesce(1).write.mode("append").parquet(in)
-        val stream = s.readStream.schema(batch.schema).parquet(in)
-        StreamAnnDedup.candidatePairs(stream, "vec_id", "embedding",
-          planes = AnnQueries.Planes, tsCol = "ts", delay = "1 hour",
-          minCos = 0.20, maxReps = Int.MaxValue, addMatchedReps = true)
-          .toDF().writeStream
-          .option("checkpointLocation", ck)
-          .trigger(Trigger.AvailableNow())
-          .foreachBatch { (b: DataFrame, _: Long) =>
-            b.write.mode("append").parquet(out)
-          }
-          .start().awaitTermination()
+      withScratch("graft_stream_ann") { tmp =>
+        val in = s"$tmp/in"
+        val ck = s"$tmp/ck"
+        val out = s"$tmp/out"
+        def runOnce(batch: DataFrame): Unit = {
+          batch.coalesce(1).write.mode("append").parquet(in)
+          val stream = s.readStream.schema(batch.schema).parquet(in)
+          StreamAnnDedup.candidatePairs(stream, "vec_id", "embedding",
+            planes = AnnQueries.Planes, tsCol = "ts", delay = "1 hour",
+            minCos = 0.20, maxReps = Int.MaxValue, addMatchedReps = true)
+            .toDF().writeStream
+            .option("checkpointLocation", ck)
+            .trigger(Trigger.AvailableNow())
+            .foreachBatch { (b: DataFrame, _: Long) =>
+              b.write.mode("append").parquet(out)
+            }
+            .start().awaitTermination()
+        }
+        runOnce(emb.filter(col("vec_id") <= mid))
+        runOnce(emb.filter(col("vec_id") > mid))
+        s.read
+          .schema(Encoders.product[StreamAnnDedup.Candidate].schema)
+          .parquet(out)
+          // one bucket per vector → each pair emitted exactly once
+          .select("a_id", "b_id", "bucket", "cos")
+          .orderBy("a_id", "b_id")
+          .localCheckpoint(true)
       }
-      runOnce(emb.filter(col("vec_id") <= mid))
-      runOnce(emb.filter(col("vec_id") > mid))
-      val result = s.read
-        .schema(Encoders.product[StreamAnnDedup.Candidate].schema)
-        .parquet(out)
-        // one bucket per vector → each pair emitted exactly once
-        .select("a_id", "b_id", "bucket", "cos")
-        .orderBy("a_id", "b_id")
-        .localCheckpoint(true)
-      rmTree(tmp.toFile)
-      result
     }),
 
     // Cross-RUN stateful windowed aggregation: tumbling 1-hour
@@ -208,32 +215,31 @@ object StreamingQueries {
       val ev = Tables.events(s, dir)
         .select(col("event_id"), col("ts"), col("event_type"), col("value"))
       val mid = ev.agg(max(col("event_id"))).head().getLong(0) / 2
-      val tmp = scratch("graft_stream_tumbling")
-      val in = s"$tmp/in"
-      val ck = s"$tmp/ck"
-      val out = s"$tmp/out"
-      def runOnce(batch: DataFrame): Unit = {
-        batch.coalesce(1).write.mode("append").parquet(in)
-        val stream = s.readStream.schema(batch.schema).parquet(in)
-        EventStreams.tumblingCounts(stream).writeStream
-          .option("checkpointLocation", ck)
-          .outputMode("complete")
-          .trigger(Trigger.AvailableNow())
-          .foreachBatch { (b: DataFrame, _: Long) =>
-            b.write.mode("overwrite").parquet(out)
-          }
-          .start().awaitTermination()
+      withScratch("graft_stream_tumbling") { tmp =>
+        val in = s"$tmp/in"
+        val ck = s"$tmp/ck"
+        val out = s"$tmp/out"
+        def runOnce(batch: DataFrame): Unit = {
+          batch.coalesce(1).write.mode("append").parquet(in)
+          val stream = s.readStream.schema(batch.schema).parquet(in)
+          EventStreams.tumblingCounts(stream).writeStream
+            .option("checkpointLocation", ck)
+            .outputMode("complete")
+            .trigger(Trigger.AvailableNow())
+            .foreachBatch { (b: DataFrame, _: Long) =>
+              b.write.mode("overwrite").parquet(out)
+            }
+            .start().awaitTermination()
+        }
+        runOnce(ev.filter(col("event_id") <= mid))
+        runOnce(ev.filter(col("event_id") > mid))
+        s.read.parquet(out)
+          .select(
+            date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+            col("event_type"), col("n"), col("total_value"))
+          .orderBy("window_start", "event_type")
+          .localCheckpoint(true)
       }
-      runOnce(ev.filter(col("event_id") <= mid))
-      runOnce(ev.filter(col("event_id") > mid))
-      val result = s.read.parquet(out)
-        .select(
-          date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
-          col("event_type"), col("n"), col("total_value"))
-        .orderBy("window_start", "event_type")
-        .localCheckpoint(true)
-      rmTree(tmp.toFile)
-      result
     })
   )
 
