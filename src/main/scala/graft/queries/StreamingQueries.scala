@@ -202,6 +202,60 @@ object StreamingQueries {
       }
     }),
 
+    // Cross-RUN stream-stream interval join — the last stateful
+    // streaming primitive under the gate: clicks and views are two
+    // watermarked branches of the same file source, joined on
+    // (user_id, view_ts ∈ [click_ts - 1800s, click_ts]) by the
+    // stream-stream join operator, whose two-sided state the shared
+    // checkpoint carries across runs — run 2's views match run 1's
+    // buffered clicks AND vice versa (the event_id mid-split
+    // interleaves event time arbitrarily, so cross-run matches flow
+    // both directions). The watermark delay (30 days) exceeds the
+    // data span, so no state is evicted and the emitted match set is
+    // the complete join — aggregated in the readout to exactly the
+    // batch events_range_join relation, graded by its twin verbatim.
+    "stream_interval_join" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"))
+      val mid = ev.agg(max(col("event_id"))).head().getLong(0) / 2
+      withScratch("graft_stream_ij") { tmp =>
+        val in = s"$tmp/in"
+        val ck = s"$tmp/ck"
+        val out = s"$tmp/out"
+        def runOnce(batch: DataFrame): Unit = {
+          batch.coalesce(1).write.mode("append").parquet(in)
+          def src() = s.readStream.schema(batch.schema).parquet(in)
+          val clicks = EventStreams.withEventTimeWatermark(
+            src().filter(col("event_type") === "click")
+              .select(col("event_id"), col("user_id"), col("ts")),
+            delay = "30 days")
+          val views = EventStreams.withEventTimeWatermark(
+            src().filter(col("event_type") === "view"), delay = "30 days")
+            .select(col("user_id"), col("ts").as("view_ts"),
+              col("value").as("view_value"))
+          EventStreams.intervalJoin(clicks, views, "user_id",
+            "ts", "view_ts", lowerSec = 1800L)
+            .writeStream
+            .option("checkpointLocation", ck)
+            .trigger(Trigger.AvailableNow())
+            .foreachBatch { (b: DataFrame, _: Long) =>
+              b.write.mode("append").parquet(out)
+            }
+            .start().awaitTermination()
+        }
+        runOnce(ev.filter(col("event_id") <= mid))
+        runOnce(ev.filter(col("event_id") > mid))
+        s.read.parquet(out)
+          .groupBy("event_id")
+          .agg(count(lit(1)).as("n_views"),
+            sum(col("view_value").cast("decimal(18,2)")).cast("double")
+              .as("view_value_sum"))
+          .orderBy("event_id")
+          .localCheckpoint(true)
+      }
+    }),
+
     // Cross-RUN stateful windowed aggregation: tumbling 1-hour
     // counts/sums per event type in COMPLETE output mode — the
     // aggregation state (one row per window × type, bounded by the
@@ -279,6 +333,10 @@ object StreamingQueries {
     // audit-mode streaming sign-LSH == the batch bucketed join, so
     // the twin is the proven ann_lsh_pairs oracle verbatim
     "stream_incremental_ann" -> AnnQueries.oracle("ann_lsh_pairs"),
+
+    // the complete stream-stream join match set aggregates to the
+    // batch range join — same twin, verbatim
+    "stream_interval_join" -> EventQueries.oracle("events_range_join"),
 
     // the final complete-mode table must equal the batch tumbling
     // aggregation on the union of both runs — same twin, verbatim
