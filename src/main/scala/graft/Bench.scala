@@ -109,6 +109,15 @@ object Bench {
     // Y having run first?"); the driver's full run leaves it unset.
     val onlyFams = sys.env.get("SPARK_GRAFT_BENCH_FAMILIES")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val allFams = SparkEntry.queries.keysIterator.map(familyOf).toSet
+    // a typo'd family name must fail loudly, not silently produce an
+    // empty bench run that reads as "everything benched in 0 s"
+    onlyFams.foreach { fams =>
+      val unknown = fams -- allFams
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_BENCH_FAMILIES has unknown families: ${unknown.toSeq.sorted.mkString(",")}; " +
+          s"known: ${allFams.toSeq.sorted.mkString(",")}")
+    }
     val families = SparkEntry.queries.toSeq.sortBy(_._1)
       .groupBy { case (n, _) => familyOf(n) }.toSeq.sortBy(_._1)
       .filter { case (f, _) => onlyFams.forall(_.contains(f)) }

@@ -152,11 +152,35 @@ object Xlsx {
     s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
       .replace("\"", "&quot;")
 
+  /** xlsx's own hard per-sheet row limit (2^20); also our driver-OOM
+    * guard — a frame bigger than this cannot be a report and must
+    * fail loudly instead of silently building a corrupt workbook or
+    * exhausting driver memory. */
+  val MaxSheetRows: Long = 1048576L
+
   /** Write a multi-sheet workbook (sheet name -> DataFrame), inline
     * strings, header row first — the reference's report layout
-    * (outputs.py:44-48). Collects to the driver: reports only. */
-  def write(sheets: Seq[(String, DataFrame)], path: String): Unit = {
+    * (outputs.py:44-48). Driver-side sink for bounded REPORTS (the
+    * reference builds its workbooks in memory too), but hardened for
+    * misuse: rows stream through `toLocalIterator` (one partition
+    * resident at a time, bytes flushed straight to the zip stream —
+    * never the whole frame or the whole sheet XML in driver memory),
+    * and a sheet exceeding [[MaxSheetRows]] (the xlsx format's own
+    * 2^20 ceiling, header included) aborts with an error naming the
+    * sheet rather than OOMing or truncating. */
+  def write(sheets: Seq[(String, DataFrame)], path: String): Unit =
+    write(sheets, path, MaxSheetRows)
+
+  /** `maxRows` is package-visible so the over-cap path is testable
+    * without materializing 2^20 rows. */
+  private[sources] def write(sheets: Seq[(String, DataFrame)], path: String,
+      maxRows: Long): Unit = {
     val zout = new ZipOutputStream(new FileOutputStream(path))
+    try writeTo(zout, sheets, maxRows) finally zout.close()
+  }
+
+  private def writeTo(zout: ZipOutputStream,
+      sheets: Seq[(String, DataFrame)], maxRows: Long): Unit = {
     def put(name: String, content: String): Unit = {
       zout.putNextEntry(new ZipEntry(name))
       zout.write(content.getBytes("UTF-8"))
@@ -189,10 +213,11 @@ object Xlsx {
         (1 to n).map(i =>
           s"""<Relationship Id="rId$i" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet$i.xml"/>""")
           .mkString + "</Relationships>")
-    sheets.zipWithIndex.foreach { case ((_, df), si) =>
-      val sb = new StringBuilder
-      sb.append("""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""")
-      sb.append("""<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>""")
+    sheets.zipWithIndex.foreach { case ((name, df), si) =>
+      zout.putNextEntry(new ZipEntry(s"xl/worksheets/sheet${si + 1}.xml"))
+      def emit(s: String): Unit = zout.write(s.getBytes("UTF-8"))
+      emit("""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""")
+      emit("""<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>""")
       val header = df.columns
       def rowXml(values: Seq[Any]): String =
         "<row>" + values.map {
@@ -202,11 +227,20 @@ object Xlsx {
           case i: Int => s"<c><v>$i</v></c>"
           case v => s"<c t=\"inlineStr\"><is><t>${xmlEscape(v.toString)}</t></is></c>"
         }.mkString + "</row>"
-      sb.append(rowXml(header.toSeq))
-      df.collect().foreach(r => sb.append(rowXml(r.toSeq)))
-      sb.append("</sheetData></worksheet>")
-      put(s"xl/worksheets/sheet${si + 1}.xml", sb.toString)
+      emit(rowXml(header.toSeq))
+      var rows = 1L // header occupies a sheet row
+      val it = df.toLocalIterator()
+      while (it.hasNext) {
+        rows += 1
+        if (rows > maxRows)
+          throw new IllegalArgumentException(
+            s"xlsx sheet '$name' exceeds the format's $maxRows-row " +
+              "limit (header included); xlsx is a bounded-report sink — " +
+              "write large frames to parquet instead")
+        emit(rowXml(it.next().toSeq))
+      }
+      emit("</sheetData></worksheet>")
+      zout.closeEntry()
     }
-    zout.close()
   }
 }

@@ -43,12 +43,17 @@ object StreamAnnDedup {
   case class Candidate(a_id: Long, b_id: Long, bucket: Long, cos: Double)
 
   /** Index-ordered dot + Spark-Round-identical 6-dp HALF_UP — see
-    * the determinism note in the object scaladoc. */
+    * the determinism note in the object scaladoc. Dimensions must
+    * match: the batch DotProduct path this claims bit-identity with
+    * would never silently accept a dim mismatch, so a schema drift
+    * must surface as an error here too, not as a plausible-but-wrong
+    * truncated cosine. */
   private[streaming] def cosine6(a: Seq[Double], b: Seq[Double]): Double = {
-    val n = math.min(a.length, b.length)
+    require(a.length == b.length,
+      s"embedding dimension mismatch: ${a.length} vs ${b.length}")
     var s = 0.0
     var i = 0
-    while (i < n) { s += a(i) * b(i); i += 1 }
+    while (i < a.length) { s += a(i) * b(i); i += 1 }
     BigDecimal(s).setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble
   }
 

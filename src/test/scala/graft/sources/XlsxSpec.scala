@@ -83,4 +83,22 @@ class XlsxSpec extends AnyFunSuite {
     assert(clusters.count() == 3)
     assert(clusters.columns.contains("canonical_name"))
   }
+
+  test("write rejects a sheet over the row cap instead of OOMing the driver") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_xlsx_cap").toFile
+    val path = new java.io.File(dir, "big.xlsx").getAbsolutePath
+    val big = spark.range(10).toDF("id")
+    // cap of 5 data rows + 1 header = 6; 10 rows must abort with the
+    // sheet named in the message (real cap is MaxSheetRows = 2^20)
+    val e = intercept[IllegalArgumentException] {
+      Xlsx.write(Seq("huge" -> big), path, maxRows = 6L)
+    }
+    assert(e.getMessage.contains("huge"))
+    assert(e.getMessage.contains("parquet"))
+    // under the cap still writes fine through the same streaming path
+    val ok = spark.range(5).toDF("id")
+    Xlsx.write(Seq("ok" -> ok), path, maxRows = 6L)
+    assert(Xlsx.read(spark, path).count() == 5)
+  }
 }

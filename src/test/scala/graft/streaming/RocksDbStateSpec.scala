@@ -41,31 +41,35 @@ class RocksDbStateSpec extends AnyFunSuite {
     val all = docs.toDF("doc_id", "text")
       .withColumn("ts", lit("2024-01-01 00:00:00").cast("timestamp"))
     val tmp = java.nio.file.Files.createTempDirectory("graft_rocks")
-    val (in, ck, out) = (s"$tmp/in", s"$tmp/ck", s"$tmp/out")
-    def runOnce(ids: Seq[Long]): Unit = {
-      all.filter(col("doc_id").isin(ids: _*))
-        .coalesce(1).write.mode("append").parquet(in)
-      val stream = s.readStream.schema(all.schema).parquet(in)
-      StreamNearDup.candidatePairs(stream, "doc_id", "text",
-        minEst = 0.5, maxReps = Int.MaxValue, addMatchedReps = true)
-        .toDF().writeStream
-        .option("checkpointLocation", ck)
-        .trigger(Trigger.AvailableNow())
-        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
-          b.write.mode("append").parquet(out)
-        }
-        .start().awaitTermination()
+    try {
+      val (in, ck, out) = (s"$tmp/in", s"$tmp/ck", s"$tmp/out")
+      def runOnce(ids: Seq[Long]): Unit = {
+        all.filter(col("doc_id").isin(ids: _*))
+          .coalesce(1).write.mode("append").parquet(in)
+        val stream = s.readStream.schema(all.schema).parquet(in)
+        StreamNearDup.candidatePairs(stream, "doc_id", "text",
+          minEst = 0.5, maxReps = Int.MaxValue, addMatchedReps = true)
+          .toDF().writeStream
+          .option("checkpointLocation", ck)
+          .trigger(Trigger.AvailableNow())
+          .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+            b.write.mode("append").parquet(out)
+          }
+          .start().awaitTermination()
+      }
+      runOnce(Seq(1L, 2L, 3L))
+      runOnce(Seq(4L, 5L, 6L))
+      s.read.parquet(out).select("a_id", "b_id").distinct()
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    } finally {
+      // delete even when an assertion or streaming error aborts the
+      // run — failing tests must not accumulate scratch trees
+      def rm(f: java.io.File): Unit = {
+        val kids = f.listFiles(); if (kids != null) kids.foreach(rm)
+        f.delete(): Unit
+      }
+      rm(tmp.toFile)
     }
-    runOnce(Seq(1L, 2L, 3L))
-    runOnce(Seq(4L, 5L, 6L))
-    val pairs = s.read.parquet(out).select("a_id", "b_id").distinct()
-      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    def rm(f: java.io.File): Unit = {
-      val kids = f.listFiles(); if (kids != null) kids.foreach(rm)
-      f.delete(): Unit
-    }
-    rm(tmp.toFile)
-    pairs
   }
 
   test("near-dup keyed state across restart: RocksDB == default provider == batch") {
