@@ -52,6 +52,33 @@ object StreamingQueries {
     try body(tmp) finally rmTree(tmp.toFile)
   }
 
+  /** Child session (own SQLConf over the shared SparkContext) the
+    * streaming machinery runs under. Stateful operators keep one
+    * state store PER SHUFFLE PARTITION per stateful op (a
+    * stream-stream join keeps four), each writing delta + snapshot +
+    * metadata files every micro-batch — so the state partition count
+    * must be sized to the micro-batch volume like any shuffle is
+    * sized to its data. The session default (32, = cores) is right
+    * for the batch suite's sf0.1 shuffles but pays ~128 store-file
+    * round-trips per batch on MB-scale micro-batch state: measured
+    * 3.2× wall on stream_interval_join (16.8 s → 5.4 s). 8 keeps the
+    * run parallel while the per-partition state stays KBs; a real
+    * deployment sizes this to ITS volume (thousands of partitions at
+    * 100 TB — the knob, spark.sql.shuffle.partitions at first
+    * checkpoint, is exactly the one a production job sets anyway).
+    * Checkpoint file checksums are off for the harness's RAM-backed
+    * scratch (corruption detection for durable storage; pure file-IO
+    * doubling here). Results are partition-count-independent — the
+    * DuckDB twins grade that. */
+  private def harnessSession(s: SparkSession): SparkSession = {
+    val ss = s.newSession()
+    val parts = sys.env.get("SPARK_GRAFT_STREAM_PARTS").map(_.toInt)
+      .getOrElse(math.min(8, s.sparkContext.defaultParallelism))
+    ss.conf.set("spark.sql.shuffle.partitions", parts.toString)
+    ss.conf.set("spark.sql.streaming.checkpoint.fileChecksum.enabled", "false")
+    ss
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Cross-RUN incremental exact dedup, END-TO-END through the real
     // streaming machinery: the documents table is split into two
@@ -70,6 +97,7 @@ object StreamingQueries {
     "stream_incremental_dedup" -> ((s, dir) => {
       val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
       val mid = docs.agg(max(col("doc_id"))).head().getLong(0) / 2
+      val ss = harnessSession(s)
       withScratch("graft_stream_dedup") { tmp =>
         val in = s"$tmp/in"
         val idx = s"$tmp/idx"
@@ -79,7 +107,7 @@ object StreamingQueries {
           // one file per run → one micro-batch per run, so the in-batch
           // min-id survivor is the run-wide min-id survivor
           batch.coalesce(1).write.mode("append").parquet(in)
-          val stream = s.readStream.schema(docs.schema).parquet(in)
+          val stream = ss.readStream.schema(docs.schema).parquet(in)
           StreamDedup.incrementalDedup(stream, "text", idx, ck, idCol = Some("doc_id")) {
             (fresh, _) => fresh.write.mode("append").parquet(out)
           }.awaitTermination()
@@ -111,7 +139,6 @@ object StreamingQueries {
     // back to its exact integer numerator (est·12) so no
     // double-rounding can diverge cross-engine.
     "stream_incremental_neardup" -> ((s, dir) => {
-      implicit val sp: SparkSession = s
       val docs = Tables.documents(s, dir)
         .filter(col("doc_id") % 2 === 0)
         .select(col("doc_id"), col("text"))
@@ -119,13 +146,14 @@ object StreamingQueries {
         // the batch-equal final state the gate requires
         .withColumn("ts", lit("2024-01-01 00:00:00").cast("timestamp"))
       val mid = docs.agg(max(col("doc_id"))).head().getLong(0) / 2
+      implicit val ss: SparkSession = harnessSession(s)
       withScratch("graft_stream_neardup") { tmp =>
         val in = s"$tmp/in"
         val ck = s"$tmp/ck"
         val out = s"$tmp/out"
         def runOnce(batch: DataFrame): Unit = {
           batch.coalesce(1).write.mode("append").parquet(in)
-          val stream = s.readStream.schema(docs.schema).parquet(in)
+          val stream = ss.readStream.schema(docs.schema).parquet(in)
           val pairs = StreamNearDup.candidatePairs(stream, "doc_id", "text",
             tsCol = "ts", delay = "1 hour",
             numSigs = TextQueries.NumSigs, bands = TextQueries.Bands,
@@ -167,18 +195,18 @@ object StreamingQueries {
     // bit-for-bit, including the in-state Scala cosine matching the
     // codegen'd DotProduct + Round to the last ulp.
     "stream_incremental_ann" -> ((s, dir) => {
-      implicit val sp: SparkSession = s
       val emb = Tables.embeddings(s, dir)
         .select(col("vec_id"), col("embedding"))
         .withColumn("ts", lit("2024-01-01 00:00:00").cast("timestamp"))
       val mid = emb.agg(max(col("vec_id"))).head().getLong(0) / 2
+      implicit val ss: SparkSession = harnessSession(s)
       withScratch("graft_stream_ann") { tmp =>
         val in = s"$tmp/in"
         val ck = s"$tmp/ck"
         val out = s"$tmp/out"
         def runOnce(batch: DataFrame): Unit = {
           batch.coalesce(1).write.mode("append").parquet(in)
-          val stream = s.readStream.schema(batch.schema).parquet(in)
+          val stream = ss.readStream.schema(batch.schema).parquet(in)
           StreamAnnDedup.candidatePairs(stream, "vec_id", "embedding",
             planes = AnnQueries.Planes, tsCol = "ts", delay = "1 hour",
             minCos = 0.20, maxReps = Int.MaxValue, addMatchedReps = true)
@@ -226,13 +254,14 @@ object StreamingQueries {
       val spanSec = (bounds.getTimestamp(2).getTime -
         bounds.getTimestamp(1).getTime) / 1000L
       val delay = s"${spanSec + 86400L} seconds"
+      val ss = harnessSession(s)
       withScratch("graft_stream_ij") { tmp =>
         val in = s"$tmp/in"
         val ck = s"$tmp/ck"
         val out = s"$tmp/out"
         def runOnce(batch: DataFrame): Unit = {
           batch.coalesce(1).write.mode("append").parquet(in)
-          def src() = s.readStream.schema(batch.schema).parquet(in)
+          def src() = ss.readStream.schema(batch.schema).parquet(in)
           val clicks = EventStreams.withEventTimeWatermark(
             src().filter(col("event_type") === "click")
               .select(col("event_id"), col("user_id"), col("ts")),
@@ -276,13 +305,14 @@ object StreamingQueries {
       val ev = Tables.events(s, dir)
         .select(col("event_id"), col("ts"), col("event_type"), col("value"))
       val mid = ev.agg(max(col("event_id"))).head().getLong(0) / 2
+      val ss = harnessSession(s)
       withScratch("graft_stream_tumbling") { tmp =>
         val in = s"$tmp/in"
         val ck = s"$tmp/ck"
         val out = s"$tmp/out"
         def runOnce(batch: DataFrame): Unit = {
           batch.coalesce(1).write.mode("append").parquet(in)
-          val stream = s.readStream.schema(batch.schema).parquet(in)
+          val stream = ss.readStream.schema(batch.schema).parquet(in)
           EventStreams.tumblingCounts(stream).writeStream
             .option("checkpointLocation", ck)
             .outputMode("complete")
