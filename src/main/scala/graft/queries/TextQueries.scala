@@ -113,10 +113,20 @@ object TextQueries {
     * band-bucket candidate equi-join over the cached signature index,
     * then exact-Jaccard verification against the cached shingle sets.
     * Shared by `text_lsh_pairs` (pair surface) and
-    * `text_neardup_clusters` (doc→cluster mapping). */
+    * `text_neardup_clusters` (doc→cluster mapping).
+    *
+    * GOVERNED BY DEFAULT: band buckets over `LshBucketCap` members are
+    * dropped before the self-join (the same posture the dedup pair
+    * join has had since r8). An ungoverned LSH join is quadratic in
+    * the hottest bucket — measured 33× pair growth at 10× data on the
+    * shared-vocab corpus — so the uncapped path (`bucketCap = None`)
+    * is the AUDIT variant (`text_lsh_pairs_allpairs`), not the
+    * default. Dropped buckets' members keep their other Bands-1
+    * chances at candidacy, which is the standard recall trade every
+    * production LSH dedup makes. */
   private def lshPairs(s: SparkSession, dir: String,
       onlyDocs: Option[DataFrame] = None,
-      bucketCap: Option[Int] = None): DataFrame = {
+      bucketCap: Option[Int] = Some(LshBucketCap)): DataFrame = {
     val sigs0 = withSigs(s, dir)
     val sigs = onlyDocs.fold(sigs0)(ids =>
       sigs0.join(ids.select("doc_id"), Seq("doc_id"), "left_semi"))
@@ -151,6 +161,47 @@ object TextQueries {
       .withColumn("jaccard", TextOps.jaccard(col("a_sh"), col("b_sh")))
       .filter(col("jaccard") >= JaccardThreshold)
       .select("a_id", "b_id", "jaccard")
+  }
+
+  /** Near-dup DEDUP applied to documents: verified LSH pairs become
+    * edges, connected components merge transitive near-dup families,
+    * min doc_id elects the canonical doc — the doc→cluster mapping a
+    * training pipeline consumes directly.
+    *
+    * Exact-dedup pre-pass (the standard order at corpus scale: exact
+    * THEN near-dup): identical texts have identical shingle sets,
+    * signatures and band keys, so LSH over one representative per
+    * distinct content yields byte-identical clusters (when uncapped)
+    * while collapsing the degenerate O(|copies|²) buckets exact
+    * duplicates would otherwise form. Shingle-less docs (fewer than
+    * ShingleK words) can never LSH-pair — even with identical
+    * content — so they keep per-doc "content" keys and stay
+    * singletons, exactly as the all-pairs semantics leaves them.
+    * Candidates stay bucket-local and CC runs on the tiny
+    * verified-pair set, so the shape survives a 100 TB corpus. */
+  private def neardupClusters(s: SparkSession, dir: String,
+      bucketCap: Option[Int]): DataFrame = {
+    val hw = Window.partitionBy("h")
+    val byContent = docs(s, dir)
+      .select(col("doc_id"),
+        when(size(TextOps.words(col("text"))) >= ShingleK, md5(col("text")))
+          .otherwise(concat(lit("uniq|"), col("doc_id"))).as("h"))
+      .withColumn("rep_id", min(col("doc_id")).over(hw))
+      .select("doc_id", "rep_id")
+    val repIds = byContent.filter(col("doc_id") === col("rep_id"))
+      .select("doc_id")
+    val edges = lshPairs(s, dir, Some(repIds), bucketCap = bucketCap)
+      .select(col("a_id").as("src"), col("b_id").as("dst"))
+    val comps = graft.dedup.Cluster.connectedComponents(edges)
+      .withColumnRenamed("id", "rep_id")
+    val w = Window.partitionBy("cluster_id")
+    byContent
+      .join(comps, Seq("rep_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("component"), col("rep_id")).as("cluster_id"))
+      .withColumn("cluster_size", count(lit(1)).over(w))
+      .withColumn("is_canonical", col("doc_id") === col("cluster_id"))
+      .orderBy("doc_id")
   }
 
   /** Materialize the session-shared Memo indexes (shingle sets, MinHash
@@ -280,35 +331,39 @@ object TextQueries {
       withSigs(s, dir).orderBy("doc_id")),
 
     // MinHash-LSH near-dup join: band buckets -> candidate pairs ->
-    // exact-Jaccard verification. The LSH join touches only bucket
-    // collisions — at scale this is the difference between O(n²) and
-    // O(candidates).
+    // exact-Jaccard verification, GOVERNED by default (buckets over
+    // LshBucketCap members dropped before the self-join — a count
+    // window on the join's own shuffle key, so the governor adds no
+    // exchange). This is the scale default because an ungoverned LSH
+    // join grows with the square of the hottest bucket — measured 33x
+    // pair growth at 10x data on this corpus — while every dropped
+    // bucket's members keep their other Bands-1 chances at candidacy.
+    // The cap is interpolated into the DuckDB twin so both engines
+    // govern identically.
     "text_lsh_pairs" -> ((s, dir) =>
       lshPairs(s, dir).orderBy("a_id", "b_id")),
 
-    // the same verified LSH join over a 25% deterministic doc sample
+    // the UNgoverned all-pairs LSH join: the audit path (what did the
+    // governor cost me?) and the small-corpus path. Deliberately
+    // quadratic in the hottest bucket — its DuckDB twin is the one
+    // that goes oracle-infeasible at sf1, which is exactly the point
+    // of not making it the default.
+    "text_lsh_pairs_allpairs" -> ((s, dir) =>
+      lshPairs(s, dir, bucketCap = None).orderBy("a_id", "b_id")),
+
+    // the governed LSH join over a 25% deterministic doc sample
     // (doc_id % 4 = 0). Per-doc signatures are independent, so
-    // restricting the corpus commutes with the whole pipeline — the
-    // sample's pairs are bit-identical to running LSH on the sampled
-    // corpus. This twin exists for the 10x sweep: the full-corpus
-    // DuckDB oracle is infeasible at sf1 (>10 min), the sample grades
-    // the same code path in ~5 s. Also the production pattern for
-    // tuning band/threshold params on a 100 TB corpus: measure on a
-    // deterministic slice before paying for the full join.
+    // restricting the corpus commutes with signature computation; the
+    // governor then runs over the SAMPLE's bucket counts in both
+    // engines (the twin restricts its documents first, caps second —
+    // same order as the Spark plan). This twin exists for the 10x
+    // sweep: the full-corpus DuckDB oracle is infeasible at sf1, the
+    // sample grades the same code path in ~5 s. Also the production
+    // pattern for tuning band/threshold/cap params on a 100 TB
+    // corpus: measure on a deterministic slice before paying for the
+    // full join.
     "text_lsh_pairs_sample" -> ((s, dir) =>
       lshPairs(s, dir, Some(docs(s, dir).filter(col("doc_id") % 4 === 0)))
-        .orderBy("a_id", "b_id")),
-
-    // the governed LSH join: band buckets over LshBucketCap members
-    // are dropped BEFORE the self-join (count window on the join's
-    // own shuffle key, so the governor adds no exchange). This is the
-    // scale path — text_lsh_pairs grows 33x at 10x data on the
-    // shared-vocab corpus because dense buckets explode
-    // quadratically, while every dropped bucket's members keep their
-    // other Bands-1 chances at candidacy. The cap is interpolated
-    // into the DuckDB twin so both engines govern identically.
-    "text_lsh_pairs_governed" -> ((s, dir) =>
-      lshPairs(s, dir, bucketCap = Some(LshBucketCap))
         .orderBy("a_id", "b_id")),
 
     // data-visible skew audit of the LSH band join (the text
@@ -338,38 +393,24 @@ object TextQueries {
     // bucket-local and CC runs on the tiny verified-pair set, so the
     // shape survives a 100 TB corpus (see ann_dedup_clusters for the
     // embedding-space counterpart).
-    "text_neardup_clusters" -> ((s, dir) => {
-      // Exact-dedup pre-pass (the standard order at corpus scale:
-      // exact THEN near-dup): identical texts have identical shingle
-      // sets, signatures and band keys, so LSH over one representative
-      // per distinct content yields byte-identical clusters while
-      // collapsing the degenerate O(|copies|²) buckets exact
-      // duplicates would otherwise form. Shingle-less docs (fewer
-      // than ShingleK words) can never LSH-pair — even with identical
-      // content — so they keep per-doc "content" keys and stay
-      // singletons, exactly as the all-pairs semantics leaves them.
-      val hw = Window.partitionBy("h")
-      val byContent = docs(s, dir)
-        .select(col("doc_id"),
-          when(size(TextOps.words(col("text"))) >= ShingleK, md5(col("text")))
-            .otherwise(concat(lit("uniq|"), col("doc_id"))).as("h"))
-        .withColumn("rep_id", min(col("doc_id")).over(hw))
-        .select("doc_id", "rep_id")
-      val repIds = byContent.filter(col("doc_id") === col("rep_id"))
-        .select("doc_id")
-      val edges = lshPairs(s, dir, Some(repIds))
-        .select(col("a_id").as("src"), col("b_id").as("dst"))
-      val comps = graft.dedup.Cluster.connectedComponents(edges)
-        .withColumnRenamed("id", "rep_id")
-      val w = Window.partitionBy("cluster_id")
-      byContent
-        .join(comps, Seq("rep_id"), "left")
-        .select(col("doc_id"),
-          coalesce(col("component"), col("rep_id")).as("cluster_id"))
-        .withColumn("cluster_size", count(lit(1)).over(w))
-        .withColumn("is_canonical", col("doc_id") === col("cluster_id"))
-        .orderBy("doc_id")
-    }),
+    // Ungoverned edges: the exact-dedup pre-pass already collapsed
+    // the copy-flood buckets (the dominant quadratic risk), and the
+    // ALL-pairs cluster relation is the one the recursive twin
+    // grades. The governed scale variant is
+    // text_neardup_clusters_governed.
+    "text_neardup_clusters" -> ((s, dir) =>
+      neardupClusters(s, dir, bucketCap = None)),
+
+    // The scale default for cluster FORMATION: governed edges (hot
+    // band buckets over LshBucketCap dropped before the self-join,
+    // computed over the REP corpus — the rep restriction changes
+    // bucket counts, so the twin models the exact-dedup pre-pass
+    // explicitly instead of relying on the commutation argument that
+    // only holds uncapped). Clusters that only connected through a
+    // dropped hot bucket may split — the audited recall trade the
+    // governor makes everywhere else in this engine.
+    "text_neardup_clusters_governed" -> ((s, dir) =>
+      neardupClusters(s, dir, bucketCap = Some(LshBucketCap))),
 
     // dedup APPLIED: the canonical-only corpus (anti-join of exact
     // duplicates), i.e. what a training-data pipeline actually ships.
@@ -1126,10 +1167,18 @@ object TextQueries {
          |SELECT doc_id, ${(0 until NumSigs).map(i => s"sig_$i").mkString(", ")}
          |FROM sigs ORDER BY doc_id""".stripMargin,
 
+    // governed is the default: the keep/gbands CTEs replicate the
+    // bucket-cap governor so both engines drop the same hot buckets
     "text_lsh_pairs" ->
-      s"""$shingleCte, $bandsCte, cand AS (
+      s"""$shingleCte, $bandsCte, keep AS (
+         |  SELECT band, key FROM bands
+         |  GROUP BY band, key HAVING count(*) <= $LshBucketCap
+         |), gbands AS MATERIALIZED (
+         |  SELECT b.doc_id, b.band, b.key
+         |  FROM bands b JOIN keep k ON b.band = k.band AND b.key = k.key
+         |), cand AS (
          |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
-         |  FROM bands a JOIN bands b
+         |  FROM gbands a JOIN gbands b
          |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
          |), inter AS (
          |  SELECT c.a_id, c.b_id, count(*) AS i
@@ -1147,9 +1196,15 @@ object TextQueries {
          |ORDER BY a_id, b_id""".stripMargin,
 
     "text_lsh_pairs_sample" ->
-      s"""$shingleCteSample, $bandsCte, cand AS (
+      s"""$shingleCteSample, $bandsCte, keep AS (
+         |  SELECT band, key FROM bands
+         |  GROUP BY band, key HAVING count(*) <= $LshBucketCap
+         |), gbands AS MATERIALIZED (
+         |  SELECT b.doc_id, b.band, b.key
+         |  FROM bands b JOIN keep k ON b.band = k.band AND b.key = k.key
+         |), cand AS (
          |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
-         |  FROM bands a JOIN bands b
+         |  FROM gbands a JOIN gbands b
          |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
          |), inter AS (
          |  SELECT c.a_id, c.b_id, count(*) AS i
@@ -1166,16 +1221,12 @@ object TextQueries {
          |WHERE i.i / (ca.n + cb.n - i.i) >= $JaccardThreshold
          |ORDER BY a_id, b_id""".stripMargin,
 
-    "text_lsh_pairs_governed" ->
-      s"""$shingleCte, $bandsCte, keep AS (
-         |  SELECT band, key FROM bands
-         |  GROUP BY band, key HAVING count(*) <= $LshBucketCap
-         |), gbands AS MATERIALIZED (
-         |  SELECT b.doc_id, b.band, b.key
-         |  FROM bands b JOIN keep k ON b.band = k.band AND b.key = k.key
-         |), cand AS (
+    // the uncapped audit twin: deliberately quadratic in the hottest
+    // bucket (oracle-infeasible at sf1 — see SCALE.md skips)
+    "text_lsh_pairs_allpairs" ->
+      s"""$shingleCte, $bandsCte, cand AS (
          |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
-         |  FROM gbands a JOIN gbands b
+         |  FROM bands a JOIN bands b
          |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
          |), inter AS (
          |  SELECT c.a_id, c.b_id, count(*) AS i
@@ -1234,6 +1285,65 @@ object TextQueries {
          |       count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
          |       doc_id = cluster_id AS is_canonical
          |FROM cc ORDER BY doc_id""".stripMargin,
+
+    // governed clusters: the rep restriction changes bucket counts
+    // under a cap, so — unlike the uncapped twin above, which leans
+    // on the "rep restriction commutes" argument — this twin models
+    // the exact-dedup pre-pass explicitly: grp mirrors Spark's
+    // byContent (shingle-able docs group by md5(text), shingle-less
+    // docs stay per-doc singletons), bands restrict to reps, the cap
+    // applies to REP bucket counts, CC runs over rep edges seeded
+    // with every rep, and copies inherit their rep's cluster.
+    "text_neardup_clusters_governed" ->
+      s"""WITH RECURSIVE ${shingleCte.stripPrefix("WITH ")}, $bandsCte, grp AS MATERIALIZED (
+         |  SELECT doc_id,
+         |         min(doc_id) OVER (PARTITION BY h) AS rep_id
+         |  FROM (
+         |    SELECT doc_id,
+         |           CASE WHEN doc_id IN (SELECT doc_id FROM sh)
+         |                THEN md5(text)
+         |                ELSE 'uniq|' || CAST(doc_id AS VARCHAR) END AS h
+         |    FROM documents)
+         |), rbands AS MATERIALIZED (
+         |  SELECT b.doc_id, b.band, b.key
+         |  FROM bands b JOIN grp g ON g.doc_id = b.doc_id AND g.doc_id = g.rep_id
+         |), keep AS (
+         |  SELECT band, key FROM rbands
+         |  GROUP BY band, key HAVING count(*) <= $LshBucketCap
+         |), gbands AS MATERIALIZED (
+         |  SELECT r.doc_id, r.band, r.key
+         |  FROM rbands r JOIN keep k ON r.band = k.band AND r.key = k.key
+         |), cand AS (
+         |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+         |  FROM gbands a JOIN gbands b
+         |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+         |), inter AS (
+         |  SELECT c.a_id, c.b_id, count(*) AS i
+         |  FROM cand c
+         |  JOIN sh sa ON sa.doc_id = c.a_id
+         |  JOIN sh sb ON sb.doc_id = c.b_id AND sa.s = sb.s
+         |  GROUP BY 1, 2
+         |), pairs AS (
+         |  SELECT i.a_id, i.b_id
+         |  FROM inter i
+         |  JOIN shcnt ca ON ca.doc_id = i.a_id
+         |  JOIN shcnt cb ON cb.doc_id = i.b_id
+         |  WHERE i.i / (ca.n + cb.n - i.i) >= $JaccardThreshold
+         |), edges AS (
+         |  SELECT a_id AS src, b_id AS dst FROM pairs
+         |  UNION ALL SELECT b_id, a_id FROM pairs
+         |), reach(id, lbl) AS (
+         |  SELECT DISTINCT rep_id, rep_id FROM grp
+         |  UNION
+         |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id
+         |), cc AS (
+         |  SELECT id AS rep_id, min(lbl) AS cluster_id FROM reach GROUP BY id
+         |)
+         |SELECT g.doc_id, c.cluster_id,
+         |       count(*) OVER (PARTITION BY c.cluster_id) AS cluster_size,
+         |       g.doc_id = c.cluster_id AS is_canonical
+         |FROM grp g JOIN cc c ON c.rep_id = g.rep_id
+         |ORDER BY g.doc_id""".stripMargin,
 
     "text_dedup_apply" ->
       """SELECT doc_id, lang, source, n_chars FROM (

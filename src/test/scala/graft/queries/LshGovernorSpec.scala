@@ -3,8 +3,8 @@ package graft.queries
 import graft.dedup.SparkTest
 import org.scalatest.funsuite.AnyFunSuite
 
-/** Pins the hot-bucket governor on the LSH band join
-  * (`text_lsh_pairs_governed`): dropping over-cap band buckets must
+/** Pins the hot-bucket governor on the LSH band join (the DEFAULT
+  * `text_lsh_pairs`): dropping over-cap band buckets must
   * only REMOVE candidate pairs (never invent them), must actually
   * fire on the sf0.01 corpus (max bucket 7 > cap 5), and must not
   * add an Exchange — the count window rides the self-join's own
@@ -19,8 +19,8 @@ class LshGovernorSpec extends AnyFunSuite {
 
   test("governed pairs are a strict subset of the ungoverned surface") {
     assume(new java.io.File(s"$sfDir/documents.parquet").exists())
-    val gov = pairs("text_lsh_pairs_governed")
-    val all = pairs("text_lsh_pairs")
+    val gov = pairs("text_lsh_pairs")
+    val all = pairs("text_lsh_pairs_allpairs")
     assert(gov.subsetOf(all),
       s"governor invented pairs: ${(gov -- all).take(5)}")
     assert(gov.size < all.size,
@@ -35,7 +35,7 @@ class LshGovernorSpec extends AnyFunSuite {
       p.linesIterator.count(_.trim.startsWith("+- Exchange")) +
         p.linesIterator.count(_.trim.startsWith("Exchange"))
     }
-    assert(exchanges("text_lsh_pairs_governed") <= exchanges("text_lsh_pairs"),
+    assert(exchanges("text_lsh_pairs") <= exchanges("text_lsh_pairs_allpairs"),
       "governed plan shuffles more than the ungoverned one")
   }
 }
