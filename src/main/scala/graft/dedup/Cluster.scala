@@ -48,42 +48,72 @@ object Cluster {
     * (see [[graft.core.Frames.release]] for the full rationale). */
   private def release(df: DataFrame): Unit = graft.core.Frames.release(df)
 
+  /** Edge-set checkpoints store SERIALIZED: a dense graph's edge list
+    * is tens of millions of tiny rows, and deserialized storage makes
+    * every one a heap object the collector traces — serialized they
+    * are opaque byte blocks at ~a third the footprint, and the decode
+    * cost on re-read is two longs per row. */
+  private val SerLevel = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
+
   /** @param edges undirected edges, columns (src: long, dst: long);
     *              either direction suffices; duplicates tolerated.
+    * @param edgesMaterialized caller guarantees `edges` is already
+    *              checkpointed/cached (re-reading it is a map-only
+    *              pass, not a recompute of an expensive join). When
+    *              true the directed edge set is NOT checkpointed here
+    *              — on the dense-clique workload the edge copy was
+    *              the single largest transient in the whole suite
+    *              (sf1 supplier: 82M symmetrized rows, ~2 GB of the
+    *              4.4 GB storage high-water) for data the caller
+    *              already held materialized one projection away.
     * @return (id: long, component: long) for every node appearing in
     *         an edge, with component = min node id in the component.
     *         Isolated nodes (no edges) simply don't appear — callers
-    *         default them to their own id. */
+    *         default them to their own id.
+    *
+    * Internally edges stay DIRECTED through regimes 1-2 (union-find
+    * and the min-neighbor aggregate are direction-agnostic: the
+    * aggregate unions both orientations map-side, where partial
+    * aggregation collapses them to ≤ |nodes| rows per side before
+    * the shuffle) — every pass over the dominant edge volume touches
+    * half the rows the old symmetrize-first layout did. Only regime 3
+    * (label propagation) expands to symmetric form, per round,
+    * map-only. Regime thresholds still compare the SYMMETRIZED count
+    * (2× directed) so regime selection is unchanged for any given
+    * graph. */
   def connectedComponents(edges: DataFrame, maxIter: Int = 50,
-      localThreshold: Long = 2000000): DataFrame = {
-    val sym = edges.select(col("src"), col("dst"))
-      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      localThreshold: Long = 2000000, edgesMaterialized: Boolean = false): DataFrame = {
+    val directed0 = edges.select(col("src"), col("dst"))
       .filter(col("src") =!= col("dst"))
-      .localCheckpoint(true)
-    val edgeCount = sym.count()
+    val directed =
+      if (edgesMaterialized) directed0
+      else directed0.localCheckpoint(true, SerLevel)
+    def releaseDirected(): Unit = if (!edgesMaterialized) release(directed)
+    val edgeCount = 2L * directed.count()
 
     // every regime either collects its answer to the driver or
-    // returns an independently-checkpointed frame, so the symmetrized
-    // edge set is dead the moment the regime returns — release it
-    // rather than waiting out the GC + ContextCleaner cycle
+    // returns an independently-checkpointed frame, so the edge copy
+    // is dead the moment the regime returns — release it rather than
+    // waiting out the GC + ContextCleaner cycle
     if (edgeCount <= localThreshold) {
       lastStatsTl.set(CcStats("local-union-find", 0))
-      val r = localEdgeCC(sym); release(sym); return r
+      val r = localEdgeCC(directed); releaseDirected(); return r
     }
 
-    // both directions are present, so src alone covers every node
-    val nodeCount = sym.agg(approx_count_distinct(col("src"), 0.02))
-      .head().getLong(0)
+    val nodeCount = directed
+      .select(col("src").as("n")).union(directed.select(col("dst").as("n")))
+      .agg(approx_count_distinct(col("n"), 0.02)).head().getLong(0)
     val result =
-      if (nodeCount <= localThreshold) minEdgeContractionCC(sym, maxIter)
-      else labelPropagationCC(sym, maxIter)
-    release(sym)
+      if (nodeCount <= localThreshold) minEdgeContractionCC(directed, maxIter)
+      else labelPropagationCC(directed, maxIter)
+    releaseDirected()
     result
   }
 
-  /** Regime 1: collect + path-compressed union-find. */
-  private def localEdgeCC(sym: DataFrame): DataFrame = {
-    val pairs = sym.collect().map(r => (r.getLong(0), r.getLong(1)))
+  /** Regime 1: collect + path-compressed union-find (direction
+    * agnostic — directed edges suffice). */
+  private def localEdgeCC(directed: DataFrame): DataFrame = {
+    val pairs = directed.collect().map(r => (r.getLong(0), r.getLong(1)))
     val parent = scala.collection.mutable.Map.empty[Long, Long]
     def find(x: Long): Long = {
       var r = x
@@ -98,17 +128,21 @@ object Cluster {
       val (ra, rb) = (find(a), find(b))
       if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
     }
-    val spark = sym.sparkSession
+    val spark = directed.sparkSession
     import spark.implicits._
     parent.keys.toSeq.map(k => (k, find(k))).toDF("id", "component")
   }
 
   /** Regime 2: driver union-find over per-node min edges + broadcast
-    * relabel of the (huge) edge set, iterated to fixpoint. */
-  private def minEdgeContractionCC(sym0: DataFrame, maxIter: Int): DataFrame = {
-    val spark = sym0.sparkSession
+    * relabel of the (huge, DIRECTED) edge set, iterated to fixpoint.
+    * The min-neighbor aggregate unions both orientations inline —
+    * partial aggregation collapses each to ≤ |nodes| rows map-side,
+    * so the symmetric view costs a second scan, never a second
+    * materialization. */
+  private def minEdgeContractionCC(directed: DataFrame, maxIter: Int): DataFrame = {
+    val spark = directed.sparkSession
     import spark.implicits._
-    var e = sym0
+    var e = directed
     val parent = scala.collection.mutable.Map.empty[Long, Long]
     def find(x: Long): Long = {
       var r = x
@@ -127,7 +161,10 @@ object Cluster {
     var done = false
     while (!done && iter < maxIter) {
       // ≤ |nodes| rows: each remaining rep's min remaining neighbor
-      val mins = e.groupBy("src").agg(min(col("dst")).as("dst")).collect()
+      // over BOTH edge orientations (e is directed)
+      val mins = e.select(col("src"), col("dst"))
+        .union(e.select(col("dst").as("src"), col("src").as("dst")))
+        .groupBy("src").agg(min(col("dst")).as("dst")).collect()
       if (mins.isEmpty) done = true
       else {
         mins.foreach(r => union(r.getLong(0), r.getLong(1)))
@@ -143,11 +180,11 @@ object Cluster {
           .select(col("src"), coalesce(col("_r"), col("dst")).as("dst"))
           .filter(col("src") =!= col("dst"))
           .distinct()
-          .localCheckpoint(true)
+          .localCheckpoint(true, SerLevel)
         // the eager checkpoint above materialized the new edge set, so
-        // the previous round's copy is dead — release it now (sym0,
-        // round 0's value, belongs to the caller and is skipped)
-        if (prev ne sym0) release(prev)
+        // the previous round's copy is dead — release it now (round
+        // 0's value belongs to the caller and is skipped)
+        if (prev ne directed) release(prev)
         done = e.isEmpty
         iter += 1
       }
@@ -158,13 +195,19 @@ object Cluster {
     if (!done) log.warn(
       s"connectedComponents (min-edge contraction) exhausted maxIter=$maxIter " +
         "before convergence — returned components may be under-merged")
-    if (e ne sym0) release(e) // the answer lives in `parent`, not `e`
+    if (e ne directed) release(e) // the answer lives in `parent`, not `e`
     lastStatsTl.set(CcStats("min-edge-contraction", iter))
     parent.keys.toSeq.map(k => (k, find(k))).toDF("id", "component")
   }
 
-  /** Regime 3: min-label propagation + pointer jumping. */
-  private def labelPropagationCC(sym: DataFrame, maxIter: Int): DataFrame = {
+  /** Regime 3: min-label propagation + pointer jumping. Labels must
+    * flow both ways along an edge, so this regime expands the
+    * directed set to symmetric form — as a lazy map-only view over
+    * the materialized directed edges, re-read per round, never
+    * materialized itself. */
+  private def labelPropagationCC(directed: DataFrame, maxIter: Int): DataFrame = {
+    val sym = directed
+      .union(directed.select(col("dst").as("src"), col("src").as("dst")))
     var labels = sym.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
       .localCheckpoint(true)

@@ -33,6 +33,17 @@ import org.apache.spark.sql.functions._
   * plan shape, one extra write. */
 object Pipeline {
 
+  /** Σ |block|·(|block|-1)/2 over the (materialized) name index —
+    * one tiny aggregate job, the same estimate the driver fast path
+    * and the governor sizing use. */
+  private[dedup] def pairEstimate(stats: org.apache.spark.sql.DataFrame): Long = {
+    // SQL `/` is double division — n·(n-1) is always even, so the
+    // long cast after the halving is exact
+    val r = stats.groupBy("block_key").agg(count(lit(1)).as("_n"))
+      .agg(sum((col("_n") * (col("_n") - 1) / 2).cast("long"))).head()
+    if (r.isNullAt(0)) 0L else r.getLong(0)
+  }
+
   /** Typed row of the pipeline output — for callers who want
     * compile-time field checks on the contract table. */
   case class DedupRecord(
@@ -91,15 +102,29 @@ object Pipeline {
           import spark.implicits._
           (compsLocal.toDF("id", "component"),
             candLocal.toDF("cand_name", "cand_conf", "partner_max_row"))
+        case None if Pipeline.pairEstimate(stats) > settings.densePairEstimate =>
+          // DENSE regime (sf1+ supplier: a 10k-name near-clique is
+          // 50M implied pairs): checkpointing the pair rows costs
+          // gigabytes of storage + GC churn while the codegen'd JW
+          // join recomputes in ~2 s — so never materialize pairs;
+          // push both consumers down to aggregates over the streamed
+          // join (one shared pass + one verification pass per CC
+          // round). See Matching.denseAggregatedStage.
+          Matching.denseAggregatedStage(stats, settings)
         case None =>
           val pairsCompact = Matching.qualifyingPairsPrepared(stats, settings)
             .select(col("a_min_row"), col("b_min_row"), col("pair_conf"))
             .localCheckpoint(true)
           // --- C1 (distributed): node id = the name's min_row, so a
-          // component id IS min(row_order) in-cluster.
+          // component id IS min(row_order) in-cluster. The edge set is
+          // a projection of the compact checkpoint — already
+          // materialized, so CC must not copy it again
+          // (edgesMaterialized: on the sf1 supplier clique that copy
+          // was ~2 GB of storage and seconds of wall per run).
           val edges = pairsCompact
             .select(col("a_min_row").as("src"), col("b_min_row").as("dst"))
-          val compsDist = Cluster.connectedComponents(edges)
+          val compsDist = Cluster.connectedComponents(edges,
+            edgesMaterialized = true)
           // name fields recovered from the compact checkpoint: AQE
           // turns both min_row joins into broadcasts (the name index
           // is tiny relative to pairs), so this costs two map-side

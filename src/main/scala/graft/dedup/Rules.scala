@@ -33,7 +33,19 @@ final case class DedupSettings(
       * — run pairing + components + candidates on the driver instead
       * of ~6 tiny distributed jobs (Matching.driverPairsAndCandidates;
       * results are bit-identical). 0 disables. */
-    driverFastPathNames: Long = 4096L) {
+    driverFastPathNames: Long = 4096L,
+    /** Dense regime gate (execution knob, not semantics): above this
+      * implied pair count the name-level stage never materializes
+      * pair rows — it recomputes the codegen'd JW join per consumer
+      * pass and pushes both consumers down to aggregates
+      * (Matching.denseAggregatedStage; results are bit-identical —
+      * DensePathSpec). Below it, one compact checkpoint + re-reads
+      * is cheaper than a second JW pass. ~4M pairs ≈ 100 MB
+      * checkpointed, ~0.3 s recomputed: the crossover is flat around
+      * here, the constant just separates "fits comfortably" from
+      * "gigabytes" (sf1 supplier: 50M pairs ≈ 3 GB resident and the
+      * GC pressure tripled every later phase — VERDICT r10 item 1). */
+    densePairEstimate: Long = 4000000L) {
   // The governor sizing aggregate collects the over-cap key list into
   // one driver row, bounded by |distinct blocks| / cap — a degenerate
   // cap (e.g. 1) would degrade that bound to every block key in a

@@ -1,0 +1,44 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev probe: time named SparkEntry queries (3 reps, times printed
+  * raw) with per-rep CC-regime diagnostics when the dedup cluster
+  * path ran. Usage:
+  *   runMain graft.tools.ProfileQuery <sfDir> <name> [name...]
+  */
+object ProfileQuery {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val names = args.drop(1).toSeq
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors.toString)
+    val localDir =
+      if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get("/dev/shm")))
+        "/dev/shm/graft-profile-local" else System.getProperty("java.io.tmpdir")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.local.dir", localDir)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.read.parquet(s"$sfDir/region.parquet").count()
+    @annotation.nowarn("cat=deprecation")
+    def storageMb(): Long =
+      spark.sparkContext.getRDDStorageInfo.map(_.memSize).sum / (1024L * 1024L)
+    names.foreach { name =>
+      val fn = graft.SparkEntry.queries(name)
+      (1 to 3).foreach { rep =>
+        val t0 = System.nanoTime()
+        val n = fn(spark, sfDir).count()
+        val sec = (System.nanoTime() - t0) / 1e9
+        val cc = graft.dedup.Cluster.lastStats
+          .map(s => s" cc=${s.regime}/${s.rounds}").getOrElse("")
+        println(f"[profile] $name rep$rep rows=$n $sec%.2f s storage=${storageMb()}MB$cc")
+      }
+    }
+    spark.stop()
+  }
+}
