@@ -5,15 +5,30 @@ import graft.dedup.{DedupSettings, Rules}
 /** DuckDB SQL fragment builders that mirror the Spark column
   * functions in [[graft.dedup.Normalize]] expression-for-expression.
   * Generated from the same [[Rules]] constants so the two sides cannot
-  * drift. DuckDB regexes are RE2 (ASCII `\w`) — equivalent to the
-  * Spark side on the ASCII driver testdata. */
+  * drift.
+  *
+  * Unicode dialect notes (the RE2-vs-Java-`(?U)` surface, SURVEY.md
+  * §F1): RE2's bare `\w` is ASCII while Spark matches Java's
+  * `(?U)\w`, so [[normalize]]'s keep-class spells out the Unicode
+  * properties `(?U)\w` implies — letters `\p{L}`, marks `\p{M}`,
+  * decimal digits `\p{Nd}`, letter-numbers `\p{Nl}`, connector
+  * punctuation `\p{Pc}` — making the twins agree on accented/CJK/
+  * Greek/Cyrillic names (fuzzed via tools/fuzz.py --unicode-names).
+  * Residual fringe divergences are PINNED IN SPECS, not papered
+  * over: `\b` before an ASCII suffix differs when a Unicode letter
+  * directly abuts the suffix (NormalizeSpec — space-separated
+  * suffixes, the only shape the reference data has, agree), and
+  * DuckDB's jaro_winkler_similarity is byte-based while ours is
+  * code-point-based like the reference (JaroWinklerSpec documents
+  * the dialect; the fuzzer keeps non-ASCII names in singleton blocks
+  * so no cross-engine JW compare runs on them). */
 object Sql {
 
   /** F1 — normalize. DuckDB regexp_replace needs the 'g' flag to
     * replace all occurrences (Spark replaces all by default). */
   def normalize(col: String): String =
     s"trim(regexp_replace(regexp_replace(upper(coalesce(CAST($col AS VARCHAR), '')), " +
-      s"'[^\\w\\s&/-]', ' ', 'g'), '\\s+', ' ', 'g'))"
+      s"'[^\\w\\s&/\\-\\p{L}\\p{M}\\p{Nd}\\p{Nl}\\p{Pc}]', ' ', 'g'), '\\s+', ' ', 'g'))"
 
   private def stripOnce(inner: String, tokens: Seq[String]): String = {
     val alt = tokens.mkString("|")

@@ -10,9 +10,17 @@ each DuckDB twin on the same parquet, and diff with the driver's
 compare (columns sorted by name, dtypes, then stringified values).
 
 Generator design notes (what each ingredient is aimed at):
-  - names: ASCII only — NormalizeSpec pins the known (?U)\\w-vs-RE2
-    dialect gap on non-ASCII, so feeding the twins accented/CJK names
-    would only re-find the documented divergence. Within ASCII it
+  - names: ASCII by default; --unicode-names (round 11) adds
+    accented/CJK/Greek/Cyrillic company names now that the oracle's
+    normalize spells out the Unicode properties (?U)\\w implies
+    (graft.oracle.Sql). Each unicode name starts with a UNIQUE
+    non-ASCII first character, so every one lands in its own block:
+    the F1-F5/K1 normalize chain, blocking, clustering and election
+    are graded cross-engine on unicode, while no cross-engine
+    Jaro-Winkler compare ever runs on a non-ASCII pair (DuckDB's JW
+    is byte-based vs our code-point reference dialect —
+    JaroWinklerSpec pins that divergence; unicode names are also
+    never near-dup-mutated for the same reason). Within ASCII it
     stacks suffixes to the fixpoint bound, acronym keys, country
     tails, punctuation that normalizes away, case/whitespace variants,
     exact dups, one-char JW near-dups, empty/blank names.
@@ -27,7 +35,7 @@ Generator design notes (what each ingredient is aimed at):
     engine double sums land on representable boundaries.
 
 Usage: tools/fuzz.py [--seeds=N] [--root=DIR] [--unicode-docs]
-                     [--prefixes=p1,p2] [--no-verify]
+                     [--unicode-names] [--prefixes=p1,p2] [--no-verify]
 Dev tool only — not part of the Spark library.
 """
 import json, subprocess, sys
@@ -41,6 +49,7 @@ SEEDS = 20
 ROOT = Path("/tmp/graft_fuzz")
 PREFIXES = "dedup_,text_,ann_,enrich_,events_,stream_"
 UNICODE_DOCS = False
+UNICODE_NAMES = False
 RUN_VERIFY = True
 for a in sys.argv[1:]:
     if a.startswith("--seeds="):
@@ -51,6 +60,8 @@ for a in sys.argv[1:]:
         PREFIXES = a.split("=", 1)[1]
     elif a == "--unicode-docs":
         UNICODE_DOCS = True
+    elif a == "--unicode-names":
+        UNICODE_NAMES = True
     elif a == "--no-verify":
         RUN_VERIFY = False
 
@@ -74,10 +85,35 @@ PUNCT_TEMPLATES = ["{}, {}.", "{} & Sons {}", "{}-{}/Intl", "  {}   {}  ",
                    "{} ({}) !!", "{}*{}#"]
 WEIRD_NAMES = ["", " ", "...", "!!!", "& - /", "A", "Z" * 120,
                "CO", "LTD", "INDIA", "PRIVATE LIMITED"]
+# Unique non-ASCII first char per name -> singleton blocks by
+# construction (block key leads with the first character), so the
+# normalize chain is fuzzed cross-engine without ever invoking the
+# byte-vs-codepoint JW dialect on a unicode pair. Suffix/country
+# tails stay space-separated (\b agrees across dialects there;
+# NormalizeSpec pins the letter-abutting case).
+UNICODE_COMPANY_NAMES = [
+    "Café München GmbH",
+    "Ñandú Foods Ltd",
+    "Ørsted Energi A/S",
+    "Çelik Holding Inc",
+    "Ålborg Trading Company",
+    "Škoda Werke GmbH & Co KG",
+    "Él Paso Import/Export SA de CV!",
+    "Über Apotheke (Wien) Pvt Ltd",
+    "Æther Labs LLC",
+    "北京信息技術公司 Limited",
+    "東京システム株式会社",
+    "서울무역상사 Co",
+    "ΣΙΓΜΑ ΤΕΧΝΟΛΟΓΙΑ PLC",
+    "Дело и Труд Incorporated India",
+    "Ωμέγα Σύστημα, S.A.",
+]
 
 
 def gen_name(rng):
     r = rng.random()
+    if UNICODE_NAMES and r < 0.10:
+        return rng.choice(UNICODE_COMPANY_NAMES)
     base = rng.choice(BASES)
     mid = rng.choice(MIDS)
     core = f"{base} {mid}".strip()
@@ -124,7 +160,10 @@ def gen_names(rng, n):
         r = rng.random()
         if r < 0.15 and len(names) < n:       # exact duplicate
             names.append(name)
-        elif r < 0.35 and len(names) < n:     # near-duplicate
+        elif r < 0.35 and len(names) < n and name.isascii():
+            # near-duplicate; never mutate unicode names (a mutation
+            # could drop them into an ASCII block and put a non-ASCII
+            # pair in front of both engines' JW — the pinned dialect)
             names.append(mutate(rng, name))
     return names[:n]
 
@@ -390,7 +429,7 @@ def compare_seed(seed, oracle):
 
 def main():
     print(f"[fuzz] generating {SEEDS} seed datasets under {ROOT} "
-          f"(unicode_docs={UNICODE_DOCS})")
+          f"(unicode_docs={UNICODE_DOCS}, unicode_names={UNICODE_NAMES})")
     for s in range(SEEDS):
         gen_seed(s, ROOT / f"seed{s}" / "data")
     if RUN_VERIFY:
