@@ -70,9 +70,9 @@ object Bench {
     // random 3-4× single-rep outliers with flat GC time. RAM-backed
     // local dirs remove the disk from the measurement entirely (the
     // benched queries' shuffles are MBs, nowhere near tmpfs capacity).
-    val localDir =
-      if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get("/dev/shm")))
-        "/dev/shm/graft-bench-local" else System.getProperty("java.io.tmpdir")
+    // pid-suffixed + stale-sweep (LocalDirs): a SIGKILLed run must not
+    // leak RAM-backed shuffle files into every later measurement
+    val localDir = graft.tools.LocalDirs.ramLocalDir("bench")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)

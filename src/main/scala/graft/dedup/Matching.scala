@@ -17,6 +17,16 @@ import org.apache.spark.sql.functions._
   * name side is small. */
 object Matching {
 
+  /** Which execution regime the name-level stage (pairs → components
+    * + candidates) last ran on the calling thread, and how many JW
+    * passes the dense regime paid. Mirrors [[Cluster.lastStats]]:
+    * observability only, thread-local, no production branching. */
+  final case class StageStats(regime: String, jwPasses: Int)
+  private val lastStageTl = new ThreadLocal[StageStats]
+  def lastStageStats: Option[StageStats] = Option(lastStageTl.get)
+  private[dedup] def recordStage(regime: String, jwPasses: Int): Unit =
+    lastStageTl.set(StageStats(regime, jwPasses))
+
   /** Distinct-name statistics per block. `min_row` doubles as the
     * name's graph-node id; `max_row` drives the per-row confidence
     * rule (SURVEY.md Appendix A.1). `token_key` is precomputed ONCE
@@ -292,6 +302,7 @@ object Matching {
       s"denseAggregatedStage exhausted maxIter=$maxIter before convergence — " +
         "returned components may be under-merged")
     log.info(s"denseAggregatedStage: converged after $iter JW pass(es) + 1 shared")
+    recordStage("dense-recompute", iter + 1)
     val comps = parent.keys.toSeq.map(k => (k, find(k))).toDF("id", "component")
     (comps, crossCand)
   }
@@ -381,11 +392,11 @@ object Matching {
         (col("l_token_key") === col("r_token_key")).as("token_match"))
   }
 
-  /** [[sortedNeighborhoodPairs]] slimmed the same way. */
+  /** [[sortedNeighborhoodPairs]] slimmed the same way (shares
+    * [[withBlockRank]], so the profile path also never single-tasks
+    * a hot block's rank). */
   private def slimSorted(stats: DataFrame, window: Int): DataFrame = {
-    val byName = org.apache.spark.sql.expressions.Window
-      .partitionBy("block_key").orderBy("base_name")
-    val ranked = stats.withColumn("rnk", row_number().over(byName))
+    val ranked = withBlockRank(stats)
     val a = ranked.select(
       col("block_key"),
       col("base_name").as("a_name"),
@@ -473,18 +484,80 @@ object Matching {
       .withColumn("pair_conf", pairConfidence(col("ratio"), col("token_match")))
   }
 
+  /** Names-per-call above which [[blockRanked]] replaces the
+    * single-window ranking: a row_number window over one hot block
+    * serializes that block onto ONE task (the sort is fine at 1M
+    * names, fatal at 100M). Below it, the plain window is fewer jobs
+    * and the two produce identical ranks (RankingSpec). */
+  private[dedup] val DistributedRankThreshold = 262144L
+
+  /** Distributed per-block ranking: the same values as
+    * `row_number().over(partitionBy(block_key).orderBy(base_name))`
+    * (base_name is unique within a block, so ranks are deterministic)
+    * without funneling a hot block through a single task. Two-pass
+    * range-partitioned pattern: range-repartition by (block, name) —
+    * pinned with an eager checkpoint so both readers see the same
+    * partition ids — count each block's rows per partition (tiny:
+    * ≤ partitions × blocks-touching-them rows, collected), convert
+    * to per-(partition, block) offsets on the driver, then a LOCAL
+    * row_number within (partition, block) plus the broadcast offset.
+    * Every step is |block|/partitions parallel; nothing is
+    * single-task. */
+  private[dedup] def blockRanked(stats: DataFrame, parts: Int): DataFrame = {
+    val spark = stats.sparkSession
+    import spark.implicits._
+    val ranged = stats
+      .repartitionByRange(parts, col("block_key"), col("base_name"))
+      .withColumn("_pid", spark_partition_id())
+      .localCheckpoint(true)
+    val counts = ranged.groupBy("_pid", "block_key")
+      .agg(count(lit(1)).as("_c")).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    val offsets = counts.groupBy(_._2).iterator.flatMap { case (bk, rows) =>
+      var acc = 0L
+      rows.sortBy(_._1).map { case (pid, _, c) =>
+        val off = acc; acc += c; (pid, bk, off)
+      }
+    }.toSeq
+    val offDf = broadcast(offsets.toDF("_pid", "block_key", "_off"))
+    val localW = org.apache.spark.sql.expressions.Window
+      .partitionBy("_pid", "block_key").orderBy("base_name")
+    ranged.withColumn("_lrnk", row_number().over(localW))
+      .join(offDf, Seq("_pid", "block_key"))
+      .withColumn("rnk", (col("_off") + col("_lrnk")).cast("int"))
+      .drop("_pid", "_off", "_lrnk")
+  }
+
+  /** Per-block rank column shared by the sorted-neighborhood paths:
+    * plain window below [[DistributedRankThreshold]] names, the
+    * two-pass distributed ranking above it. Identical values either
+    * way — the gate is wall-clock only. */
+  private def withBlockRank(stats: DataFrame): DataFrame = {
+    val n = stats.count()
+    if (n <= DistributedRankThreshold) {
+      val byName = org.apache.spark.sql.expressions.Window
+        .partitionBy("block_key").orderBy("base_name")
+      stats.withColumn("rnk", row_number().over(byName))
+    } else {
+      val parts = stats.sparkSession.sparkContext.defaultParallelism
+      log.info(s"sorted-neighborhood: distributed ranking over $n names " +
+        s"($parts range partitions)")
+      blockRanked(stats, parts)
+    }
+  }
+
   /** Sorted-neighborhood pair generation — the O(n·w) scale path for
     * blocks of all-distinct names where full pairing is quadratic:
     * names are sorted within each block and each name is compared
     * only to its `window-1` successors. The rank-offset fan-out turns
     * the neighborhood condition into an equi-join on
     * (block_key, rank), so it shuffles and parallelizes like any
-    * hash join. */
+    * hash join; the rank itself is distributed past
+    * [[DistributedRankThreshold]] names so no hot block ever
+    * serializes onto one task. */
   def sortedNeighborhoodPairs(stats: DataFrame, window: Int,
       settings: DedupSettings = DedupSettings()): DataFrame = {
-    val byName = org.apache.spark.sql.expressions.Window
-      .partitionBy("block_key").orderBy("base_name")
-    val ranked = stats.withColumn("rnk", row_number().over(byName))
+    val ranked = withBlockRank(stats)
     val a = ranked.select(
       col("block_key"),
       col("base_name").as("a_name"),

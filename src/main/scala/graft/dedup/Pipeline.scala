@@ -100,6 +100,7 @@ object Pipeline {
       Matching.driverPairsAndCandidates(stats, settings) match {
         case Some((compsLocal, candLocal)) =>
           import spark.implicits._
+          Matching.recordStage("driver-fast-path", 1)
           (compsLocal.toDF("id", "component"),
             candLocal.toDF("cand_name", "cand_conf", "partner_max_row"))
         case None if Pipeline.pairEstimate(stats) > settings.densePairEstimate =>
@@ -112,6 +113,7 @@ object Pipeline {
           // round). See Matching.denseAggregatedStage.
           Matching.denseAggregatedStage(stats, settings)
         case None =>
+          Matching.recordStage("materialize", 1)
           val pairsCompact = Matching.qualifyingPairsPrepared(stats, settings)
             .select(col("a_min_row"), col("b_min_row"), col("pair_conf"))
             .localCheckpoint(true)

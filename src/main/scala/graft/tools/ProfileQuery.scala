@@ -13,9 +13,7 @@ object ProfileQuery {
     val names = args.drop(1).toSeq
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors.toString)
-    val localDir =
-      if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get("/dev/shm")))
-        "/dev/shm/graft-profile-local" else System.getProperty("java.io.tmpdir")
+    val localDir = LocalDirs.ramLocalDir("profile")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -36,7 +34,9 @@ object ProfileQuery {
         val sec = (System.nanoTime() - t0) / 1e9
         val cc = graft.dedup.Cluster.lastStats
           .map(s => s" cc=${s.regime}/${s.rounds}").getOrElse("")
-        println(f"[profile] $name rep$rep rows=$n $sec%.2f s storage=${storageMb()}MB$cc")
+        val stage = graft.dedup.Matching.lastStageStats
+          .map(s => s" stage=${s.regime}/${s.jwPasses}jw").getOrElse("")
+        println(f"[profile] $name rep$rep rows=$n $sec%.2f s storage=${storageMb()}MB$cc$stage")
       }
     }
     spark.stop()

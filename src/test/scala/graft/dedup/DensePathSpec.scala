@@ -48,6 +48,10 @@ class DensePathSpec extends AnyFunSuite {
       driverFastPathNames = 0L, densePairEstimate = 0L))
 
     assert(driver.length == 162)
+    // the regime observability must report what actually ran — the
+    // last runWith above was the dense one
+    assert(Matching.lastStageStats.exists(_.regime == "dense-recompute"),
+      s"expected dense-recompute to have run, got ${Matching.lastStageStats}")
     assert(materialized.sameElements(driver),
       "materialized path diverged from driver fast path")
     assert(dense.sameElements(driver),
