@@ -20,15 +20,31 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries
-      .filter { case (name, _) => only.isEmpty || only(name) }
-      .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
-      }
+    // Same family grouping + Memo lifecycle as Bench: queries run in
+    // deterministic family order and each family's shared indexes are
+    // released before the next family starts. Without the release the
+    // dump accumulates EVERY family's cached indexes in one JVM —
+    // at sf1 that put the 32g heap within range of the OOM killer
+    // (round 11), and at a bigger SF it would be the thing that dies.
+    val famAlias = Map("enrich" -> "dedup")
+    def familyOf(name: String): String = {
+      val f = name.takeWhile(_ != '_')
+      famAlias.getOrElse(f, f)
     }
+    SparkEntry.queries.toSeq
+      .filter { case (name, _) => only.isEmpty || only(name) }
+      .sortBy(_._1)
+      .groupBy { case (n, _) => familyOf(n) }.toSeq.sortBy(_._1)
+      .foreach { case (fam, qs) =>
+        qs.foreach { case (name, fn) =>
+          try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+            .parquet(s"$outDir/$name")
+          catch { case e: Throwable =>
+            System.err.println(s"[verify] $name failed: ${e.getMessage}")
+          }
+        }
+        graft.core.Memo.invalidate(spark, fam)
+      }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
