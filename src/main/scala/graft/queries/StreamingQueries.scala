@@ -31,9 +31,21 @@ object StreamingQueries {
     * only exists for the graded two-run harness. */
   private def scratch(prefix: String): java.nio.file.Path = {
     val shm = java.nio.file.Paths.get("/dev/shm")
-    if (java.nio.file.Files.isDirectory(shm))
+    if (java.nio.file.Files.isDirectory(shm)) {
+      // reap stale scratch from SIGKILLed runs (the try/finally below
+      // can't fire on a kill, and RAM-backed leaks shrink usable
+      // memory for everything after — the LocalDirs lesson). Any
+      // graft_stream/graft_rocks scratch older than 2h is dead: a
+      // single two-run harness lives for seconds.
+      val cutoff = System.currentTimeMillis() - 2L * 3600 * 1000
+      val kids = shm.toFile.listFiles()
+      if (kids != null) kids.foreach { f =>
+        if ((f.getName.startsWith("graft_stream") ||
+             f.getName.startsWith("graft_rocks")) &&
+            f.lastModified() < cutoff) rmTree(f)
+      }
       java.nio.file.Files.createTempDirectory(shm, prefix)
-    else java.nio.file.Files.createTempDirectory(prefix)
+    } else java.nio.file.Files.createTempDirectory(prefix)
   }
 
   private def rmTree(f: java.io.File): Unit = {
