@@ -274,6 +274,70 @@ object TextQueries {
           x => x.getField("chunk_text")))).as("kept_text_hash"))
   }
 
+  // Duplicated-span window length in tokens. Lee et al. 2022
+  // ("Deduplicating Training Data Makes Language Models Better",
+  // arXiv:2107.06499) remove duplicated substrings of >= 50 BPE
+  // tokens found via a suffix array; 8 whitespace tokens exercises
+  // the identical shape on the short synthetic docs (10-99 words).
+  // Shared with the DuckDB twins via interpolation.
+  private[graft] val SpanL = 8
+
+  /** Every occurrence of a DUPLICATED [[SpanL]]-token window:
+    * (doc_id, st, is_canonical), where is_canonical marks the
+    * corpus-first occurrence (min (doc_id, st)) of that window's
+    * token content. The distributed analogue of the suffix-array
+    * duplicate scan: overlapping windows group by CONTENT, so a
+    * repeated region of any length >= SpanL surfaces as a run of
+    * duplicated window starts.
+    *
+    * Scale shape: deliberately an aggregate + equi-join rather than
+    * count/row_number windows over the span key. The aggregate gets
+    * map-side partial combine — a boilerplate window occurring 10^8
+    * times (license headers, navigation chrome) collapses to one row
+    * per map task before the exchange — and the join back is
+    * AQE-skew-splittable, while a sort-window would pin each hot
+    * span's entire occurrence list on a single task. The inner join
+    * also PRUNES: only duplicated windows (cnt > 1, a small fraction
+    * of a real corpus) flow into the island merge. At 100 TB,
+    * substitute a 128-bit rolling hash of the window for the string
+    * join key to cut shuffle bytes (64 bits starts colliding at
+    * ~10^12 windows); the rolling hash also removes the per-window
+    * string build, making window emission a pure scan. */
+  private[graft] def dupSpanOccurrences(d: DataFrame): DataFrame = {
+    val occ = d
+      .select(col("doc_id"), TextOps.words(col("text")).as("w"))
+      .where(size(col("w")) >= SpanL)
+      .select(col("doc_id"),
+        explode(sequence(lit(0), size(col("w")) - SpanL)).as("st"), col("w"))
+      .select(col("doc_id"), col("st"),
+        concat_ws(" ", slice(col("w"), col("st") + 1, lit(SpanL))).as("win"))
+    val dup = occ.groupBy("win")
+      .agg(count(lit(1)).as("cnt"),
+        min(struct(col("doc_id"), col("st"))).as("first"))
+      .where(col("cnt") > 1)
+    occ.join(dup, Seq("win"))
+      .select(col("doc_id"), col("st"),
+        (col("first.doc_id") === col("doc_id") &&
+          col("first.st") === col("st")).as("is_canonical"))
+  }
+
+  /** Merge duplicated window starts into MAXIMAL spans per doc
+    * (gaps-and-islands: windows starting <= SpanL apart overlap or
+    * touch, so their covered token ranges are contiguous). Returns
+    * one row per (doc_id, island) with min/max start. Shuffles by
+    * doc_id; per-doc state is bounded by the doc's own window count,
+    * never a partition's. */
+  private[graft] def spanIslands(starts: DataFrame): DataFrame = {
+    val byDoc = Window.partitionBy("doc_id").orderBy("st")
+    starts
+      .withColumn("brk",
+        when(coalesce(col("st") - lag("st", 1).over(byDoc),
+          lit(SpanL + 1)) > SpanL, 1).otherwise(0))
+      .withColumn("gid", sum("brk").over(byDoc))
+      .groupBy("doc_id", "gid")
+      .agg(min("st").as("mn"), max("st").as("mx"))
+  }
+
   // PII patterns, portable across Java regex (Spark) and RE2 (the
   // DuckDB oracle): no backreferences, no lookaround, '-' last in
   // classes.
@@ -738,6 +802,41 @@ object TextQueries {
     // per-doc survival counts + kept-text hash come back out.
     "text_line_dedup" -> ((s, dir) =>
       lineDedup(docsSpread(s, dir)).orderBy("doc_id")),
+
+    // exact duplicated-span REPORT (substring-level dedup, Lee et
+    // al. 2022): maximal duplicated regions of >= SpanL tokens, one
+    // row per (doc, span), every occurrence included. Finer-grained
+    // than doc/chunk dedup: catches a copied paragraph inside an
+    // otherwise-unique doc.
+    "text_span_dupes" -> ((s, dir) =>
+      spanIslands(dupSpanOccurrences(docs(s, dir)).select("doc_id", "st"))
+        .select(col("doc_id"),
+          col("mn").cast("long").as("span_start"),
+          (col("mx") + SpanL - 1).cast("long").as("span_end"),
+          (col("mx") + SpanL - col("mn")).cast("long").as("span_tokens"))
+        .orderBy("doc_id", "span_start")),
+
+    // duplicated-span REMOVAL accounting: every window occurrence
+    // except the corpus-first is removable; removable windows merge
+    // into maximal spans per doc and the kept/removed token counts
+    // come out. Docs untouched by dedup appear with removed = 0.
+    "text_span_dedup" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val nTok = d.select(col("doc_id"),
+        size(TextOps.words(col("text"))).cast("long").as("n_tokens"))
+      val sp = spanIslands(dupSpanOccurrences(d)
+        .where(!col("is_canonical")).select("doc_id", "st"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_spans"),
+          sum(col("mx") + SpanL - col("mn")).cast("long").as("removed_tokens"))
+      nTok.join(sp, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_tokens"),
+          coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+          coalesce(col("removed_tokens"), lit(0L)).as("removed_tokens"),
+          (col("n_tokens") - coalesce(col("removed_tokens"), lit(0L)))
+            .as("kept_tokens"))
+        .orderBy("doc_id")
+    }),
 
     // PII scan + redaction. The synthetic corpus contains no PII, so
     // the scan runs over a profile string DERIVED deterministically
@@ -1675,6 +1774,81 @@ object TextQueries {
          |       md5(coalesce(string_agg(CASE WHEN kept THEN chunk_text END,
          |         ' ' ORDER BY ci), '')) AS kept_text_hash
          |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // duplicated-window detection by explicit window-string equality
+    // (the Spark side's content grouping, spelled relationally);
+    // canonical election via row_number instead of the min-struct
+    // aggregate — identical semantics.
+    "text_span_dupes" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, string_split_regex(text, '\\s+') AS w FROM documents
+         |), s AS (
+         |  SELECT doc_id, unnest(generate_series(0, len(w) - $SpanL)) AS st, w
+         |  FROM d WHERE len(w) >= $SpanL
+         |), win AS (
+         |  SELECT doc_id, st, array_to_string(w[st + 1 : st + $SpanL], ' ') AS win
+         |  FROM s
+         |), k AS (
+         |  SELECT doc_id, st, count(*) OVER (PARTITION BY win) AS cnt FROM win
+         |), dup AS (
+         |  SELECT doc_id, st FROM k WHERE cnt > 1
+         |), isl AS (
+         |  SELECT doc_id, st,
+         |         CASE WHEN lag(st) OVER (PARTITION BY doc_id ORDER BY st) IS NULL
+         |              OR st - lag(st) OVER (PARTITION BY doc_id ORDER BY st) > $SpanL
+         |           THEN 1 ELSE 0 END AS brk
+         |  FROM dup
+         |), g AS (
+         |  SELECT doc_id, st,
+         |         sum(brk) OVER (PARTITION BY doc_id ORDER BY st) AS gid
+         |  FROM isl
+         |)
+         |SELECT doc_id, CAST(min(st) AS BIGINT) AS span_start,
+         |       CAST(max(st) + $SpanL - 1 AS BIGINT) AS span_end,
+         |       CAST(max(st) + $SpanL - min(st) AS BIGINT) AS span_tokens
+         |FROM g GROUP BY doc_id, gid ORDER BY doc_id, span_start""".stripMargin,
+
+    "text_span_dedup" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, string_split_regex(text, '\\s+') AS w FROM documents
+         |), n AS (
+         |  SELECT doc_id, len(w) AS n_tokens FROM d
+         |), s AS (
+         |  SELECT doc_id, unnest(generate_series(0, len(w) - $SpanL)) AS st, w
+         |  FROM d WHERE len(w) >= $SpanL
+         |), win AS (
+         |  SELECT doc_id, st, array_to_string(w[st + 1 : st + $SpanL], ' ') AS win
+         |  FROM s
+         |), k AS (
+         |  SELECT doc_id, st, count(*) OVER (PARTITION BY win) AS cnt,
+         |         row_number() OVER (PARTITION BY win ORDER BY doc_id, st) AS rn
+         |  FROM win
+         |), rem AS (
+         |  SELECT doc_id, st FROM k WHERE cnt > 1 AND rn > 1
+         |), isl AS (
+         |  SELECT doc_id, st,
+         |         CASE WHEN lag(st) OVER (PARTITION BY doc_id ORDER BY st) IS NULL
+         |              OR st - lag(st) OVER (PARTITION BY doc_id ORDER BY st) > $SpanL
+         |           THEN 1 ELSE 0 END AS brk
+         |  FROM rem
+         |), g AS (
+         |  SELECT doc_id, st,
+         |         sum(brk) OVER (PARTITION BY doc_id ORDER BY st) AS gid
+         |  FROM isl
+         |), sp AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+         |         CAST(sum(mx + $SpanL - mn) AS BIGINT) AS removed_tokens
+         |  FROM (SELECT doc_id, gid, min(st) AS mn, max(st) AS mx
+         |        FROM g GROUP BY doc_id, gid)
+         |  GROUP BY doc_id
+         |)
+         |SELECT n.doc_id, CAST(n.n_tokens AS BIGINT) AS n_tokens,
+         |       CAST(coalesce(sp.n_spans, 0) AS BIGINT) AS n_spans,
+         |       CAST(coalesce(sp.removed_tokens, 0) AS BIGINT) AS removed_tokens,
+         |       CAST(n.n_tokens - coalesce(sp.removed_tokens, 0) AS BIGINT)
+         |         AS kept_tokens
+         |FROM n LEFT JOIN sp ON n.doc_id = sp.doc_id
+         |ORDER BY n.doc_id""".stripMargin,
 
     // same profile construction, same patterns, same redaction order;
     // DuckDB regexp_replace needs the explicit 'g' flag to match
