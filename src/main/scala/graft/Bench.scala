@@ -64,6 +64,10 @@ object Bench {
       Runtime.getRuntime.availableProcessors.toString)
     val reps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt)
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+    // fail immediately on a bad data dir (sf1/sf10 are self-generated
+    // under /tmp and get reaped — a stale path must not "bench" air)
+    require(new java.io.File(s"$sfDir/region.parquet").exists(),
+      s"SPARK_GRAFT_SF_DIR=$sfDir has no region.parquet — not a testdata dir")
     // Shuffle/spill files go to tmpfs when available: on this box the
     // dominant per-rep noise is multi-second page-writeback stalls
     // from accumulated shuffle files on the root disk — measured as
@@ -139,13 +143,21 @@ object Bench {
         // "1.34→10.28→15.40" as rising); warmed, reps are flat and a
         // real 1.5× plan regression is visible again. The warm run
         // also supplies the executed plan for n_exchanges.
+        // A failing query must fail the RUN, not record as a ~0s
+        // "success": with the old swallow-everything catch, pointing
+        // SPARK_GRAFT_SF_DIR at a nonexistent dir produced a
+        // plausible-looking artifact of 0.01s entries (same silent-
+        // failure class as the unknown-family guard above).
         try {
           val d = fn(spark, sfDir); d.count()
           nExchanges = countShuffles(d.queryExecution.executedPlan)
-        } catch { case _: Throwable => () }
+        } catch {
+          case e: Throwable => throw new RuntimeException(
+            s"bench query '$name' failed on $sfDir: ${e.getMessage}", e)
+        }
         def timeOne(): Double = {
           val t0 = System.nanoTime()
-          try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
+          fn(spark, sfDir).count()
           (System.nanoTime() - t0) / 1e9
         }
         def medianOf(ts: Seq[Double]): Double =
