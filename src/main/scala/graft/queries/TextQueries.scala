@@ -298,24 +298,35 @@ object TextQueries {
     * AQE-skew-splittable, while a sort-window would pin each hot
     * span's entire occurrence list on a single task. The inner join
     * also PRUNES: only duplicated windows (cnt > 1, a small fraction
-    * of a real corpus) flow into the island merge. At 100 TB,
-    * substitute a 128-bit rolling hash of the window for the string
-    * join key to cut shuffle bytes (64 bits starts colliding at
-    * ~10^12 windows); the rolling hash also removes the per-window
-    * string build, making window emission a pure scan. */
+    * of a real corpus) flow into the island merge.
+    *
+    * The shuffle key is a 128-bit hash of the token window (two
+    * independent-seed xxhash64 passes over the token-slice ARRAY),
+    * never the window string: 16 fixed bytes per row instead of a
+    * rebuilt ~50-char string, and no concat in the emission loop —
+    * window emission is a pure scan + slice + hash, all codegen'd.
+    * One 64-bit key starts colliding near 10^10 windows (birthday);
+    * the two-seed pair pushes that past any corpus. */
   private[graft] def dupSpanOccurrences(d: DataFrame): DataFrame = {
+    def winKey(w: org.apache.spark.sql.Column, st: org.apache.spark.sql.Column,
+        seed: Long): org.apache.spark.sql.Column =
+      org.apache.spark.sql.GraftBridge.column(
+        org.apache.spark.sql.catalyst.expressions.XxHash64(
+          Seq(org.apache.spark.sql.GraftBridge.expression(
+            slice(w, st + 1, lit(SpanL)))), seed))
     val occ = d
       .select(col("doc_id"), TextOps.words(col("text")).as("w"))
       .where(size(col("w")) >= SpanL)
       .select(col("doc_id"),
         explode(sequence(lit(0), size(col("w")) - SpanL)).as("st"), col("w"))
       .select(col("doc_id"), col("st"),
-        concat_ws(" ", slice(col("w"), col("st") + 1, lit(SpanL))).as("win"))
-    val dup = occ.groupBy("win")
+        winKey(col("w"), col("st"), 42L).as("k1"),
+        winKey(col("w"), col("st"), 7919L).as("k2"))
+    val dup = occ.groupBy("k1", "k2")
       .agg(count(lit(1)).as("cnt"),
         min(struct(col("doc_id"), col("st"))).as("first"))
       .where(col("cnt") > 1)
-    occ.join(dup, Seq("win"))
+    occ.join(dup, Seq("k1", "k2"))
       .select(col("doc_id"), col("st"),
         (col("first.doc_id") === col("doc_id") &&
           col("first.st") === col("st")).as("is_canonical"))
