@@ -349,6 +349,34 @@ object TextQueries {
       .agg(min("st").as("mn"), max("st").as("mx"))
   }
 
+  /** Apply span dedup: rebuild each doc's text with every removable
+    * (non-canonical duplicated) span cut out — what Lee et al. 2022
+    * actually ship to training. No per-token explode: the few cut
+    * ranges per doc are collected into an array, equi-joined back to
+    * the doc row, and the token drop is a codegen'd higher-order
+    * `filter((tok, i) -> !exists(cuts, ...))` evaluated row-local —
+    * per-doc work is O(tokens × cuts) with no position-level shuffle.
+    * Output carries md5(kept text), not the text, so the artifact
+    * stays small while the oracle still grades byte equality. */
+  private[graft] def spanDedupApply(d: DataFrame): DataFrame = {
+    val cuts = spanIslands(dupSpanOccurrences(d)
+        .where(!col("is_canonical")).select("doc_id", "st"))
+      .groupBy("doc_id")
+      .agg(collect_list(struct(col("mn"), col("mx"))).as("cut"))
+    d.join(cuts, Seq("doc_id"), "left")
+      .select(col("doc_id"), TextOps.words(col("text")).as("w"),
+        coalesce(col("cut"),
+          array().cast("array<struct<mn:int,mx:int>>")).as("cut"))
+      .select(col("doc_id"),
+        size(col("w")).cast("long").as("n_tokens"),
+        filter(col("w"), (_, i) => !exists(col("cut"), r =>
+          i >= r.getField("mn") &&
+            i <= r.getField("mx") + SpanL - 1)).as("kept"))
+      .select(col("doc_id"), col("n_tokens"),
+        size(col("kept")).cast("long").as("kept_tokens"),
+        md5(concat_ws(" ", col("kept"))).as("kept_text_hash"))
+  }
+
   // PII patterns, portable across Java regex (Spark) and RE2 (the
   // DuckDB oracle): no backreferences, no lookaround, '-' last in
   // classes.
@@ -847,6 +875,45 @@ object TextQueries {
           (col("n_tokens") - coalesce(col("removed_tokens"), lit(0L)))
             .as("kept_tokens"))
         .orderBy("doc_id")
+    }),
+
+    // duplicated-span REMOVAL applied: the cleaned text itself (every
+    // non-canonical duplicated span cut out), graded byte-exact
+    // through md5. Completes the span family: detect (_dupes) →
+    // account (_dedup) → apply (_dedup_apply).
+    "text_span_dedup_apply" -> ((s, dir) =>
+      spanDedupApply(docs(s, dir)).orderBy("doc_id")),
+
+    // per-source corpus health — the "which sources do I drop" report
+    // a 100 TB ingest runs before anything else: volume, language
+    // spread, within-source exact-dup rate, and cross-source mirror
+    // count (docs whose exact text also appears under ANOTHER source
+    // — mirror/leakage signal). groupBy(source) is low-cardinality
+    // (partial agg → tiny exchange); the mirror signal shuffles by
+    // content hash exactly like exact dedup does, so the whole report
+    // is two scans + two narrow exchanges at any corpus size.
+    "text_source_stats" -> ((s, dir) => {
+      val base = docs(s, dir).select(col("source"), col("lang"),
+        col("n_chars"),
+        size(TextOps.words(col("text"))).cast("long").as("n_tokens"),
+        md5(col("text")).as("h"))
+      val mirrored = base.groupBy("h")
+        .agg(countDistinct(col("source")).as("nsrc"))
+      base.join(mirrored, Seq("h"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("lang")).as("n_langs"),
+          sum(col("n_chars")).as("total_chars"),
+          sum(col("n_tokens")).as("total_tokens"),
+          countDistinct(col("h")).as("n_distinct_docs"),
+          sum(when(col("nsrc") > 1, 1L).otherwise(0L)).as("mirror_docs"))
+        .withColumn("exact_dup_rate",
+          round((col("n_docs") - col("n_distinct_docs")).cast("double")
+            / col("n_docs").cast("double"), 6))
+        .withColumn("mean_doc_tokens",
+          round(col("total_tokens").cast("double")
+            / col("n_docs").cast("double"), 4))
+        .orderBy("source")
     }),
 
     // PII scan + redaction. The synthetic corpus contains no PII, so
@@ -1860,6 +1927,79 @@ object TextQueries {
          |         AS kept_tokens
          |FROM n LEFT JOIN sp ON n.doc_id = sp.doc_id
          |ORDER BY n.doc_id""".stripMargin,
+
+    // same removable islands as text_span_dedup; the apply step is
+    // spelled as a positional anti-join (token index NOT covered by
+    // any cut range) + ordered string_agg, vs Spark's row-local
+    // higher-order filter — byte equality graded through md5.
+    "text_span_dedup_apply" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, string_split_regex(text, '\\s+') AS w FROM documents
+         |), s AS (
+         |  SELECT doc_id, unnest(generate_series(0, len(w) - $SpanL)) AS st, w
+         |  FROM d WHERE len(w) >= $SpanL
+         |), win AS (
+         |  SELECT doc_id, st, array_to_string(w[st + 1 : st + $SpanL], ' ') AS win
+         |  FROM s
+         |), k AS (
+         |  SELECT doc_id, st, count(*) OVER (PARTITION BY win) AS cnt,
+         |         row_number() OVER (PARTITION BY win ORDER BY doc_id, st) AS rn
+         |  FROM win
+         |), rem AS (
+         |  SELECT doc_id, st FROM k WHERE cnt > 1 AND rn > 1
+         |), isl AS (
+         |  SELECT doc_id, st,
+         |         CASE WHEN lag(st) OVER (PARTITION BY doc_id ORDER BY st) IS NULL
+         |              OR st - lag(st) OVER (PARTITION BY doc_id ORDER BY st) > $SpanL
+         |           THEN 1 ELSE 0 END AS brk
+         |  FROM rem
+         |), g AS (
+         |  SELECT doc_id, st,
+         |         sum(brk) OVER (PARTITION BY doc_id ORDER BY st) AS gid
+         |  FROM isl
+         |), cut AS (
+         |  SELECT doc_id, min(st) AS mn, max(st) + $SpanL - 1 AS mx
+         |  FROM g GROUP BY doc_id, gid
+         |), tok AS (
+         |  SELECT doc_id, unnest(generate_series(0, len(w) - 1)) AS i, w
+         |  FROM d WHERE len(w) > 0
+         |), keep AS (
+         |  SELECT t.doc_id, t.i, t.w[t.i + 1] AS tk FROM tok t
+         |  WHERE NOT EXISTS (SELECT 1 FROM cut c
+         |                    WHERE c.doc_id = t.doc_id
+         |                      AND t.i BETWEEN c.mn AND c.mx)
+         |)
+         |SELECT d.doc_id, CAST(len(d.w) AS BIGINT) AS n_tokens,
+         |       CAST(count(k.i) AS BIGINT) AS kept_tokens,
+         |       md5(coalesce(string_agg(k.tk, ' ' ORDER BY k.i), ''))
+         |         AS kept_text_hash
+         |FROM d LEFT JOIN keep k ON d.doc_id = k.doc_id
+         |GROUP BY d.doc_id, len(d.w)
+         |ORDER BY d.doc_id""".stripMargin,
+
+    "text_source_stats" ->
+      """WITH b AS (
+        |  SELECT source, lang, n_chars,
+        |         len(string_split_regex(text, '\s+')) AS n_tokens,
+        |         md5(text) AS h
+        |  FROM documents
+        |), m AS (
+        |  SELECT h, count(DISTINCT source) AS nsrc FROM b GROUP BY h
+        |)
+        |SELECT b.source,
+        |       CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(count(DISTINCT b.lang) AS BIGINT) AS n_langs,
+        |       CAST(sum(b.n_chars) AS BIGINT) AS total_chars,
+        |       CAST(sum(b.n_tokens) AS BIGINT) AS total_tokens,
+        |       CAST(count(DISTINCT b.h) AS BIGINT) AS n_distinct_docs,
+        |       CAST(sum(CASE WHEN m.nsrc > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS mirror_docs,
+        |       round((count(*) - count(DISTINCT b.h)) * 1.0 / count(*), 6)
+        |         AS exact_dup_rate,
+        |       round(sum(b.n_tokens) * 1.0 / count(*), 4) AS mean_doc_tokens
+        |FROM b JOIN m ON b.h = m.h
+        |GROUP BY b.source
+        |ORDER BY b.source""".stripMargin,
 
     // same profile construction, same patterns, same redaction order;
     // DuckDB regexp_replace needs the explicit 'g' flag to match

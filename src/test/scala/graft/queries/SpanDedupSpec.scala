@@ -58,6 +58,25 @@ class SpanDedupSpec extends AnyFunSuite {
     assert(spans == Set((3L, 0, 0), (3L, 17, 17)))
   }
 
+  test("apply: the cleaned text drops exactly the non-canonical region") {
+    import spark.implicits._
+    val a = toks("a", 12)
+    val df = Seq(
+      (1L, toks("u", 4) + " " + a + " " + toks("v", 6)),
+      (2L, a + " " + toks("w", 9))).toDF("doc_id", "text")
+    val got = TextQueries.spanDedupApply(df).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .sortBy(_._1)
+    def md5(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    // doc 1 keeps everything (it owns the canonical occurrence);
+    // doc 2 loses tokens 0..11 (the copied region) and keeps w0..w8
+    assert(got(0) == ((1L, 22L, 22L,
+      md5(toks("u", 4) + " " + a + " " + toks("v", 6)))))
+    assert(got(1) == ((2L, 21L, 9L, md5(toks("w", 9)))))
+  }
+
   test("end-to-end accounting: kept + removed = total, clean docs untouched") {
     val dir = "/root/testdata/sf0.001"
     val dupes = TextQueries.queries("text_span_dupes")(spark, dir)
@@ -77,5 +96,14 @@ class SpanDedupSpec extends AnyFunSuite {
     val reportDocs = dupes.select("doc_id").distinct().count()
     val removalDocs = rows.count(_.getLong(3) > 0)
     assert(reportDocs >= removalDocs && removalDocs > 0)
+    // the applied text's kept-token count must agree per doc with the
+    // accounting query's arithmetic (two independent computations of
+    // the same removal)
+    val applied = TextQueries.queries("text_span_dedup_apply")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    rows.foreach { r =>
+      assert(applied(r.getLong(0)) == r.getLong(4),
+        s"doc ${r.getLong(0)}: apply kept ${applied(r.getLong(0))}, accounting kept ${r.getLong(4)}")
+    }
   }
 }
