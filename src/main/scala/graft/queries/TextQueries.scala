@@ -282,6 +282,52 @@ object TextQueries {
   // Shared with the DuckDB twins via interpolation.
   private[graft] val SpanL = 8
 
+  // BPE merge rounds learned by text_bpe_train (enough to cross from
+  // char pairs into multi-char subwords on the synthetic vocabulary).
+  private[graft] val BpeRounds = 8
+
+  /** DuckDB twin of Bpe.train, mechanically unrolled: each round
+    * re-derives pair counts from the previous round's symbol strings
+    * and applies the argmax merge via string replace. Symbols are
+    * kept DOUBLE-space separated (' a  b  c ') so that consecutive
+    * pair occurrences never share separator characters — plain
+    * left-to-right replace then matches the Spark side's greedy fold
+    * exactly (verified on runs like "a a a a"). Symbols never contain
+    * whitespace (words come from a \\s+ split), so the encoding is
+    * collision-free. ASCII corpus assumption: the char base comes
+    * from Spark's zero-width regex split vs DuckDB's string_split
+    * (word, ''), which agree on ASCII; a combining-mark corpus could
+    * split differently and is out of oracle scope. */
+  private def bpeOracleSql(rounds: Int): String = {
+    val head =
+      """WITH w0 AS (
+        |  SELECT ' ' || array_to_string(string_split(word, ''), '  ') || ' ' AS s,
+        |         count(*) AS freq
+        |  FROM (SELECT unnest(string_split_regex(text, '\s+')) AS word
+        |        FROM documents)
+        |  WHERE len(word) > 0
+        |  GROUP BY word
+        |)""".stripMargin
+    val roundCtes = (1 to rounds).map { i =>
+      s""", e$i AS (
+         |  SELECT freq, sym, unnest(generate_series(1, len(sym) - 1)) AS j
+         |  FROM (SELECT string_split(trim(s), '  ') AS sym, freq FROM w${i - 1})
+         |), b$i AS (
+         |  SELECT sym[j] AS l, sym[j + 1] AS r, sum(freq) AS f
+         |  FROM e$i GROUP BY 1, 2
+         |  ORDER BY f DESC, l, r LIMIT 1
+         |), w$i AS (
+         |  SELECT replace(w.s, ' ' || b.l || '  ' || b.r || ' ',
+         |                 ' ' || b.l || b.r || ' ') AS s, w.freq
+         |  FROM w${i - 1} w, b$i b
+         |)""".stripMargin
+    }.mkString
+    val sel = (1 to rounds).map { i =>
+      s"SELECT CAST($i AS INTEGER) AS rank, l AS lhs, r AS rhs, CAST(f AS BIGINT) AS freq FROM b$i"
+    }.mkString("\n", "\nUNION ALL\n", "\nORDER BY rank")
+    head + roundCtes + sel
+  }
+
   /** Every occurrence of a DUPLICATED [[SpanL]]-token window:
     * (doc_id, st, is_canonical), where is_canonical marks the
     * corpus-first occurrence (min (doc_id, st)) of that window's
@@ -883,6 +929,13 @@ object TextQueries {
     // account (_dedup) → apply (_dedup_apply).
     "text_span_dedup_apply" -> ((s, dir) =>
       spanDedupApply(docs(s, dir)).orderBy("doc_id")),
+
+    // distributed BPE tokenizer training (Sennrich 2016): learn the
+    // first BpeRounds merges from the word-frequency table. The
+    // corpus is scanned once; each round is one narrow pair-count
+    // shuffle over the distinct-word table + a row-local fold.
+    "text_bpe_train" -> ((s, dir) =>
+      graft.ext.Bpe.train(docs(s, dir), "text", BpeRounds)),
 
     // per-source corpus health — the "which sources do I drop" report
     // a 100 TB ingest runs before anything else: volume, language
@@ -1976,6 +2029,8 @@ object TextQueries {
          |FROM d LEFT JOIN keep k ON d.doc_id = k.doc_id
          |GROUP BY d.doc_id, len(d.w)
          |ORDER BY d.doc_id""".stripMargin,
+
+    "text_bpe_train" -> bpeOracleSql(BpeRounds),
 
     "text_source_stats" ->
       """WITH b AS (

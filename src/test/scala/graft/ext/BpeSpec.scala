@@ -1,0 +1,52 @@
+package graft.ext
+
+import graft.dedup.SparkTest
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins Bpe.train on the classic Sennrich vocabulary
+  * {low:5, lower:2, newest:6, widest:3}, where every merge and every
+  * tie-break is computable by hand (no end-of-word marker in this
+  * formulation; ties break freq desc, then lhs asc, rhs asc). */
+class BpeSpec extends AnyFunSuite {
+  private lazy val spark = SparkTest.spark
+
+  test("merge sequence matches the hand computation, tie-breaks included") {
+    import spark.implicits._
+    val text = (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")).mkString(" ")
+    val df = Seq((1L, text)).toDF("doc_id", "text")
+    val got = Bpe.train(df, "text", 8).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    // r1: (e,s)=9 ties (s,t)=9, lhs 'e' wins; r2 chains to 'est';
+    // r3: (l,o)=7 ties (o,w)=7; r4 chains to 'low'; r5: the three
+    // newest pairs tie at 6, 'e' wins; r6: (ew,est) beats (n,ewest)
+    // on lhs; r7 finishes 'newest'; r8: widest pairs tie at 3,
+    // 'd' wins.
+    assert(got.toSeq == Seq(
+      (1, "e", "s", 9L),
+      (2, "es", "t", 9L),
+      (3, "l", "o", 7L),
+      (4, "lo", "w", 7L),
+      (5, "e", "w", 6L),
+      (6, "ew", "est", 6L),
+      (7, "n", "ewest", 6L),
+      (8, "d", "est", 3L)))
+  }
+
+  test("greedy fold merges runs left-to-right without chaining") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val df = Seq(Tuple1(Seq("a", "a", "a")), Tuple1(Seq("a", "a", "a", "a")))
+      .toDF("sym")
+    val got = df.select(Bpe.applyMerge(col("sym"), "a", "a").as("m"))
+      .collect().map(_.getSeq[String](0)).toSet
+    assert(got == Set(Seq("aa", "a"), Seq("aa", "aa")))
+  }
+
+  test("training exhausts gracefully when no pairs remain") {
+    import spark.implicits._
+    val df = Seq((1L, "x y x y")).toDF("doc_id", "text")
+    // single-char words only: zero adjacent pairs, zero merges
+    assert(Bpe.train(df, "text", 4).count() == 0)
+  }
+}
