@@ -48,6 +48,16 @@ object Bpe {
     .groupBy(col("p.l").as("l"), col("p.r").as("r"))
     .agg(sum("freq").as("f"))
 
+  /** Split a word column into its BPE symbols under an ordered merge
+    * list: the char base split followed by one greedy fold per merge,
+    * all row-local and codegen'd. Apply it to the DISTINCT-word
+    * table and join back — tokenizing the vocabulary once is the
+    * 100 TB shape; never run the fold chain over every corpus row. */
+  def segment(word: Column, merges: Seq[(String, String)]): Column =
+    merges.foldLeft(split(word, "(?!^)(?=.)")) {
+      case (sym, (l, r)) => applyMerge(sym, l, r)
+    }
+
   /** Learn `rounds` merges from the corpus' word-frequency table.
     * Returns (rank, lhs, rhs, freq) in learning order — the merge
     * list IS the tokenizer vocabulary beyond the character base.

@@ -298,17 +298,18 @@ object TextQueries {
     * from Spark's zero-width regex split vs DuckDB's string_split
     * (word, ''), which agree on ASCII; a combining-mark corpus could
     * split differently and is out of oracle scope. */
-  private def bpeOracleSql(rounds: Int): String = {
+  private def bpeCtes(rounds: Int): String = {
     val head =
       """WITH w0 AS (
-        |  SELECT ' ' || array_to_string(string_split(word, ''), '  ') || ' ' AS s,
+        |  SELECT word,
+        |         ' ' || array_to_string(string_split(word, ''), '  ') || ' ' AS s,
         |         count(*) AS freq
         |  FROM (SELECT unnest(string_split_regex(text, '\s+')) AS word
         |        FROM documents)
         |  WHERE len(word) > 0
         |  GROUP BY word
         |)""".stripMargin
-    val roundCtes = (1 to rounds).map { i =>
+    head + (1 to rounds).map { i =>
       s""", e$i AS (
          |  SELECT freq, sym, unnest(generate_series(1, len(sym) - 1)) AS j
          |  FROM (SELECT string_split(trim(s), '  ') AS sym, freq FROM w${i - 1})
@@ -317,16 +318,38 @@ object TextQueries {
          |  FROM e$i GROUP BY 1, 2
          |  ORDER BY f DESC, l, r LIMIT 1
          |), w$i AS (
-         |  SELECT replace(w.s, ' ' || b.l || '  ' || b.r || ' ',
+         |  SELECT w.word, replace(w.s, ' ' || b.l || '  ' || b.r || ' ',
          |                 ' ' || b.l || b.r || ' ') AS s, w.freq
          |  FROM w${i - 1} w, b$i b
          |)""".stripMargin
     }.mkString
-    val sel = (1 to rounds).map { i =>
+  }
+
+  private def bpeOracleSql(rounds: Int): String =
+    bpeCtes(rounds) + (1 to rounds).map { i =>
       s"SELECT CAST($i AS INTEGER) AS rank, l AS lhs, r AS rhs, CAST(f AS BIGINT) AS freq FROM b$i"
     }.mkString("\n", "\nUNION ALL\n", "\nORDER BY rank")
-    head + roundCtes + sel
-  }
+
+  /** Tokens twin: per-word symbol counts come off the final round's
+    * vocabulary table and join back to the doc words — mirroring the
+    * Spark side's tokenize-the-vocabulary-once shape. */
+  private def bpeTokensOracleSql(rounds: Int): String =
+    bpeCtes(rounds) +
+      s""", v AS (
+         |  SELECT word, len(string_split(trim(s), '  ')) AS n_sub FROM w$rounds
+         |), dw AS (
+         |  SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS word
+         |  FROM documents
+         |), t AS (
+         |  SELECT dw.doc_id, count(*) AS cnt, sum(v.n_sub) AS toks
+         |  FROM dw JOIN v ON dw.word = v.word
+         |  WHERE len(dw.word) > 0
+         |  GROUP BY dw.doc_id
+         |)
+         |SELECT d.doc_id, CAST(coalesce(t.cnt, 0) AS BIGINT) AS n_words,
+         |       CAST(coalesce(t.toks, 0) AS BIGINT) AS n_bpe_tokens
+         |FROM documents d LEFT JOIN t ON d.doc_id = t.doc_id
+         |ORDER BY d.doc_id""".stripMargin
 
   /** Every occurrence of a DUPLICATED [[SpanL]]-token window:
     * (doc_id, st, is_canonical), where is_canonical marks the
@@ -936,6 +959,32 @@ object TextQueries {
     // shuffle over the distinct-word table + a row-local fold.
     "text_bpe_train" -> ((s, dir) =>
       graft.ext.Bpe.train(docs(s, dir), "text", BpeRounds)),
+
+    // tokenizer-faithful token counts under the learned merges: the
+    // DISTINCT-word vocabulary is segmented once (8 chained row-local
+    // folds over |vocab| rows) and joined back to the corpus words —
+    // the fold chain never runs over corpus-sized data.
+    "text_bpe_tokens" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val merges = graft.ext.Bpe.train(d, "text", BpeRounds).collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      val vocab = d
+        .select(explode(TextOps.words(col("text"))).as("word"))
+        .where(length(col("word")) > 0).distinct()
+        .select(col("word"),
+          size(graft.ext.Bpe.segment(col("word"), merges)).as("n_sub"))
+      val t = d
+        .select(col("doc_id"), explode(TextOps.words(col("text"))).as("word"))
+        .where(length(col("word")) > 0)
+        .join(vocab, "word")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("cnt"), sum("n_sub").as("toks"))
+      d.select("doc_id").join(t, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("cnt"), lit(0L)).as("n_words"),
+          coalesce(col("toks"), lit(0L)).as("n_bpe_tokens"))
+        .orderBy("doc_id")
+    }),
 
     // per-source corpus health — the "which sources do I drop" report
     // a 100 TB ingest runs before anything else: volume, language
@@ -2031,6 +2080,8 @@ object TextQueries {
          |ORDER BY d.doc_id""".stripMargin,
 
     "text_bpe_train" -> bpeOracleSql(BpeRounds),
+
+    "text_bpe_tokens" -> bpeTokensOracleSql(BpeRounds),
 
     "text_source_stats" ->
       """WITH b AS (
