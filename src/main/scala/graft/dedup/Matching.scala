@@ -85,7 +85,8 @@ object Matching {
     * materialized (checkpointed or cached): the sizing aggregate and
     * both join sides re-read it. */
   def qualifyingPairsPrepared(stats: DataFrame,
-      settings: DedupSettings = DedupSettings(), salt: Int = 0): DataFrame = {
+      settings: DedupSettings = DedupSettings(), salt: Int = 0,
+      pinSink: DataFrame => Unit = _ => ()): DataFrame = {
     settings.maxBlockNames match {
       case Some(cap) =>
         // cost governor (default ON): over-cap blocks switch to the
@@ -120,7 +121,7 @@ object Matching {
           if (settings.hotBlockWindow <= 1) base
           else base.unionByName(sortedNeighborhoodPairs(
             stats.join(hotDf, Seq("block_key"), "left_semi"),
-            settings.hotBlockWindow, settings))
+            settings.hotBlockWindow, settings, pinSink))
         }
       case None => allPairs(stats, settings, salt)
     }
@@ -242,7 +243,18 @@ object Matching {
       settings: DedupSettings, maxIter: Int = 50): (DataFrame, DataFrame) = {
     val spark = stats.sparkSession
     import spark.implicits._
-    def pairs(): DataFrame = qualifyingPairsPrepared(stats, settings)
+    // Each pairs() pass may pin a fresh blockRanked checkpoint
+    // (distributed ranking for over-cap blocks); release them the
+    // moment the pass's consumer has run — the minEdgeContractionCC
+    // discipline — instead of accreting one O(names) checkpoint per
+    // CC round for the session lifetime (ADVICE r11).
+    val pins = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    def drainPins(): Unit = {
+      pins.foreach(graft.core.Frames.release)
+      pins.clear()
+    }
+    def pairs(): DataFrame =
+      qualifyingPairsPrepared(stats, settings, pinSink = pins += _)
     val oriented = pairs().select(explode(array(
       struct(col("a_min_row").as("node"), col("b_min_row").as("peer"),
         col("a_name").as("name"), col("b_max_row").as("partner_max_row"),
@@ -259,6 +271,7 @@ object Matching {
       .agg(max(col("partner_max_row")).as("partner_max_row"),
         min(col("peer")).as("min_peer"))
       .localCheckpoint(true)
+    drainPins() // pass 1 fully consumed into the base checkpoint
 
     val crossCand = base.select(col("name").as("cand_name"),
       col("pair_conf").as("cand_conf"), col("partner_max_row"))
@@ -295,6 +308,7 @@ object Matching {
         .filter(col("src") =!= col("dst"))
         .groupBy(col("src")).agg(min(col("dst")).as("dst"))
         .collect()
+      drainPins() // this pass's collect consumed its ranking checkpoint
       if (rem.isEmpty) done = true
       else { rem.foreach(r => union(r.getLong(0), r.getLong(1))); iter += 1 }
     }
@@ -502,14 +516,22 @@ object Matching {
     * to per-(partition, block) offsets on the driver, then a LOCAL
     * row_number within (partition, block) plus the broadcast offset.
     * Every step is |block|/partitions parallel; nothing is
-    * single-task. */
-  private[dedup] def blockRanked(stats: DataFrame, parts: Int): DataFrame = {
+    * single-task.
+    *
+    * `pinSink` receives the eagerly-checkpointed range frame so the
+    * CALLER can `Frames.release` it once the returned frame's last
+    * reader has finished — without it, every invocation pins an
+    * O(names) checkpoint for the session lifetime (ADVICE r11: the
+    * dense regime re-ranks per CC round, accreting one per pass). */
+  private[dedup] def blockRanked(stats: DataFrame, parts: Int,
+      pinSink: DataFrame => Unit = _ => ()): DataFrame = {
     val spark = stats.sparkSession
     import spark.implicits._
     val ranged = stats
       .repartitionByRange(parts, col("block_key"), col("base_name"))
       .withColumn("_pid", spark_partition_id())
       .localCheckpoint(true)
+    pinSink(ranged)
     val counts = ranged.groupBy("_pid", "block_key")
       .agg(count(lit(1)).as("_c")).collect()
       .map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
@@ -532,7 +554,8 @@ object Matching {
     * plain window below [[DistributedRankThreshold]] names, the
     * two-pass distributed ranking above it. Identical values either
     * way — the gate is wall-clock only. */
-  private def withBlockRank(stats: DataFrame): DataFrame = {
+  private def withBlockRank(stats: DataFrame,
+      pinSink: DataFrame => Unit = _ => ()): DataFrame = {
     val n = stats.count()
     if (n <= DistributedRankThreshold) {
       val byName = org.apache.spark.sql.expressions.Window
@@ -542,7 +565,7 @@ object Matching {
       val parts = stats.sparkSession.sparkContext.defaultParallelism
       log.info(s"sorted-neighborhood: distributed ranking over $n names " +
         s"($parts range partitions)")
-      blockRanked(stats, parts)
+      blockRanked(stats, parts, pinSink)
     }
   }
 
@@ -556,8 +579,9 @@ object Matching {
     * [[DistributedRankThreshold]] names so no hot block ever
     * serializes onto one task. */
   def sortedNeighborhoodPairs(stats: DataFrame, window: Int,
-      settings: DedupSettings = DedupSettings()): DataFrame = {
-    val ranked = withBlockRank(stats)
+      settings: DedupSettings = DedupSettings(),
+      pinSink: DataFrame => Unit = _ => ()): DataFrame = {
+    val ranked = withBlockRank(stats, pinSink)
     val a = ranked.select(
       col("block_key"),
       col("base_name").as("a_name"),

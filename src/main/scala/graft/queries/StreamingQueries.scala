@@ -69,27 +69,51 @@ object StreamingQueries {
     * state store PER SHUFFLE PARTITION per stateful op (a
     * stream-stream join keeps four), each writing delta + snapshot +
     * metadata files every micro-batch — so the state partition count
-    * must be sized to the micro-batch volume like any shuffle is
-    * sized to its data. The session default (32, = cores) is right
-    * for the batch suite's sf0.1 shuffles but pays ~128 store-file
-    * round-trips per batch on MB-scale micro-batch state: measured
-    * 3.2× wall on stream_interval_join (16.8 s → 5.4 s). 8 keeps the
-    * run parallel while the per-partition state stays KBs; a real
-    * deployment sizes this to ITS volume (thousands of partitions at
-    * 100 TB — the knob, spark.sql.shuffle.partitions at first
-    * checkpoint, is exactly the one a production job sets anyway).
-    * Checkpoint file checksums are off for the harness's RAM-backed
-    * scratch (corruption detection for durable storage; pure file-IO
-    * doubling here). Results are partition-count-independent — the
-    * DuckDB twins grade that. */
-  private def harnessSession(s: SparkSession): SparkSession = {
+    * must be sized to the DATA, like any shuffle. A static constant
+    * is wrong in both directions: 32 (= cores) paid ~128 store-file
+    * round-trips per batch on MB-scale state (stream_interval_join
+    * 16.8 s → 5.4 s at 8), while a pinned 8 starved the sf1
+    * embedding workload's quadratic in-state pair scoring
+    * (stream_incremental_ann 6.2 s → 14.6 s — VERDICT r11). So the
+    * count is DERIVED from the query's own input volume:
+    * one partition per `targetBytesPerPart` of source bytes
+    * (plan-stats estimate), clamped to [8, cores]. The target
+    * encodes the state operator's per-byte compute density — a
+    * quadratic pair-scoring state fn saturates a partition on KBs of
+    * vectors (small target → more partitions as volume grows), while
+    * pure keyed storage (joins, windowed aggs) is store-file-IO
+    * bound and wants few, fat partitions (large target). A real
+    * deployment sizes the same knob (spark.sql.shuffle.partitions at
+    * first checkpoint) to ITS volume — thousands of partitions at
+    * 100 TB. Checkpoint file checksums are off for the harness's
+    * RAM-backed scratch (corruption detection for durable storage;
+    * pure file-IO doubling here). Results are
+    * partition-count-independent — the DuckDB twins grade that. */
+  private def harnessSession(s: SparkSession, input: DataFrame,
+      targetBytesPerPart: Long): SparkSession = {
     val ss = s.newSession()
+    val cores = s.sparkContext.defaultParallelism
     val parts = sys.env.get("SPARK_GRAFT_STREAM_PARTS").map(_.toInt)
-      .getOrElse(math.min(8, s.sparkContext.defaultParallelism))
+      .getOrElse {
+        val bytes = input.queryExecution.optimizedPlan.stats.sizeInBytes
+        val derived = (bytes / targetBytesPerPart).min(BigInt(cores)).toInt
+        math.max(8, math.min(cores, derived))
+      }
     ss.conf.set("spark.sql.shuffle.partitions", parts.toString)
     ss.conf.set("spark.sql.streaming.checkpoint.fileChecksum.enabled", "false")
     ss
   }
+
+  /** Per-byte state-compute density targets for harnessSession.
+    * QuadraticState: the state function scores each arrival against
+    * every resident bucket member (cosine/signature matching) — KBs
+    * of input saturate a core, so partitions scale up fast with
+    * volume. KeyedStorage: state is a keyed store the operator only
+    * reads/writes point-wise — per-partition store-file round-trips
+    * dominate, so partitions stay few until state is genuinely
+    * large. */
+  private val QuadraticStateTarget = 256L << 10 // 256 KB / partition
+  private val KeyedStorageTarget = 8L << 20 // 8 MB / partition
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Cross-RUN incremental exact dedup, END-TO-END through the real
@@ -109,7 +133,7 @@ object StreamingQueries {
     "stream_incremental_dedup" -> ((s, dir) => {
       val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
       val mid = docs.agg(max(col("doc_id"))).head().getLong(0) / 2
-      val ss = harnessSession(s)
+      val ss = harnessSession(s, docs, KeyedStorageTarget)
       withScratch("graft_stream_dedup") { tmp =>
         val in = s"$tmp/in"
         val idx = s"$tmp/idx"
@@ -158,7 +182,8 @@ object StreamingQueries {
         // the batch-equal final state the gate requires
         .withColumn("ts", lit("2024-01-01 00:00:00").cast("timestamp"))
       val mid = docs.agg(max(col("doc_id"))).head().getLong(0) / 2
-      implicit val ss: SparkSession = harnessSession(s)
+      implicit val ss: SparkSession =
+        harnessSession(s, docs, QuadraticStateTarget)
       withScratch("graft_stream_neardup") { tmp =>
         val in = s"$tmp/in"
         val ck = s"$tmp/ck"
@@ -211,7 +236,8 @@ object StreamingQueries {
         .select(col("vec_id"), col("embedding"))
         .withColumn("ts", lit("2024-01-01 00:00:00").cast("timestamp"))
       val mid = emb.agg(max(col("vec_id"))).head().getLong(0) / 2
-      implicit val ss: SparkSession = harnessSession(s)
+      implicit val ss: SparkSession =
+        harnessSession(s, emb, QuadraticStateTarget)
       withScratch("graft_stream_ann") { tmp =>
         val in = s"$tmp/in"
         val ck = s"$tmp/ck"
@@ -262,11 +288,13 @@ object StreamingQueries {
         .select(col("event_id"), col("ts"), col("user_id"),
           col("event_type"), col("value"))
       val bounds = ev.agg(max(col("event_id")), min(col("ts")), max(col("ts"))).head()
+      require(!bounds.isNullAt(0) && !bounds.isNullAt(1) && !bounds.isNullAt(2),
+        "stream_interval_join: events table is empty — no ts span to derive a watermark from")
       val mid = bounds.getLong(0) / 2
       val spanSec = (bounds.getTimestamp(2).getTime -
         bounds.getTimestamp(1).getTime) / 1000L
       val delay = s"${spanSec + 86400L} seconds"
-      val ss = harnessSession(s)
+      val ss = harnessSession(s, ev, KeyedStorageTarget)
       withScratch("graft_stream_ij") { tmp =>
         val in = s"$tmp/in"
         val ck = s"$tmp/ck"
@@ -317,7 +345,7 @@ object StreamingQueries {
       val ev = Tables.events(s, dir)
         .select(col("event_id"), col("ts"), col("event_type"), col("value"))
       val mid = ev.agg(max(col("event_id"))).head().getLong(0) / 2
-      val ss = harnessSession(s)
+      val ss = harnessSession(s, ev, KeyedStorageTarget)
       withScratch("graft_stream_tumbling") { tmp =>
         val in = s"$tmp/in"
         val ck = s"$tmp/ck"

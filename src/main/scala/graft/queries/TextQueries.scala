@@ -124,24 +124,50 @@ object TextQueries {
     * default. Dropped buckets' members keep their other Bands-1
     * chances at candidacy, which is the standard recall trade every
     * production LSH dedup makes. */
+  /** (doc_id, band, key) rows — one per LSH band per doc — for a
+    * signature frame. */
+  private def bandRowsOf(sigs: DataFrame): DataFrame = {
+    val banded = sigs.select(col("doc_id") +: (0 until Bands).map(b =>
+      TextOps.bandKey(b, Seq(col(s"sig_${2 * b}"), col(s"sig_${2 * b + 1}")))
+        .as(s"band_$b")): _*)
+    banded.select(col("doc_id"), explode(array(
+      (0 until Bands).map(b => struct(lit(b).as("band"), col(s"band_$b").as("key"))): _*))
+      .as("bk"))
+      .select(col("doc_id"), col("bk.band"), col("bk.key"))
+  }
+
+  /** Largest FULL-corpus band-bucket membership (Memo'd 1-row
+    * aggregate over the cached signature index). The governor's size
+    * gate: restricting the corpus (rep/sample semi-joins) can only
+    * SHRINK buckets, so full-corpus max ≤ cap proves the cap filter
+    * keeps every row for any restriction — the window pass can be
+    * skipped with a bit-identical result. */
+  private def maxBandBucket(s: SparkSession, dir: String): Long =
+    graft.core.Memo.cached(s, s"text_lsh_maxbucket:$dir") {
+      bandRowsOf(withSigs(s, dir))
+        .groupBy("band", "key").agg(count(lit(1)).as("n"))
+        .agg(coalesce(max(col("n")), lit(0L)).as("max_bucket"))
+    }.head().getLong(0)
+
   private def lshPairs(s: SparkSession, dir: String,
       onlyDocs: Option[DataFrame] = None,
       bucketCap: Option[Int] = Some(LshBucketCap)): DataFrame = {
     val sigs0 = withSigs(s, dir)
     val sigs = onlyDocs.fold(sigs0)(ids =>
       sigs0.join(ids.select("doc_id"), Seq("doc_id"), "left_semi"))
-    val banded = sigs.select(col("doc_id") +: (0 until Bands).map(b =>
-      TextOps.bandKey(b, Seq(col(s"sig_${2 * b}"), col(s"sig_${2 * b + 1}")))
-        .as(s"band_$b")): _*)
-    val bandRowsAll = banded.select(col("doc_id"), explode(array(
-      (0 until Bands).map(b => struct(lit(b).as("band"), col(s"band_$b").as("key"))): _*))
-      .as("bk"))
-      .select(col("doc_id"), col("bk.band"), col("bk.key"))
+    val bandRowsAll = bandRowsOf(sigs)
     // hot-bucket governor: a count window over (band, key) — NOT a
     // groupBy + semi-join — because the window's shuffle partitioning
     // is exactly the self-join's key below, so Catalyst reuses one
-    // exchange instead of adding two more for the join back
-    val bandRows = bucketCap.fold(bandRowsAll) { cap =>
+    // exchange instead of adding two more for the join back.
+    // SIZE-GATED (VERDICT r11 item 6): on a corpus whose hottest
+    // bucket already fits the cap the filter is a no-op, so the
+    // window pass (1.3 s vs 0.4 s at sf0.1) is skipped — engaged
+    // only when the Memo'd full-corpus bucket max proves a hot
+    // bucket actually exists. Semantics are unchanged either way.
+    val bandRows = bucketCap
+      .filter(cap => maxBandBucket(s, dir) > cap)
+      .fold(bandRowsAll) { cap =>
       bandRowsAll
         .withColumn("bn",
           count(lit(1)).over(Window.partitionBy("band", "key")))
@@ -286,6 +312,20 @@ object TextQueries {
   // char pairs into multi-char subwords on the synthetic vocabulary).
   private[graft] val BpeRounds = 8
 
+  // Merges learned per pair-count round (Bpe.train's batch knob —
+  // the conservative acceptance rule keeps results bit-identical to
+  // sequential training at ANY batch, so the sequential DuckDB twin
+  // still grades the batched default).
+  private[graft] val BpeBatch = 4
+
+  /** Memo'd BPE merge table — ONE training run shared by
+    * text_bpe_train and text_bpe_tokens (the same
+    * one-producer/many-consumers shape as the k-means assignment). */
+  private def bpeMerges(s: SparkSession, dir: String): DataFrame =
+    graft.core.Memo.cached(s, s"text_bpe_merges:$dir") {
+      graft.ext.Bpe.train(docs(s, dir), "text", BpeRounds, batch = BpeBatch)
+    }
+
   /** DuckDB twin of Bpe.train, mechanically unrolled: each round
     * re-derives pair counts from the previous round's symbol strings
     * and applies the argmax merge via string replace. Symbols are
@@ -318,9 +358,15 @@ object TextQueries {
          |  FROM e$i GROUP BY 1, 2
          |  ORDER BY f DESC, l, r LIMIT 1
          |), w$i AS (
-         |  SELECT w.word, replace(w.s, ' ' || b.l || '  ' || b.r || ' ',
-         |                 ' ' || b.l || b.r || ' ') AS s, w.freq
-         |  FROM w${i - 1} w, b$i b
+         |  -- LEFT JOIN ON true + coalesce: when merges exhaust before
+         |  -- the round budget, b$i is EMPTY — a cross join would
+         |  -- empty every later w CTE and zero the tokens twin, while
+         |  -- the Spark side keeps counting real words (ADVICE r11).
+         |  -- With the fallback, w$i degrades to w${i - 1} unchanged,
+         |  -- matching Spark's no-op merge round exactly.
+         |  SELECT w.word, coalesce(replace(w.s, ' ' || b.l || '  ' || b.r || ' ',
+         |                 ' ' || b.l || b.r || ' '), w.s) AS s, w.freq
+         |  FROM w${i - 1} w LEFT JOIN b$i b ON true
          |)""".stripMargin
     }.mkString
   }
@@ -544,13 +590,8 @@ object TextQueries {
     // is how an operator notices a degenerate band (shared boilerplate,
     // exact-copy floods) BEFORE paying the candidate explosion.
     "text_lsh_bucket_stats" -> ((s, dir) => {
-      val sigs = withSigs(s, dir)
-      val bandRows = sigs.select(col("doc_id"), explode(array(
-        (0 until Bands).map(b => struct(lit(b).as("band"),
-          TextOps.bandKey(b, Seq(col(s"sig_${2 * b}"), col(s"sig_${2 * b + 1}")))
-            .as("key"))): _*)).as("bk"))
-        .select(col("doc_id"), col("bk.band"), col("bk.key"))
-      bandRows.groupBy("band", "key").agg(count(lit(1)).as("n"))
+      bandRowsOf(withSigs(s, dir))
+        .groupBy("band", "key").agg(count(lit(1)).as("n"))
         .agg(
           count(lit(1)).as("n_buckets"),
           sum(when(col("n") === 1, 1L).otherwise(0L)).as("singleton_buckets"),
@@ -562,27 +603,27 @@ object TextQueries {
     // edges, connected components merge transitive near-dup families,
     // min doc_id elects the canonical doc — doc→cluster mapping a
     // training pipeline consumes directly. Candidates stay
-    // bucket-local and CC runs on the tiny verified-pair set, so the
-    // shape survives a 100 TB corpus (see ann_dedup_clusters for the
-    // embedding-space counterpart).
-    // Ungoverned edges: the exact-dedup pre-pass already collapsed
-    // the copy-flood buckets (the dominant quadratic risk), and the
-    // ALL-pairs cluster relation is the one the recursive twin
-    // grades. The governed scale variant is
-    // text_neardup_clusters_governed.
-    "text_neardup_clusters" -> ((s, dir) =>
-      neardupClusters(s, dir, bucketCap = None)),
-
-    // The scale default for cluster FORMATION: governed edges (hot
-    // band buckets over LshBucketCap dropped before the self-join,
-    // computed over the REP corpus — the rep restriction changes
-    // bucket counts, so the twin models the exact-dedup pre-pass
-    // explicitly instead of relying on the commutation argument that
-    // only holds uncapped). Clusters that only connected through a
+    // bucket-local and CC runs on the tiny verified-pair set.
+    // GOVERNED by default (hot band buckets over LshBucketCap dropped
+    // before the self-join, computed over the REP corpus): the sf10
+    // sweep measured the ungoverned path OOM-killed (exit 137, 32 GB)
+    // on ~100-member near-dup families while this path finished the
+    // identical data in ~3 s (SCALE.md). The rep restriction changes
+    // bucket counts under a cap, so the twin models the exact-dedup
+    // pre-pass explicitly. Clusters that only connected through a
     // dropped hot bucket may split — the audited recall trade the
     // governor makes everywhere else in this engine.
-    "text_neardup_clusters_governed" -> ((s, dir) =>
+    "text_neardup_clusters" -> ((s, dir) =>
       neardupClusters(s, dir, bucketCap = Some(LshBucketCap))),
+
+    // the UNgoverned all-pairs audit (what did the governor cost
+    // me?): every band bucket self-joins regardless of size. The
+    // exact-dedup pre-pass collapses copy-flood buckets, but genuine
+    // ~100-member near-dup families still explode quadratically —
+    // measured OOM at sf10, which is exactly why it is the audit and
+    // not the default (same posture as text_lsh_pairs_allpairs).
+    "text_neardup_clusters_allpairs" -> ((s, dir) =>
+      neardupClusters(s, dir, bucketCap = None)),
 
     // dedup APPLIED: the canonical-only corpus (anti-join of exact
     // duplicates), i.e. what a training-data pipeline actually ships.
@@ -956,9 +997,12 @@ object TextQueries {
     // distributed BPE tokenizer training (Sennrich 2016): learn the
     // first BpeRounds merges from the word-frequency table. The
     // corpus is scanned once; each round is one narrow pair-count
-    // shuffle over the distinct-word table + a row-local fold.
-    "text_bpe_train" -> ((s, dir) =>
-      graft.ext.Bpe.train(docs(s, dir), "text", BpeRounds)),
+    // shuffle over the distinct-word table + a row-local fold, with
+    // up to BpeBatch merges learned per round (provably
+    // sequential-identical — Bpe.train's batching proof). The merge
+    // table is Memo'd so text_bpe_tokens consumes the SAME training
+    // run instead of re-training per query (VERDICT r11 item 8).
+    "text_bpe_train" -> ((s, dir) => bpeMerges(s, dir).orderBy("rank")),
 
     // tokenizer-faithful token counts under the learned merges: the
     // DISTINCT-word vocabulary is segmented once (8 chained row-local
@@ -966,7 +1010,7 @@ object TextQueries {
     // the fold chain never runs over corpus-sized data.
     "text_bpe_tokens" -> ((s, dir) => {
       val d = docs(s, dir)
-      val merges = graft.ext.Bpe.train(d, "text", BpeRounds).collect()
+      val merges = bpeMerges(s, dir).orderBy("rank").collect()
         .map(r => (r.getString(1), r.getString(2))).toSeq
       val vocab = d
         .select(explode(TextOps.words(col("text"))).as("word"))
@@ -1533,7 +1577,7 @@ object TextQueries {
          |       CAST(sum(n * (n - 1) / 2) AS BIGINT) AS candidate_pairs
          |FROM bs""".stripMargin,
 
-    "text_neardup_clusters" ->
+    "text_neardup_clusters_allpairs" ->
       s"""WITH RECURSIVE ${shingleCte.stripPrefix("WITH ")}, $bandsCte, cand AS (
          |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
          |  FROM bands a JOIN bands b
@@ -1565,15 +1609,16 @@ object TextQueries {
          |       doc_id = cluster_id AS is_canonical
          |FROM cc ORDER BY doc_id""".stripMargin,
 
-    // governed clusters: the rep restriction changes bucket counts
-    // under a cap, so — unlike the uncapped twin above, which leans
-    // on the "rep restriction commutes" argument — this twin models
-    // the exact-dedup pre-pass explicitly: grp mirrors Spark's
-    // byContent (shingle-able docs group by md5(text), shingle-less
-    // docs stay per-doc singletons), bands restrict to reps, the cap
-    // applies to REP bucket counts, CC runs over rep edges seeded
-    // with every rep, and copies inherit their rep's cluster.
-    "text_neardup_clusters_governed" ->
+    // governed clusters (the default): the rep restriction changes
+    // bucket counts under a cap, so — unlike the uncapped twin above,
+    // which leans on the "rep restriction commutes" argument — this
+    // twin models the exact-dedup pre-pass explicitly: grp mirrors
+    // Spark's byContent (shingle-able docs group by md5(text),
+    // shingle-less docs stay per-doc singletons), bands restrict to
+    // reps, the cap applies to REP bucket counts, CC runs over rep
+    // edges seeded with every rep, and copies inherit their rep's
+    // cluster.
+    "text_neardup_clusters" ->
       s"""WITH RECURSIVE ${shingleCte.stripPrefix("WITH ")}, $bandsCte, grp AS MATERIALIZED (
          |  SELECT doc_id,
          |         min(doc_id) OVER (PARTITION BY h) AS rep_id

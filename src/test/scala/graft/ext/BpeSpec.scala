@@ -49,4 +49,48 @@ class BpeSpec extends AnyFunSuite {
     // single-char words only: zero adjacent pairs, zero merges
     assert(Bpe.train(df, "text", 4).count() == 0)
   }
+
+  private def asTuples(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r =>
+      (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+
+  test("batched training is bit-identical to sequential at every batch size") {
+    import spark.implicits._
+    val text = (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")).mkString(" ")
+    val df = Seq((1L, text)).toDF("doc_id", "text")
+    val seqMerges = asTuples(Bpe.train(df, "text", 8))
+    for (b <- Seq(2, 4, 8, 16))
+      assert(asTuples(Bpe.train(df, "text", 8, batch = b)) == seqMerges,
+        s"batch=$b diverged from sequential")
+  }
+
+  test("batched training survives adjacent-rank conflicts (shared symbols)") {
+    import spark.implicits._
+    // "ab" dominates, and the #2 pair (b,c) SHARES b with it — the
+    // batch must stop at the conflict and fall back to sequential
+    // order, not apply both from stale counts
+    val text = (Seq.fill(10)("ab") ++ Seq.fill(7)("abc") ++
+      Seq.fill(4)("bcd")).mkString(" ")
+    val df = Seq((1L, text)).toDF("doc_id", "text")
+    val seqMerges = asTuples(Bpe.train(df, "text", 6))
+    for (b <- Seq(2, 4, 8))
+      assert(asTuples(Bpe.train(df, "text", 6, batch = b)) == seqMerges,
+        s"batch=$b diverged from sequential on conflicting vocabulary")
+  }
+
+  test("batched training survives a concat-collision hazard") {
+    import spark.implicits._
+    // pre-existing symbol string "ab" (the word "ab" is one merge
+    // away) collides with the concat of the top pair (a,b) — the
+    // fhaz aggregate must throttle the batch so a pair whose count
+    // GROWS after the merge is still picked in sequential order
+    val text = (Seq.fill(9)("azb") ++ Seq.fill(8)("ab") ++
+      Seq.fill(7)("abq") ++ Seq.fill(6)("mn")).mkString(" ")
+    val df = Seq((1L, text)).toDF("doc_id", "text")
+    for (rounds <- Seq(3, 5); b <- Seq(2, 4, 8))
+      assert(asTuples(Bpe.train(df, "text", rounds, batch = b)) ==
+        asTuples(Bpe.train(df, "text", rounds)),
+        s"rounds=$rounds batch=$b diverged from sequential")
+  }
 }
