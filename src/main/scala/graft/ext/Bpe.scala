@@ -60,6 +60,11 @@ object Bpe {
 
   private final case class Cand(l: String, r: String, f: Long)
 
+  /** Diagnostics from the most recent [[train]] call on this JVM:
+    * (pair-count rounds executed, merges learned). Dev-probe hook —
+    * same pattern as Matching.lastStageStats. */
+  @volatile var lastTrainStats: Option[(Int, Int)] = None
+
   /** Learn `rounds` merges from the corpus' word-frequency table.
     * Returns (rank, lhs, rhs, freq) in learning order — the merge
     * list IS the tokenizer vocabulary beyond the character base.
@@ -80,8 +85,10 @@ object Bpe {
     * symbol, each new occurrence mapping injectively to an old
     * occurrence of a conflicting pair (≤ fstop), or (c) GROW a pair
     * one of whose symbol STRINGS already equals an accepted
-    * concatenation (fhaz = max such count, one cheap aggregate over
-    * the already-materialized pair table; almost always 0) by up to
+    * concatenation — detectable on the driver because live symbols
+    * are exactly char-base symbols plus learned concats, so the fhaz
+    * aggregate (max such count) only runs in the rare round where a
+    * collision exists; otherwise fhaz = 0 by construction — by up to
     * 3·fhaz across the (old,created)×(created,old)×(old,old)
     * adjacency decompositions. Keeping only accepted pairs with
     * f > fstop + 3·fhaz therefore guarantees each remains the exact
@@ -105,60 +112,84 @@ object Bpe {
       .select(split(col("word"), "(?!^)(?=.)").as("sym"), col("freq"))
       .localCheckpoint()
     val merges = Seq.newBuilder[(Int, String, String, Long)]
+    // Every symbol string in the table is either a char-base symbol
+    // or the concatenation of a learned merge — so "does any LIVE
+    // symbol equal an accepted concat?" (the one hazard whose pair
+    // counts can GROW under a batch) is decidable on the DRIVER
+    // against this set, and the fhaz aggregate only runs in the rare
+    // round where it actually hits. Char-base symbols are single
+    // chars for any BMP corpus; the one-off job below collects the
+    // multi-unit exceptions (surrogate-pair splits) so the guard
+    // stays airtight beyond ASCII.
+    val knownConcats = scala.collection.mutable.Set.empty[String]
+    val words0 = words
+    lazy val multiUnitBases: Set[String] =
+      words0.select(explode(col("sym")).as("s"))
+        .where(length(col("s")) > 1).distinct()
+        .collect().map(_.getString(0)).toSet
     var rank = 0
+    var pcRounds = 0
     var done = false
     while (rank < rounds && !done) {
+      pcRounds += 1
       val want = math.min(batch, rounds - rank)
       val accepted: Seq[Cand] =
         if (want == 1) {
-          // single-merge round: limit-1 argmax, no pair-table
-          // materialization — byte-for-byte the pre-batching path
+          // single-merge round: limit-1 argmax — byte-for-byte the
+          // pre-batching path
           pairCounts(words)
             .orderBy(col("f").desc, col("l").asc, col("r").asc)
             .limit(1).collect().toSeq
             .map(r => Cand(r.getString(0), r.getString(1), r.getLong(2)))
         } else {
-          // one pair-count shuffle feeds BOTH the top-(want+1) argmax
-          // and the hazard aggregate — checkpoint so the exchange
-          // runs once, released before the round ends
-          val pc = pairCounts(words).localCheckpoint(true)
-          try {
-            val top = pc
-              .orderBy(col("f").desc, col("l").asc, col("r").asc)
-              .limit(want + 1).collect()
-              .map(r => Cand(r.getString(0), r.getString(1), r.getLong(2)))
-            if (top.isEmpty) Seq.empty
-            else {
-              val acc = scala.collection.mutable.ArrayBuffer(top(0))
-              val prot = scala.collection.mutable.Set(
-                top(0).l, top(0).r, top(0).l + top(0).r)
-              var i = 1
-              var stopped = false
-              while (!stopped && i < top.length && acc.size < want) {
-                val c = top(i)
-                if (prot(c.l) || prot(c.r) || prot(c.l + c.r)) stopped = true
-                else { acc += c; prot ++= Seq(c.l, c.r, c.l + c.r); i += 1 }
-              }
-              // first non-accepted pair's count (conflict, cap, or the
-              // want+1-th row); -1 = the pair table is exhausted
-              val fstop = if (i < top.length) top(i).f else -1L
-              if (fstop < 0 || acc.size == 1) acc.toSeq
-              else {
-                val concats = acc.map(c => c.l + c.r).toSeq
-                val fhaz = pc
-                  .filter(col("l").isInCollection(concats) ||
-                    col("r").isInCollection(concats))
-                  .agg(coalesce(max(col("f")), lit(0L))).head().getLong(0)
-                acc.head +: acc.tail.takeWhile(_.f > fstop + 3 * fhaz).toSeq
-              }
+          // ONE pair-count job per round, exactly like the sequential
+          // path (just top-(want+1) instead of top-1): on count-flat
+          // tail rounds where the guard truncates to a single merge,
+          // the batched path costs the same as sequential instead of
+          // paying a checkpoint + hazard job for nothing
+          val top = pairCounts(words)
+            .orderBy(col("f").desc, col("l").asc, col("r").asc)
+            .limit(want + 1).collect()
+            .map(r => Cand(r.getString(0), r.getString(1), r.getLong(2)))
+          if (top.isEmpty) Seq.empty
+          else {
+            val acc = scala.collection.mutable.ArrayBuffer(top(0))
+            val prot = scala.collection.mutable.Set(
+              top(0).l, top(0).r, top(0).l + top(0).r)
+            var i = 1
+            var stopped = false
+            while (!stopped && i < top.length && acc.size < want) {
+              val c = top(i)
+              if (prot(c.l) || prot(c.r) || prot(c.l + c.r)) stopped = true
+              else { acc += c; prot ++= Seq(c.l, c.r, c.l + c.r); i += 1 }
             }
-          } finally graft.core.Frames.release(pc)
+            // first non-accepted pair's count (conflict, cap, or the
+            // want+1-th row); -1 = the pair table is exhausted
+            val fstop = if (i < top.length) top(i).f else -1L
+            if (fstop < 0 || acc.size == 1) acc.toSeq
+            else {
+              // concat-collision hazard: an accepted l+r that equals a
+              // string a symbol could carry (a prior merge's concat or
+              // a multi-unit base char) — only then can any pair's
+              // count grow, and only then is the aggregate paid
+              val hazardous = acc.map(c => c.l + c.r).filter(s =>
+                knownConcats.contains(s) || multiUnitBases.contains(s)).toSeq
+              val fhaz =
+                if (hazardous.isEmpty) 0L
+                else pairCounts(words)
+                  .filter(col("l").isInCollection(hazardous) ||
+                    col("r").isInCollection(hazardous))
+                  .agg(coalesce(max(col("f")), lit(0L))).head().getLong(0)
+              acc.head +: acc.tail.takeWhile(_.f > fstop + 3 * fhaz).toSeq
+            }
+          }
         }
       if (accepted.isEmpty) done = true // every word fully merged
       else {
         accepted.foreach { c =>
           rank += 1
           merges += ((rank, c.l, c.r, c.f))
+          knownConcats += c.l + c.r
         }
         // accepted merges are mutually disjoint, so one fold pass
         // applies the whole batch; rank order kept for form's sake
@@ -172,6 +203,7 @@ object Bpe {
       }
     }
     words.unpersist()
+    lastTrainStats = Some((pcRounds, rank))
     import spark.implicits._
     merges.result().toDF("rank", "lhs", "rhs", "freq").orderBy("rank")
   }

@@ -206,9 +206,18 @@ object TextQueries {
     * Candidates stay bucket-local and CC runs on the tiny
     * verified-pair set, so the shape survives a 100 TB corpus. */
   private def neardupClusters(s: SparkSession, dir: String,
-      bucketCap: Option[Int]): DataFrame = {
+      bucketCap: Option[Int], sample: Boolean = false): DataFrame = {
     val hw = Window.partitionBy("h")
-    val byContent = docs(s, dir)
+    // sample=true: the deterministic 25% slice (doc_id % 4 = 0) — the
+    // corpus restriction happens FIRST, so every downstream step
+    // (exact-dedup pre-pass, rep bands, cap, CC) operates on the
+    // sample exactly as the twin's restricted-documents SQL does.
+    // This is the sf1-feasible oracle for governed cluster FORMATION
+    // (the full-corpus twin's 15M md5s are oracle-infeasible there),
+    // mirroring text_lsh_pairs_sample for the join.
+    val corpus = if (sample) docs(s, dir).filter(col("doc_id") % 4 === 0)
+                 else docs(s, dir)
+    val byContent = corpus
       .select(col("doc_id"),
         when(size(TextOps.words(col("text"))) >= ShingleK, md5(col("text")))
           .otherwise(concat(lit("uniq|"), col("doc_id"))).as("h"))
@@ -624,6 +633,15 @@ object TextQueries {
     // not the default (same posture as text_lsh_pairs_allpairs).
     "text_neardup_clusters_allpairs" -> ((s, dir) =>
       neardupClusters(s, dir, bucketCap = None)),
+
+    // governed cluster formation over the deterministic 25% sample —
+    // the sf1-feasible oracle for the scale default above (the
+    // full-corpus recursive twin is infeasible there), and the
+    // production pattern for tuning cap/band params on a slice
+    // before paying for the full corpus.
+    "text_neardup_clusters_sample" -> ((s, dir) =>
+      neardupClusters(s, dir, bucketCap = Some(LshBucketCap),
+        sample = true)),
 
     // dedup APPLIED: the canonical-only corpus (anti-join of exact
     // duplicates), i.e. what a training-data pipeline actually ships.
@@ -1618,7 +1636,20 @@ object TextQueries {
     // reps, the cap applies to REP bucket counts, CC runs over rep
     // edges seeded with every rep, and copies inherit their rep's
     // cluster.
-    "text_neardup_clusters" ->
+    "text_neardup_clusters" -> neardupGovernedSql,
+
+    // the sf1-feasible sample twin of the governed default: identical
+    // SQL with every documents reference restricted to the
+    // deterministic 25% slice FIRST (the same replace pattern as
+    // shingleCteSample), so restriction-then-cluster matches the
+    // Spark plan's order exactly.
+    "text_neardup_clusters_sample" -> neardupGovernedSql
+      .replace("FROM documents", "FROM documents WHERE doc_id % 4 = 0"),
+  ) ++ oracleMid
+
+  /** The governed neardup-clusters twin (shared by the full-corpus
+    * default entry and its 25% sample sibling). */
+  private lazy val neardupGovernedSql: String =
       s"""WITH RECURSIVE ${shingleCte.stripPrefix("WITH ")}, $bandsCte, grp AS MATERIALIZED (
          |  SELECT doc_id,
          |         min(doc_id) OVER (PARTITION BY h) AS rep_id
@@ -1667,8 +1698,9 @@ object TextQueries {
          |       count(*) OVER (PARTITION BY c.cluster_id) AS cluster_size,
          |       g.doc_id = c.cluster_id AS is_canonical
          |FROM grp g JOIN cc c ON c.rep_id = g.rep_id
-         |ORDER BY g.doc_id""".stripMargin,
+         |ORDER BY g.doc_id""".stripMargin
 
+  private lazy val oracleMid: Map[String, String] = Map(
     "text_dedup_apply" ->
       """SELECT doc_id, lang, source, n_chars FROM (
         |  SELECT *, min(doc_id) OVER (PARTITION BY md5(text)) AS rep_id

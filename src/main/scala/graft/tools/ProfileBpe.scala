@@ -31,7 +31,8 @@ object ProfileBpe {
       val t0 = System.nanoTime()
       val merges = graft.ext.Bpe.train(docs, "text", rounds, batch).collect()
       val sec = (System.nanoTime() - t0) / 1e9
-      println(f"[bpe] rounds=$rounds batch=$batch learned=${merges.length} $sec%.2f s")
+      val pc = graft.ext.Bpe.lastTrainStats.map(_._1).getOrElse(-1)
+      println(f"[bpe] rounds=$rounds batch=$batch learned=${merges.length} pcRounds=$pc $sec%.2f s")
     }
     spark.stop()
   }
