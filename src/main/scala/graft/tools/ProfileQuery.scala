@@ -5,12 +5,20 @@ import org.apache.spark.sql.SparkSession
 /** Dev probe: time named SparkEntry queries (3 reps, times printed
   * raw) with per-rep CC-regime diagnostics when the dedup cluster
   * path ran. Usage:
-  *   runMain graft.tools.ProfileQuery <sfDir> <name> [name...]
+  *   runMain graft.tools.ProfileQuery <sfDir> [--noop] <name> [name...]
+  *
+  * Default evaluation is `.count()` (the Bench methodology — but note
+  * Catalyst prunes computed columns nothing downstream reads, so a
+  * query whose cost IS a computed column, e.g. span-dedup's cleaned
+  * text, under-measures). `--noop` evaluates via the noop sink
+  * instead: every output column is materialized, which is what a
+  * consumer writing the result actually pays.
   */
 object ProfileQuery {
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
-    val names = args.drop(1).toSeq
+    val noop = args.contains("--noop")
+    val names = args.drop(1).toSeq.filterNot(_ == "--noop")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors.toString)
     val localDir = LocalDirs.ramLocalDir("profile")
@@ -30,7 +38,10 @@ object ProfileQuery {
       val fn = graft.SparkEntry.queries(name)
       (1 to 3).foreach { rep =>
         val t0 = System.nanoTime()
-        val n = fn(spark, sfDir).count()
+        val df = fn(spark, sfDir)
+        val n =
+          if (noop) { df.write.format("noop").mode("overwrite").save(); -1L }
+          else df.count()
         val sec = (System.nanoTime() - t0) / 1e9
         val cc = graft.dedup.Cluster.lastStats
           .map(s => s" cc=${s.regime}/${s.rounds}").getOrElse("")
