@@ -122,7 +122,22 @@ object Bench {
         s"SPARK_GRAFT_BENCH_FAMILIES has unknown families: ${unknown.toSeq.sorted.mkString(",")}; " +
           s"known: ${allFams.toSeq.sorted.mkString(",")}")
     }
+    // SPARK_GRAFT_BENCH_SKIP=q1,q2 excludes named queries from the
+    // run — for sweeps at scales where a specific query is a known,
+    // documented kill (the ungoverned *_allpairs audit OOMs at sf10
+    // by design). Same loud-validation rule as families, and the
+    // skipped names are recorded in the artifact so a reduced sweep
+    // can never masquerade as full coverage.
+    val skip = sys.env.get("SPARK_GRAFT_BENCH_SKIP")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .getOrElse(Set.empty[String])
+    locally {
+      val unknown = skip -- SparkEntry.queries.keySet
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_BENCH_SKIP has unknown queries: ${unknown.toSeq.sorted.mkString(",")}")
+    }
     val families = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => !skip.contains(n) }
       .groupBy { case (n, _) => familyOf(n) }.toSeq.sortBy(_._1)
       .filter { case (f, _) => onlyFams.forall(_.contains(f)) }
 
@@ -232,10 +247,11 @@ object Bench {
     // name, systematically lower value — downstream trend tooling must
     // not compare them silently.
     val method = s"warm+median-of-$reps+adaptive"
+    val skippedJson = skip.toSeq.sorted.map(n => s""""$n"""").mkString("[", ",", "]")
     val artifact =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","method":"$method","index_build":${fmt(indexBuild)},""" +
         s""""warm":$warmJson,"max_spread":${fmt(maxSpread)},"max_iqr_spread":${fmt(maxIqrSpread)},""" +
-        s""""n_reps":$reps,"cpus":$cpus,"sf":"$sfDir","queries":$qDetail}"""
+        s""""n_reps":$reps,"cpus":$cpus,"sf":"$sfDir","skipped":$skippedJson,"queries":$qDetail}"""
     try {
       val p = java.nio.file.Paths.get(outPath)
       // delete any stale artifact first: if the write below fails, a
@@ -250,7 +266,8 @@ object Bench {
     // medians only, 3 decimals
     val qs = detail.map { case (name, _, median, _, _) => s""""$name":${fmt(median)}""" }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","method":"$method","index_build":${fmt(indexBuild)},"queries":$qs,"sf":"$sfDir"}""")
+    val skipStdout = if (skip.isEmpty) "" else s""","skipped":$skippedJson"""
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","method":"$method","index_build":${fmt(indexBuild)},"queries":$qs,"sf":"$sfDir"$skipStdout}""")
     spark.stop()
   }
 }
