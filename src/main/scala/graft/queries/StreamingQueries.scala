@@ -115,6 +115,17 @@ object StreamingQueries {
   private val QuadraticStateTarget = 256L << 10 // 256 KB / partition
   private val KeyedStorageTarget = 8L << 20 // 8 MB / partition
 
+  /** File fan-out for the harness's input writes. The file source
+    * assigns small files one read task each, so the input file count
+    * bounds the micro-batch's PRE-shuffle parallelism — everything
+    * computed before the state exchange (minhash/signature columns,
+    * filters) runs on at most this many cores. A single-file input
+    * serialized the sf1 neardup run's md5-heavy column work onto one
+    * task (7 s of its 15 s wall); production jobs get this for free
+    * because real ingest is many files. */
+  private def writeParts(s: SparkSession): Int =
+    s.sparkContext.defaultParallelism
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Cross-RUN incremental exact dedup, END-TO-END through the real
     // streaming machinery: the documents table is split into two
@@ -140,9 +151,17 @@ object StreamingQueries {
         val ck = s"$tmp/ck"
         val out = s"$tmp/out"
         def runOnce(batch: DataFrame): Unit = {
-          // one file per run → one micro-batch per run, so the in-batch
-          // min-id survivor is the run-wide min-id survivor
-          batch.coalesce(1).write.mode("append").parquet(in)
+          // one micro-batch per run (AvailableNow with no file cap
+          // drains every new file in a single batch), so the in-batch
+          // min-id survivor — a deterministic window, partition-
+          // independent — is the run-wide survivor. The input is
+          // written MULTI-FILE on purpose: the file source assigns
+          // one read task per small file, and a coalesce(1) input
+          // used to serialize the whole per-row compute of the
+          // micro-batch into a single task (measured 7 s → 2.4 s on
+          // the sf1 neardup run — the 100 TB lesson in miniature:
+          // source parallelism bounds stateful-stream throughput).
+          batch.repartition(writeParts(s)).write.mode("append").parquet(in)
           val stream = ss.readStream.schema(docs.schema).parquet(in)
           StreamDedup.incrementalDedup(stream, "text", idx, ck, idCol = Some("doc_id")) {
             (fresh, _) => fresh.write.mode("append").parquet(out)
@@ -189,7 +208,7 @@ object StreamingQueries {
         val ck = s"$tmp/ck"
         val out = s"$tmp/out"
         def runOnce(batch: DataFrame): Unit = {
-          batch.coalesce(1).write.mode("append").parquet(in)
+          batch.repartition(writeParts(s)).write.mode("append").parquet(in)
           val stream = ss.readStream.schema(docs.schema).parquet(in)
           val pairs = StreamNearDup.candidatePairs(stream, "doc_id", "text",
             tsCol = "ts", delay = "1 hour",
@@ -243,7 +262,7 @@ object StreamingQueries {
         val ck = s"$tmp/ck"
         val out = s"$tmp/out"
         def runOnce(batch: DataFrame): Unit = {
-          batch.coalesce(1).write.mode("append").parquet(in)
+          batch.repartition(writeParts(s)).write.mode("append").parquet(in)
           val stream = ss.readStream.schema(batch.schema).parquet(in)
           StreamAnnDedup.candidatePairs(stream, "vec_id", "embedding",
             planes = AnnQueries.Planes, tsCol = "ts", delay = "1 hour",
@@ -300,7 +319,7 @@ object StreamingQueries {
         val ck = s"$tmp/ck"
         val out = s"$tmp/out"
         def runOnce(batch: DataFrame): Unit = {
-          batch.coalesce(1).write.mode("append").parquet(in)
+          batch.repartition(writeParts(s)).write.mode("append").parquet(in)
           def src() = ss.readStream.schema(batch.schema).parquet(in)
           val clicks = EventStreams.withEventTimeWatermark(
             src().filter(col("event_type") === "click")
@@ -351,7 +370,7 @@ object StreamingQueries {
         val ck = s"$tmp/ck"
         val out = s"$tmp/out"
         def runOnce(batch: DataFrame): Unit = {
-          batch.coalesce(1).write.mode("append").parquet(in)
+          batch.repartition(writeParts(s)).write.mode("append").parquet(in)
           val stream = ss.readStream.schema(batch.schema).parquet(in)
           EventStreams.tumblingCounts(stream).writeStream
             .option("checkpointLocation", ck)

@@ -37,9 +37,14 @@ import java.sql.Timestamp
   * for the shared keyed-state pattern). */
 object StreamAnnDedup {
 
-  case class BucketVec(bucket: Long, vec_id: Long, ts: Timestamp, u: Seq[Double])
-  case class VecRep(vec_id: Long, u: Seq[Double])
-  case class BucketState(reps: List[VecRep])
+  case class BucketVec(bucket: Long, vec_id: Long, ts: Timestamp, u: Array[Double])
+  /** Bucket reps as packed primitives: `us` holds `vec_ids.length`
+    * consecutive `dim`-double unit vectors. Keyed state pays an
+    * encoder round-trip per read/write, and Catalyst's deserializer
+    * for collections of case classes walks the object graph element
+    * by element — primitive arrays copy as single blocks instead
+    * (the [[StreamNearDup]] state lesson). */
+  case class BucketState(vec_ids: Array[Long], us: Array[Double])
   case class Candidate(a_id: Long, b_id: Long, bucket: Long, cos: Double)
 
   /** Index-ordered dot + Spark-Round-identical 6-dp HALF_UP — see
@@ -54,6 +59,16 @@ object StreamAnnDedup {
     var s = 0.0
     var i = 0
     while (i < a.length) { s += a(i) * b(i); i += 1 }
+    BigDecimal(s).setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble
+  }
+
+  /** [[cosine6]] against a rep packed at `off` in a flat rep array —
+    * identical arithmetic (index-ordered sum, same rounding), zero
+    * per-pair allocation. */
+  private def cosine6Packed(us: Array[Double], off: Int, b: Array[Double]): Double = {
+    var s = 0.0
+    var i = 0
+    while (i < b.length) { s += us(off + i) * b(i); i += 1 }
     BigDecimal(s).setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble
   }
 
@@ -98,27 +113,56 @@ object StreamAnnDedup {
             state.remove()
             Iterator.empty
           } else {
-            var reps = state.getOption.map(_.reps).getOrElse(Nil)
+            val prior = state.getOption.getOrElse(
+              BucketState(Array.emptyLongArray, Array.emptyDoubleArray))
+            var nReps = prior.vec_ids.length
+            // dimension of the packed reps; fixed by the first rep
+            var dim = if (nReps > 0) prior.us.length / nReps else -1
+            // grow-in-place scan buffers (capacity doubling): appends
+            // are amortized O(1) and the live prefix is scanned
+            // directly — no per-append copying in hot buckets
+            var ids = java.util.Arrays.copyOf(prior.vec_ids, math.max(4, nReps))
+            var us = java.util.Arrays.copyOf(prior.us,
+              math.max(4 * math.max(dim, 1), nReps * math.max(dim, 1)))
             val out = List.newBuilder[Candidate]
             var maxTs = Long.MinValue
             // deterministic in-batch order regardless of shuffle arrival
             vecs.toSeq.sortBy(x => (x.ts.getTime, x.vec_id)).foreach { x =>
               maxTs = math.max(maxTs, x.ts.getTime)
+              // the dim-mismatch guard the batch DotProduct path has:
+              // schema drift must error, not truncate a cosine
+              require(dim < 0 || x.u.length == dim,
+                s"embedding dimension mismatch: ${x.u.length} vs $dim")
               var matched = false
-              reps.foreach { r =>
-                if (r.vec_id != x.vec_id) {
-                  val c = cosine6(r.u, x.u)
+              var r = 0
+              while (r < nReps) {
+                if (ids(r) != x.vec_id) {
+                  val c = cosine6Packed(us, r * dim, x.u)
                   if (c >= minCos) {
                     matched = true
-                    out += Candidate(math.min(r.vec_id, x.vec_id),
-                      math.max(r.vec_id, x.vec_id), key, c)
+                    out += Candidate(math.min(ids(r), x.vec_id),
+                      math.max(ids(r), x.vec_id), key, c)
                   }
                 }
+                r += 1
               }
-              if ((addMatchedReps || !matched) && reps.size < maxReps)
-                reps = VecRep(x.vec_id, x.u) :: reps
+              if ((addMatchedReps || !matched) && nReps < maxReps) {
+                if (dim < 0) {
+                  dim = x.u.length
+                  if (us.length < 4 * dim) us = new Array[Double](4 * dim)
+                }
+                if (nReps == ids.length) {
+                  ids = java.util.Arrays.copyOf(ids, ids.length * 2)
+                  us = java.util.Arrays.copyOf(us, us.length * 2)
+                }
+                ids(nReps) = x.vec_id
+                System.arraycopy(x.u, 0, us, nReps * dim, dim)
+                nReps += 1
+              }
             }
-            state.update(BucketState(reps))
+            state.update(BucketState(
+              java.util.Arrays.copyOf(ids, nReps),
+              java.util.Arrays.copyOf(us, nReps * math.max(dim, 0))))
             if (isStreaming && maxTs != Long.MinValue)
               state.setTimeoutTimestamp(maxTs, delay)
             out.result().iterator

@@ -18,6 +18,18 @@ import java.sql.Timestamp
   * per representative whose signature-agreement fraction (the
   * standard unbiased Jaccard estimate) clears `minEst`.
   *
+  * State layout — PACKED PRIMITIVE ARRAYS, not an object graph: a
+  * bucket's representatives are stored as a doc-id array plus one
+  * flattened signature array (rep r's sigs at [r·numSigs,
+  * (r+1)·numSigs)). Keyed state pays an encoder round-trip on every
+  * read and write, and Catalyst's (de)serializer for nested
+  * collections of case classes walks the graph element by element —
+  * at corpus-sized state (audit mode retains every doc) that walk IS
+  * the bottleneck, while primitive `Array[Long]` columns copy as
+  * single memory blocks. Signatures travel as longs (the 8-hex sig →
+  * unsigned-32-bit parse is injective, so agreement counts and
+  * therefore est_jaccard are bit-identical to the hex-string form).
+  *
   * Scale/state design: state is per (band, band-hash) bucket — the
   * natural shard key, so a 1000-executor cluster spreads buckets like
   * any keyed aggregation. Each bucket is capped at `maxReps`
@@ -36,9 +48,10 @@ import java.sql.Timestamp
   * retain; the estimate's resolution is 1/`numSigs`. */
 object StreamNearDup {
 
-  case class BandedDoc(band_key: String, doc_id: Long, ts: Timestamp, sigs: Seq[String])
-  case class BucketRep(doc_id: Long, sigs: Seq[String])
-  case class BucketState(reps: List[BucketRep])
+  case class BandedDoc(band_key: String, doc_id: Long, ts: Timestamp, sigs: Array[Long])
+  /** Bucket reps as packed primitives: `sigs` holds `doc_ids.length`
+    * consecutive `nSigs`-long signature blocks. */
+  case class BucketState(doc_ids: Array[Long], sigs: Array[Long])
   case class Candidate(a_id: Long, b_id: Long, band_key: String, est_jaccard: Double)
 
   /** Candidate near-dup pairs from a stream of documents.
@@ -88,7 +101,8 @@ object StreamNearDup {
       .withColumn("band_key", explode(bandKeys))
       .select(col("band_key"), col(idCol).cast("long").as("doc_id"),
         col(tsCol).as("ts"),
-        array((0 until numSigs).map(i => col(s"_sig_$i")): _*).as("sigs"))
+        array((0 until numSigs).map(i =>
+          conv(col(s"_sig_$i"), 16, 10).cast("long")): _*).as("sigs"))
       .withWatermark("ts", delay)
       .as[BandedDoc]
 
@@ -99,33 +113,56 @@ object StreamNearDup {
             state.remove()
             Iterator.empty
           } else {
-            var reps = state.getOption.map(_.reps).getOrElse(Nil)
+            val prior = state.getOption.getOrElse(
+              BucketState(Array.emptyLongArray, Array.emptyLongArray))
+            // grow-in-place scan buffers (capacity doubling): appends
+            // are amortized O(1) and the live prefix is scanned
+            // directly — no per-append copying in hot buckets
+            var nReps = prior.doc_ids.length
+            var ids = java.util.Arrays.copyOf(prior.doc_ids, math.max(4, nReps))
+            var sigsFlat = java.util.Arrays.copyOf(prior.sigs, math.max(4 * numSigs, nReps * numSigs))
             val out = List.newBuilder[Candidate]
             var maxTs = Long.MinValue
             // deterministic in-batch order regardless of shuffle arrival
             docs.toSeq.sortBy(d => (d.ts.getTime, d.doc_id)).foreach { d =>
               maxTs = math.max(maxTs, d.ts.getTime)
               var matched = false
-              reps.foreach { r =>
-                if (r.doc_id != d.doc_id) {
-                  val agree = r.sigs.iterator.zip(d.sigs.iterator)
-                    .count { case (a, b) => a == b }
+              var r = 0
+              while (r < nReps) {
+                if (ids(r) != d.doc_id) {
+                  var agree = 0
+                  var i = 0
+                  val off = r * numSigs
+                  while (i < numSigs) {
+                    if (sigsFlat(off + i) == d.sigs(i)) agree += 1
+                    i += 1
+                  }
                   val est = agree.toDouble / numSigs
                   if (est >= minEst) {
                     matched = true
-                    out += Candidate(math.min(r.doc_id, d.doc_id),
-                      math.max(r.doc_id, d.doc_id), key,
+                    out += Candidate(math.min(ids(r), d.doc_id),
+                      math.max(ids(r), d.doc_id), key,
                       math.rint(est * 1e6) / 1e6)
                   }
                 }
+                r += 1
               }
               // near-dups of an existing rep add no recall as reps
               // themselves; distinct docs become reps up to the cap
               // (audit mode admits matched docs too — see scaladoc)
-              if ((addMatchedReps || !matched) && reps.size < maxReps)
-                reps = BucketRep(d.doc_id, d.sigs) :: reps
+              if ((addMatchedReps || !matched) && nReps < maxReps) {
+                if (nReps == ids.length) {
+                  ids = java.util.Arrays.copyOf(ids, ids.length * 2)
+                  sigsFlat = java.util.Arrays.copyOf(sigsFlat, sigsFlat.length * 2)
+                }
+                ids(nReps) = d.doc_id
+                System.arraycopy(d.sigs, 0, sigsFlat, nReps * numSigs, numSigs)
+                nReps += 1
+              }
             }
-            state.update(BucketState(reps))
+            state.update(BucketState(
+              java.util.Arrays.copyOf(ids, nReps),
+              java.util.Arrays.copyOf(sigsFlat, nReps * numSigs)))
             // batch runs (tests, backfills) have no watermark to time
             // out against — timeouts are a streaming-only concern
             if (isStreaming && maxTs != Long.MinValue)
