@@ -484,6 +484,36 @@ object AnnQueries {
     // sf0.01 slice; the recall audit below is the end-to-end check).
     "ann_ivf_pq" -> ((s, dir) => ipIndex(s, dir).orderBy("vec_id")),
 
+    // the index as a DURABLE ARTIFACT: write the trained IVF-PQ index
+    // (coarse centroids + residual codebooks + code table + manifest)
+    // to parquet, load it back through graft.sources.AnnIndexIO, and
+    // serve the code table from the LOADED artifacts. Graded by the
+    // ann_ivf_pq oracle verbatim: the round trip must be bit-exact
+    // (parquet round-trips doubles/longs exactly), proving the
+    // persisted form alone is sufficient to serve searches. This is
+    // the 100 TB posture — an index is trained once (hours of cluster
+    // time) and consumed by every search job for weeks; nothing here
+    // collects to the driver in either direction.
+    "ann_ivf_pq_persist" -> ((s, dir) => {
+      val shm = java.nio.file.Paths.get("/dev/shm")
+      val tmp = (if (java.nio.file.Files.isDirectory(shm))
+        java.nio.file.Files.createTempDirectory(shm, "graft_annidx")
+      else java.nio.file.Files.createTempDirectory("graft_annidx")).toString
+      def rmTree(f: java.io.File): Unit = {
+        val kids = f.listFiles()
+        if (kids != null) kids.foreach(rmTree)
+        f.delete(): Unit
+      }
+      try {
+        graft.sources.AnnIndexIO.save(tmp, coarseCent(s, dir),
+          (0 until IpSub).map(sub => ipCent(s, dir, sub)), ipIndex(s, dir),
+          coarseK = KmK, codebookK = IpK, dim = 64)
+        val idx = graft.sources.AnnIndexIO.load(s, tmp)
+        idx.codes.orderBy("vec_id")
+          .localCheckpoint(true) // materialize before the scratch dir dies
+      } finally rmTree(new java.io.File(tmp))
+    }),
+
     // end-to-end recall@k audit of the IVF-PQ search path: coarse
     // probing (IpNProbe cells) → ADC scoring of the probed cells'
     // codes against per-(query, cell) residual LUTs → top-IpRerank
@@ -912,6 +942,13 @@ object AnnQueries {
     },
 
     "ann_ivf_pq" ->
+      s"""$prepCte, $kmeansCtes,
+         |$ivfPqCtes
+         |SELECT * FROM idx ORDER BY vec_id""".stripMargin,
+
+    // the persisted-and-reloaded index must equal the freshly-trained
+    // one bit-for-bit — same twin verbatim
+    "ann_ivf_pq_persist" ->
       s"""$prepCte, $kmeansCtes,
          |$ivfPqCtes
          |SELECT * FROM idx ORDER BY vec_id""".stripMargin,

@@ -1,0 +1,141 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+/** Durable IVF-PQ index artifacts — the save/load layer a real
+  * pipeline needs between "train the index on the corpus" and "serve
+  * searches from it". At 100 TB an index is trained ONCE (hours of
+  * cluster time for the coarse k-means + residual codebooks) and then
+  * consumed by every search job for weeks; keeping it as session-memo
+  * state would force each job to retrain. The artifacts are plain
+  * parquet + a JSON manifest, so any Spark job — or any other engine —
+  * can open them:
+  *
+  * {{{
+  *   <dir>/manifest.json              training parameters + row counts
+  *   <dir>/coarse_centroids/          (label, dim, cval)   k·dim rows
+  *   <dir>/codebook_<s>/              (label, dim, cval)   per subspace
+  *   <dir>/codes/                     (vec_id, coarse, code_0..N, recon_d2)
+  * }}}
+  *
+  * Scale shape: the centroid tables are k·dim rows (KBs at any corpus
+  * size — they broadcast on load exactly as the in-session frames
+  * did), while `codes` is one narrow row per corpus vector — the
+  * compressed corpus, written with whatever parallelism the caller's
+  * frame has, read back with partition pruning/pushdown like any
+  * parquet table. Nothing is collected to the driver in either
+  * direction.
+  *
+  * Determinism contract: parquet round-trips doubles and longs
+  * bit-exactly, so a loaded index serves ADC searches byte-identical
+  * to the freshly-trained one — `ann_ivf_pq_persist` grades that
+  * end-to-end against the same DuckDB twin as `ann_ivf_pq`. */
+object AnnIndexIO {
+
+  /** Index parameters + shape, persisted alongside the artifacts so a
+    * loader can refuse a mismatched index instead of serving silent
+    * garbage (e.g. probing 8 subspaces of a 4-subspace index). */
+  final case class Manifest(
+      kind: String, // always "ivf-pq"
+      subspaces: Int, // residual-PQ subspaces
+      codebookK: Int, // centroids per subspace codebook
+      coarseK: Int, // coarse IVF cells
+      dim: Int, // full vector dimensionality
+      nVectors: Long) // corpus rows in codes/
+
+  /** A loaded index: the three artifact families as DataFrames, plus
+    * the manifest they were trained under. `codebooks(s)` is the
+    * subspace-s residual codebook. */
+  final case class IvfPqIndex(
+      manifest: Manifest,
+      coarseCentroids: DataFrame,
+      codebooks: IndexedSeq[DataFrame],
+      codes: DataFrame)
+
+  private def manifestJson(m: Manifest): String =
+    s"""{"kind":"${m.kind}","subspaces":${m.subspaces},""" +
+      s""""codebookK":${m.codebookK},"coarseK":${m.coarseK},""" +
+      s""""dim":${m.dim},"nVectors":${m.nVectors}}"""
+
+  /** Minimal flat-JSON field extraction — the manifest is written by
+    * [[save]] with exactly one value per key, no nesting. */
+  private def jsonField(json: String, key: String): String = {
+    val m = java.util.regex.Pattern
+      .compile("\"" + java.util.regex.Pattern.quote(key) + "\"\\s*:\\s*(\"([^\"]*)\"|[-0-9]+)")
+      .matcher(json)
+    require(m.find(), s"index manifest is missing field '$key': $json")
+    if (m.group(2) != null) m.group(2) else m.group(1)
+  }
+
+  /** Persist a trained IVF-PQ index. `coarseCentroids` and each
+    * codebook must be (label, dim, cval); `codes` must carry vec_id,
+    * coarse and code_0..code_{subspaces-1} (extra columns — e.g. the
+    * quantization-error audit — are kept). Overwrites any index
+    * already at `dir`. */
+  def save(dir: String, coarseCentroids: DataFrame,
+      codebooks: Seq[DataFrame], codes: DataFrame,
+      coarseK: Int, codebookK: Int, dim: Int): Unit = {
+    require(codebooks.nonEmpty, "IVF-PQ index needs at least one subspace codebook")
+    val codeCols = (0 until codebooks.size).map(s => s"code_$s")
+    val missing = (Seq("vec_id", "coarse") ++ codeCols)
+      .filterNot(codes.columns.contains)
+    require(missing.isEmpty,
+      s"codes frame is missing required columns: ${missing.mkString(", ")}")
+
+    // centroid tables: k·dim rows — a single file reads back as one
+    // broadcastable partition, matching how they're consumed
+    coarseCentroids.coalesce(1).write.mode(SaveMode.Overwrite)
+      .parquet(s"$dir/coarse_centroids")
+    codebooks.zipWithIndex.foreach { case (cb, s) =>
+      cb.coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$dir/codebook_$s")
+    }
+    // the compressed corpus: written with the frame's own parallelism
+    codes.write.mode(SaveMode.Overwrite).parquet(s"$dir/codes")
+
+    val n = codes.sparkSession.read.parquet(s"$dir/codes").count()
+    val m = Manifest("ivf-pq", codebooks.size, codebookK, coarseK, dim, n)
+    Files.write(Paths.get(dir, "manifest.json"),
+      manifestJson(m).getBytes(StandardCharsets.UTF_8)): Unit
+  }
+
+  /** Open a persisted index. Fails loudly on a missing/foreign
+    * manifest or artifacts whose shape contradicts it — a search job
+    * must never silently probe the wrong geometry. */
+  def load(s: SparkSession, dir: String): IvfPqIndex = {
+    val mPath = Paths.get(dir, "manifest.json")
+    require(Files.exists(mPath), s"no index manifest at $dir/manifest.json")
+    val json = new String(Files.readAllBytes(mPath), StandardCharsets.UTF_8)
+    require(jsonField(json, "kind") == "ivf-pq",
+      s"index at $dir is kind '${jsonField(json, "kind")}', expected 'ivf-pq'")
+    val m = Manifest("ivf-pq",
+      jsonField(json, "subspaces").toInt, jsonField(json, "codebookK").toInt,
+      jsonField(json, "coarseK").toInt, jsonField(json, "dim").toInt,
+      jsonField(json, "nVectors").toLong)
+    require(m.subspaces > 0 && m.dim > 0,
+      s"degenerate manifest at $dir: $m")
+
+    val coarse = s.read.parquet(s"$dir/coarse_centroids")
+    val books = (0 until m.subspaces)
+      .map(sub => s.read.parquet(s"$dir/codebook_$sub"))
+    val codes = s.read.parquet(s"$dir/codes")
+    val codeCols = (0 until m.subspaces).map(i => s"code_$i")
+    val missing = (Seq("vec_id", "coarse") ++ codeCols)
+      .filterNot(codes.columns.contains)
+    require(missing.isEmpty,
+      s"index at $dir: codes is missing ${missing.mkString(", ")} — " +
+        s"manifest declares ${m.subspaces} subspaces")
+    IvfPqIndex(m, coarse, books.toIndexedSeq, codes)
+  }
+
+  /** Coarse centroids of a loaded index re-assembled as vectors
+    * (label, cv: array<double>) — the broadcast side of residual
+    * computation, same shape the in-session trainer memoizes. */
+  def coarseCentVec(idx: IvfPqIndex): DataFrame =
+    idx.coarseCentroids.groupBy("label")
+      .agg(array_sort(collect_list(struct(col("dim"), col("cval")))).as("dc"))
+      .select(col("label").cast("long").as("label"),
+        transform(col("dc"), _.getField("cval")).as("cv"))
+}

@@ -1,0 +1,110 @@
+package graft.sources
+
+import graft.dedup.SparkTest
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class AnnIndexIOSpec extends AnyFunSuite {
+  private lazy val spark = SparkTest.spark
+
+  private def tmpDir(): String =
+    java.nio.file.Files.createTempDirectory("annidx_spec").toString
+
+  private def rmTree(f: java.io.File): Unit = {
+    val kids = f.listFiles()
+    if (kids != null) kids.foreach(rmTree)
+    f.delete(): Unit
+  }
+
+  /** A tiny but fully-shaped index: 2 coarse cells over dim 4, two
+    * 2-subspace codebooks, 3 coded vectors. */
+  private def fixture() = {
+    import spark.implicits._
+    val coarse = Seq(
+      (0L, 0, 0.5), (0L, 1, -0.25), (0L, 2, 0.0), (0L, 3, 1.0),
+      (1L, 0, -1.5), (1L, 1, 0.75), (1L, 2, 2.0), (1L, 3, -0.125))
+      .toDF("label", "dim", "cval")
+    val book0 = Seq((0L, 0, 0.1), (0L, 1, 0.2), (1L, 0, -0.3), (1L, 1, 0.4))
+      .toDF("label", "dim", "cval")
+    val book1 = Seq((0L, 0, 1.1), (0L, 1, -1.2), (1L, 0, 0.0), (1L, 1, 2.5))
+      .toDF("label", "dim", "cval")
+    val codes = Seq(
+      (10L, 0L, 0L, 1L, 0.015625),
+      (11L, 1L, 1L, 0L, 0.25),
+      (12L, 0L, 1L, 1L, 0.0))
+      .toDF("vec_id", "coarse", "code_0", "code_1", "recon_d2")
+    (coarse, Seq(book0, book1), codes)
+  }
+
+  test("save/load round-trips every artifact bit-exactly + manifest") {
+    val dir = tmpDir()
+    try {
+      val (coarse, books, codes) = fixture()
+      AnnIndexIO.save(dir, coarse, books, codes,
+        coarseK = 2, codebookK = 2, dim = 4)
+      val idx = AnnIndexIO.load(spark, dir)
+      assert(idx.manifest == AnnIndexIO.Manifest("ivf-pq", 2, 2, 2, 4, 3L))
+      def rows(df: org.apache.spark.sql.DataFrame, order: String*) =
+        df.orderBy(order.map(col): _*).collect().map(_.toSeq).toSeq
+      assert(rows(idx.coarseCentroids, "label", "dim") ==
+        rows(coarse, "label", "dim"))
+      (0 until 2).foreach { s =>
+        assert(rows(idx.codebooks(s), "label", "dim") ==
+          rows(books(s), "label", "dim"))
+      }
+      assert(rows(idx.codes, "vec_id") == rows(codes, "vec_id"))
+      // the reassembled coarse vectors preserve dim order
+      val cv = AnnIndexIO.coarseCentVec(idx).orderBy("label").collect()
+      assert(cv.map(_.getLong(0)).toSeq == Seq(0L, 1L))
+      assert(cv(0).getSeq[Double](1) == Seq(0.5, -0.25, 0.0, 1.0))
+      assert(cv(1).getSeq[Double](1) == Seq(-1.5, 0.75, 2.0, -0.125))
+    } finally rmTree(new java.io.File(dir))
+  }
+
+  test("load refuses a missing manifest") {
+    val dir = tmpDir()
+    try {
+      val e = intercept[IllegalArgumentException](AnnIndexIO.load(spark, dir))
+      assert(e.getMessage.contains("manifest"))
+    } finally rmTree(new java.io.File(dir))
+  }
+
+  test("load refuses a foreign index kind") {
+    val dir = tmpDir()
+    try {
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(dir, "manifest.json"),
+        """{"kind":"hnsw","subspaces":2,"codebookK":2,"coarseK":2,"dim":4,"nVectors":3}"""
+          .getBytes("UTF-8"))
+      val e = intercept[IllegalArgumentException](AnnIndexIO.load(spark, dir))
+      assert(e.getMessage.contains("hnsw"))
+    } finally rmTree(new java.io.File(dir))
+  }
+
+  test("save refuses a codes frame missing declared code columns") {
+    val dir = tmpDir()
+    try {
+      val (coarse, books, codes) = fixture()
+      val e = intercept[IllegalArgumentException] {
+        AnnIndexIO.save(dir, coarse, books, codes.drop("code_1"),
+          coarseK = 2, codebookK = 2, dim = 4)
+      }
+      assert(e.getMessage.contains("code_1"))
+    } finally rmTree(new java.io.File(dir))
+  }
+
+  test("load refuses codes that contradict the manifest's subspace count") {
+    val dir = tmpDir()
+    try {
+      val (coarse, books, codes) = fixture()
+      AnnIndexIO.save(dir, coarse, books, codes,
+        coarseK = 2, codebookK = 2, dim = 4)
+      // corrupt: rewrite codes without code_1 but keep the manifest
+      val stripped = spark.read.parquet(s"$dir/codes").drop("code_1")
+        .localCheckpoint(true)
+      stripped.write.mode("overwrite").parquet(s"$dir/codes")
+      val e = intercept[IllegalArgumentException](AnnIndexIO.load(spark, dir))
+      assert(e.getMessage.contains("code_1"))
+    } finally rmTree(new java.io.File(dir))
+  }
+}
