@@ -248,10 +248,23 @@ object Bench {
     // not compare them silently.
     val method = s"warm+median-of-$reps+adaptive"
     val skippedJson = skip.toSeq.sorted.map(n => s""""$n"""").mkString("[", ",", "]")
+    // Structural-completeness stamp (VERDICT r12 item 3): three
+    // consecutive rounds shipped a scale artifact silently missing the
+    // round's last-added query (generated mid-round, surface grew
+    // after). measured ∪ skipped must equal SparkEntry.queries — any
+    // gap is stamped into the artifact as complete:false + the missing
+    // names, so an incomplete artifact can never read as full
+    // coverage. A family-restricted dev run is by definition
+    // incomplete and stamps the same way.
+    val measured = detail.map(_._1).toSet
+    val missing = (SparkEntry.queries.keySet -- measured -- skip).toSeq.sorted
+    val complete = missing.isEmpty
+    val missingJson = missing.map(n => s""""$n"""").mkString("[", ",", "]")
     val artifact =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","method":"$method","index_build":${fmt(indexBuild)},""" +
         s""""warm":$warmJson,"max_spread":${fmt(maxSpread)},"max_iqr_spread":${fmt(maxIqrSpread)},""" +
-        s""""n_reps":$reps,"cpus":$cpus,"sf":"$sfDir","skipped":$skippedJson,"queries":$qDetail}"""
+        s""""n_reps":$reps,"cpus":$cpus,"sf":"$sfDir","complete":$complete,"missing":$missingJson,""" +
+        s""""skipped":$skippedJson,"queries":$qDetail}"""
     try {
       val p = java.nio.file.Paths.get(outPath)
       // delete any stale artifact first: if the write below fails, a
@@ -267,7 +280,8 @@ object Bench {
     val qs = detail.map { case (name, _, median, _, _) => s""""$name":${fmt(median)}""" }
       .mkString("{", ",", "}")
     val skipStdout = if (skip.isEmpty) "" else s""","skipped":$skippedJson"""
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","method":"$method","index_build":${fmt(indexBuild)},"queries":$qs,"sf":"$sfDir"$skipStdout}""")
+    val missStdout = if (complete) "" else s""","complete":false,"missing":$missingJson"""
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","method":"$method","index_build":${fmt(indexBuild)},"queries":$qs,"sf":"$sfDir"$skipStdout$missStdout}""")
     spark.stop()
   }
 }

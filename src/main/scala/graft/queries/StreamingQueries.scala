@@ -187,15 +187,24 @@ object StreamingQueries {
     // ≥ minEst", independent of arrival order — the DuckDB twin's
     // self-join. Parameters mirror the batch text_lsh family
     // (12 sigs, 6 bands × 2 rows, 2-shingles) over a deterministic
-    // 50% sample (doc_id % 2 = 0 — the same sampling-commutes
-    // argument as text_lsh_pairs_sample's 25%; the full-corpus twin
-    // is oracle-infeasible at sf1, and 50% keeps the gate
-    // non-trivial at sf0.01). The readout converts the agreement estimate
+    // md5-bucketed 25% sample (first hex digit of md5(doc_id) in 0-3
+    // — id-pattern-independent, reproduced verbatim by the twin; the
+    // same sampling-commutes argument as text_lsh_pairs_sample).
+    // Audit mode makes EVERY doc a bucket representative, so state
+    // and comparisons grow with the SQUARE of the hottest band
+    // bucket — the r12 50% id-parity sample still ran 14.9 s at sf1,
+    // the most expensive query in the suite. Quadratic cost scales
+    // with sample-rate², so 25% bounds the audit ~4× below that
+    // while the gate stays non-trivial at sf0.01 (verified pairs
+    // exist); production mode (rep suppression + maxReps) remains
+    // the full-volume path and is spec-gated for semantics.
+    // The readout converts the agreement estimate
     // back to its exact integer numerator (est·12) so no
     // double-rounding can diverge cross-engine.
     "stream_incremental_neardup" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
-        .filter(col("doc_id") % 2 === 0)
+        .filter(substring(md5(col("doc_id").cast("string")), 1, 1)
+          .isin("0", "1", "2", "3"))
         .select(col("doc_id"), col("text"))
         // constant event time: nothing is late, nothing times out —
         // the batch-equal final state the gate requires
@@ -412,7 +421,7 @@ object StreamingQueries {
     // no double threshold can straddle an engine boundary)
     "stream_incremental_neardup" ->
       s"""${TextQueries.shingleCte.replace("FROM documents",
-             "FROM documents WHERE doc_id % 2 = 0")}, ${TextQueries.bandsCte}, cand AS (
+             "FROM documents WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0','1','2','3')")}, ${TextQueries.bandsCte}, cand AS (
          |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
          |  FROM bands a JOIN bands b
          |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
