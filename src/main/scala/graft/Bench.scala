@@ -280,7 +280,13 @@ object Bench {
     val qs = detail.map { case (name, _, median, _, _) => s""""$name":${fmt(median)}""" }
       .mkString("{", ",", "}")
     val skipStdout = if (skip.isEmpty) "" else s""","skipped":$skippedJson"""
-    val missStdout = if (complete) "" else s""","complete":false,"missing":$missingJson"""
+    // stdout must fit the driver's ~2KB tail: a family-restricted dev
+    // run can miss 100+ queries, so the stdout form carries a count +
+    // first few names; the artifact keeps the full list
+    val missStdoutList = (missing.take(3).map(n => s""""$n"""") ++
+      (if (missing.size > 3) Seq(s""""+${missing.size - 3} more"""") else Nil))
+      .mkString("[", ",", "]")
+    val missStdout = if (complete) "" else s""","complete":false,"n_missing":${missing.size},"missing":$missStdoutList"""
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","method":"$method","index_build":${fmt(indexBuild)},"queries":$qs,"sf":"$sfDir"$skipStdout$missStdout}""")
     spark.stop()
   }

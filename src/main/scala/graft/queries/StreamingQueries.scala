@@ -122,9 +122,19 @@ object StreamingQueries {
     * filters) runs on at most this many cores. A single-file input
     * serialized the sf1 neardup run's md5-heavy column work onto one
     * task (7 s of its 15 s wall); production jobs get this for free
-    * because real ingest is many files. */
-  private def writeParts(s: SparkSession): Int =
-    s.sparkContext.defaultParallelism
+    * because real ingest is many files. Like the state partitions,
+    * the count is DERIVED from input volume (one file per ~128 KB,
+    * clamped [8, cores]): a fixed fan-out of 32 paid ~1 s/query of
+    * per-file open/footer/commit overhead at sf0.1 where the whole
+    * input is ~1 MB (the r12 sf0.1 streaming creep), while 8 files
+    * still saturate the per-row column work there. */
+  private def writeParts(s: SparkSession, input: DataFrame): Int =
+    sys.env.get("SPARK_GRAFT_STREAM_WRITE_PARTS").map(_.toInt)
+      .getOrElse {
+        val cores = s.sparkContext.defaultParallelism
+        val bytes = input.queryExecution.optimizedPlan.stats.sizeInBytes
+        math.max(8, math.min(cores, (bytes / (128L << 10)).toInt))
+      }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Cross-RUN incremental exact dedup, END-TO-END through the real
@@ -161,7 +171,7 @@ object StreamingQueries {
           // micro-batch into a single task (measured 7 s → 2.4 s on
           // the sf1 neardup run — the 100 TB lesson in miniature:
           // source parallelism bounds stateful-stream throughput).
-          batch.repartition(writeParts(s)).write.mode("append").parquet(in)
+          batch.repartition(writeParts(s, batch)).write.mode("append").parquet(in)
           val stream = ss.readStream.schema(docs.schema).parquet(in)
           StreamDedup.incrementalDedup(stream, "text", idx, ck, idCol = Some("doc_id")) {
             (fresh, _) => fresh.write.mode("append").parquet(out)
@@ -217,7 +227,7 @@ object StreamingQueries {
         val ck = s"$tmp/ck"
         val out = s"$tmp/out"
         def runOnce(batch: DataFrame): Unit = {
-          batch.repartition(writeParts(s)).write.mode("append").parquet(in)
+          batch.repartition(writeParts(s, batch)).write.mode("append").parquet(in)
           val stream = ss.readStream.schema(docs.schema).parquet(in)
           val pairs = StreamNearDup.candidatePairs(stream, "doc_id", "text",
             tsCol = "ts", delay = "1 hour",
@@ -271,7 +281,7 @@ object StreamingQueries {
         val ck = s"$tmp/ck"
         val out = s"$tmp/out"
         def runOnce(batch: DataFrame): Unit = {
-          batch.repartition(writeParts(s)).write.mode("append").parquet(in)
+          batch.repartition(writeParts(s, batch)).write.mode("append").parquet(in)
           val stream = ss.readStream.schema(batch.schema).parquet(in)
           StreamAnnDedup.candidatePairs(stream, "vec_id", "embedding",
             planes = AnnQueries.Planes, tsCol = "ts", delay = "1 hour",
@@ -328,7 +338,7 @@ object StreamingQueries {
         val ck = s"$tmp/ck"
         val out = s"$tmp/out"
         def runOnce(batch: DataFrame): Unit = {
-          batch.repartition(writeParts(s)).write.mode("append").parquet(in)
+          batch.repartition(writeParts(s, batch)).write.mode("append").parquet(in)
           def src() = ss.readStream.schema(batch.schema).parquet(in)
           val clicks = EventStreams.withEventTimeWatermark(
             src().filter(col("event_type") === "click")
@@ -379,7 +389,7 @@ object StreamingQueries {
         val ck = s"$tmp/ck"
         val out = s"$tmp/out"
         def runOnce(batch: DataFrame): Unit = {
-          batch.repartition(writeParts(s)).write.mode("append").parquet(in)
+          batch.repartition(writeParts(s, batch)).write.mode("append").parquet(in)
           val stream = ss.readStream.schema(batch.schema).parquet(in)
           EventStreams.tumblingCounts(stream).writeStream
             .option("checkpointLocation", ck)
