@@ -60,6 +60,25 @@ object Bpe {
 
   private final case class Cand(l: String, r: String, f: Long)
 
+  /** Strict a > b under the SAME collation the pair-count sort uses —
+    * unsigned UTF-8 bytes (Spark's binary string ordering). Scala's
+    * String ordering compares UTF-16 code units, which disagrees with
+    * UTF-8 byte order exactly for BMP chars ≥ U+E000 vs supplementary
+    * chars; the tie guard's sort-position argument would be unsound
+    * under the wrong collation. */
+  private def utf8Gt(a: String, b: String): Boolean = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val n = math.min(x.length, y.length)
+    var i = 0
+    while (i < n) {
+      val c = (x(i) & 0xff) - (y(i) & 0xff)
+      if (c != 0) return c > 0
+      i += 1
+    }
+    x.length > y.length
+  }
+
   /** Diagnostics from the most recent [[train]] call on this JVM:
     * (pair-count rounds executed, merges learned). Dev-probe hook —
     * same pattern as Matching.lastStageStats. */
@@ -95,8 +114,13 @@ object Bpe {
     * sequential argmax at its turn, ties included (accepted pairs
     * are mutually disjoint, so their own counts are exact, and
     * greedy application leaves zero residual occurrences of an
-    * applied pair). Count-flat rounds degrade gracefully toward
-    * batch=1 semantics — never toward wrong merges. */
+    * applied pair). Candidates TIED at fstop are additionally
+    * accepted while the batch has zero collision hazard and every
+    * earlier accepted concat sorts after the tied candidate's lhs in
+    * UTF-8 byte order (see the inline proof sketch at the tie
+    * extension) — count-flat vocabularies batch instead of
+    * serializing. Remaining degradation is graceful toward batch=1
+    * semantics — never toward wrong merges. */
   def train(docs: DataFrame, textCol: String, rounds: Int,
       batch: Int = 1): DataFrame = {
     require(batch >= 1, s"batch must be >= 1, got $batch")
@@ -180,7 +204,60 @@ object Bpe {
                   .filter(col("l").isInCollection(hazardous) ||
                     col("r").isInCollection(hazardous))
                   .agg(coalesce(max(col("f")), lit(0L))).head().getLong(0)
-              acc.head +: acc.tail.takeWhile(_.f > fstop + 3 * fhaz).toSeq
+              val guarded =
+                acc.head +: acc.tail.takeWhile(_.f > fstop + 3 * fhaz)
+              // TIE extension (VERDICT r12 item 8): candidates tied AT
+              // fstop used to serialize (count-flat rounds degraded to
+              // one merge per pair-count job). A tied candidate cm
+              // still commutes when, with zero collision hazard
+              // (hazardous empty — counts can then never GROW):
+              //  (1) it is in the conflict-free prefix (disjoint from
+              //      every earlier accepted candidate — already true
+              //      of acc), so earlier merges leave f(cm) exactly
+              //      fstop, and every still-unaccepted OLD pair at
+              //      fstop sorts after the scan's stop point, hence
+              //      after cm in the pair table's own (UTF-8-byte)
+              //      collation; and
+              //  (2) no pair CREATED by an earlier accepted cj can
+              //      steal cm's argmax turn. Created pairs are
+              //      (a, lj+rj) — count ≤ f(a, lj), a conflicting
+              //      pair, so ≤ fstop, and it sorts after (a, lj),
+              //      which at count fstop must itself sort after cm
+              //      (else the scan would have conflict-stopped
+              //      before accepting cm) — and (lj+rj, b), with
+              //      count ≤ f(rj, b) ≤ fstop, which is harmless if
+              //      EITHER lj+rj > cm.l in UTF-8 byte order (sorts
+              //      after cm at any count) OR max f over pairs with
+              //      lhs rj is < fstop (can never reach the tie).
+              // The lex check is free and driver-side; the rj-max
+              // fallback costs ONE filter-aggregate job — paid only
+              // when ties remain past the lex check, and it unlocks
+              // up to (batch - |guarded|) merges that would otherwise
+              // cost one full pair-count job each.
+              val out = scala.collection.mutable.ArrayBuffer.empty[Cand] ++= guarded
+              if (hazardous.isEmpty && out.size < acc.size) {
+                var rmax: Option[Map[String, Long]] = None
+                def rjSafe(cj: Cand): Boolean = {
+                  if (rmax.isEmpty) {
+                    val rjs = acc.map(_.r).distinct
+                    rmax = Some(pairCounts(words)
+                      .filter(col("l").isInCollection(rjs))
+                      .groupBy("l").agg(max(col("f")).as("m")).collect()
+                      .map(r => r.getString(0) -> r.getLong(1)).toMap)
+                  }
+                  rmax.get.getOrElse(cj.r, 0L) < fstop
+                }
+                var m = out.size
+                var tieStop = false
+                while (!tieStop && m < acc.size) {
+                  val cm = acc(m)
+                  if (cm.f == fstop && out.forall(cj =>
+                      utf8Gt(cj.l + cj.r, cm.l) || rjSafe(cj))) {
+                    out += cm; m += 1
+                  } else tieStop = true
+                }
+              }
+              out.toSeq
             }
           }
         }

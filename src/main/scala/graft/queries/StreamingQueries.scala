@@ -101,6 +101,25 @@ object StreamingQueries {
       }
     ss.conf.set("spark.sql.shuffle.partitions", parts.toString)
     ss.conf.set("spark.sql.streaming.checkpoint.fileChecksum.enabled", "false")
+    // SPARK_GRAFT_STREAM_STATS=1: print per-batch state-operator
+    // totals (rows + memory) — the scale sweep's evidence that keyed
+    // state stays bounded (SCALE.md's measured-not-asserted rule for
+    // the streaming family). Dev knob; unset in bench/driver runs.
+    if (sys.env.contains("SPARK_GRAFT_STREAM_STATS"))
+      ss.streams.addListener(new org.apache.spark.sql.streaming.StreamingQueryListener {
+        import org.apache.spark.sql.streaming.StreamingQueryListener._
+        override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+        override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+        override def onQueryProgress(e: QueryProgressEvent): Unit = {
+          val so = e.progress.stateOperators
+          if (so.nonEmpty) {
+            val rows = so.map(_.numRowsTotal).sum
+            val mem = so.map(_.memoryUsedBytes).sum
+            println(f"[streamstats] parts=$parts batch=${e.progress.batchId} " +
+              f"stateRows=$rows stateMB=${mem / 1048576.0}%.1f")
+          }
+        }
+      })
     ss
   }
 

@@ -79,6 +79,45 @@ class BpeSpec extends AnyFunSuite {
         s"batch=$b diverged from sequential on conflicting vocabulary")
   }
 
+  test("count-flat ties batch instead of serializing, bit-identical") {
+    import spark.implicits._
+    // 10 mutually-disjoint two-char words, all at the same frequency:
+    // every pair-count round is completely count-flat. Before the tie
+    // extension this forced one merge per pair-count job; with it a
+    // batch of 4 must learn 4 tied merges per job (the rj-max guard
+    // proves no created pair can reach the tie) and still reproduce
+    // the sequential vocabulary exactly.
+    val ws = Seq("ab", "cd", "ef", "gh", "ij", "kl", "mn", "op", "qr", "st")
+    val text = ws.flatMap(Seq.fill(7)(_)).mkString(" ")
+    val df = Seq((1L, text)).toDF("doc_id", "text")
+    val seqMerges = asTuples(Bpe.train(df, "text", 10))
+    Bpe.train(df, "text", 10, batch = 1)
+    val seqRounds = Bpe.lastTrainStats.get._1
+    val batched = asTuples(Bpe.train(df, "text", 10, batch = 4))
+    val batchedRounds = Bpe.lastTrainStats.get._1
+    assert(batched == seqMerges)
+    assert(seqRounds == 10, s"sequential should pay one job per merge")
+    assert(batchedRounds <= 4,
+      s"tied merges must batch: $batchedRounds pair-count rounds for 10 merges at batch=4")
+  }
+
+  test("tie extension refuses the created-pair steal (rj-max guard)") {
+    import spark.implicits._
+    // (a,z), (c,d), (z,b) all tie at 10. (a,z) and (c,d) are disjoint,
+    // but merging (a,z) CREATES ("az", b) at count 10 — which sorts
+    // BEFORE (c,d) — so sequential learns (a,z), (az,b), (c,d) and a
+    // naive tie batch of {(a,z), (c,d)} would diverge. The rj-max
+    // guard sees max f over pairs with lhs "z" == fstop and refuses.
+    val text = (Seq.fill(10)("azb") ++ Seq.fill(10)("cd")).mkString(" ")
+    val df = Seq((1L, text)).toDF("doc_id", "text")
+    val seqMerges = asTuples(Bpe.train(df, "text", 3))
+    assert(seqMerges.map(t => (t._2, t._3)) ==
+      Seq(("a", "z"), ("az", "b"), ("c", "d")))
+    for (b <- Seq(2, 4, 8))
+      assert(asTuples(Bpe.train(df, "text", 3, batch = b)) == seqMerges,
+        s"batch=$b diverged from sequential on the steal vocabulary")
+  }
+
   test("batched training survives a concat-collision hazard") {
     import spark.implicits._
     // pre-existing symbol string "ab" (the word "ab" is one merge
