@@ -289,7 +289,17 @@ object StreamingQueries {
     // bit-for-bit, including the in-state Scala cosine matching the
     // codegen'd DotProduct + Round to the last ulp.
     "stream_incremental_ann" -> ((s, dir) => {
+      // md5-bucketed 25% sample, the stream_incremental_neardup
+      // precedent: audit mode retains EVERY vector as a bucket rep
+      // and there are only 2^|planes| = 64 sign-LSH buckets, so audit
+      // state per bucket grows linearly with the corpus and the
+      // in-state cosine scoring quadratically — measured 32 s at sf10
+      // (200k vectors) where production mode's maxReps cap stays
+      // flat. Sample-rate² bounds the audit; the twin (the proven
+      // ann_lsh_pairs relation) is sampled identically.
       val emb = Tables.embeddings(s, dir)
+        .filter(substring(md5(col("vec_id").cast("string")), 1, 1)
+          .isin("0", "1", "2", "3"))
         .select(col("vec_id"), col("embedding"))
         .withColumn("ts", lit("2024-01-01 00:00:00").cast("timestamp"))
       val mid = emb.agg(max(col("vec_id"))).head().getLong(0) / 2
@@ -465,8 +475,13 @@ object StreamingQueries {
          |ORDER BY a_id, b_id""".stripMargin,
 
     // audit-mode streaming sign-LSH == the batch bucketed join, so
-    // the twin is the proven ann_lsh_pairs oracle verbatim
-    "stream_incremental_ann" -> AnnQueries.oracle("ann_lsh_pairs"),
+    // the twin is the proven ann_lsh_pairs oracle over the SAME
+    // md5-bucketed 25% sample the stream query reads (per-vector
+    // bucketing/cosine commute with corpus restriction — the
+    // stream_incremental_neardup sampling argument)
+    "stream_incremental_ann" -> AnnQueries.oracle("ann_lsh_pairs")
+      .replace("FROM embeddings",
+        "FROM embeddings WHERE substring(md5(CAST(vec_id AS VARCHAR)), 1, 1) IN ('0','1','2','3')"),
 
     // the complete stream-stream join match set aggregates to the
     // batch range join — same twin, verbatim
