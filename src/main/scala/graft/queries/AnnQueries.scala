@@ -585,6 +585,25 @@ object AnnQueries {
       ivfPqRecall(s, dir, idx.coarseCentroids,
         graft.sources.AnnIndexIO.coarseCentVec(idx),
         sub => idx.codebooks(sub), idx.codes)
+    }),
+
+    // INCREMENTAL ingest against the persisted index (the other half
+    // of the train-once posture): a deterministic md5-bucketed 25% of
+    // the corpus plays "today's arrivals" and is encoded — coarse
+    // cell + residual PQ codes + exact quantization error — purely
+    // from the LOADED artifacts (AnnIndexIO.encode), no retraining,
+    // no Memo'd session state. Graded against the full trained
+    // index's twin restricted to the same ids: encoding is
+    // per-vector, so encode-after-load must reproduce the trainer's
+    // own rows bit-for-bit — the property that makes
+    // encode-then-append sound for daily ingest at 100 TB.
+    "ann_ivf_pq_encode" -> ((s, dir) => {
+      val idx = graft.sources.AnnIndexIO.load(s, persistedIndexDir(s, dir))
+      val fresh = prep(s, dir)
+        .filter(substring(md5(col("vec_id").cast("string")), 1, 1)
+          .isin("0", "1", "2", "3"))
+        .select(col("vec_id"), col("v"))
+      graft.sources.AnnIndexIO.encode(idx, fresh).orderBy("vec_id")
     })
   )
 
@@ -786,7 +805,14 @@ object AnnQueries {
     // the persisted-artifact search must reproduce the in-session
     // search exactly — same twin verbatim (the whole point: no Memo'd
     // training state may influence the served result)
-    ("ann_ivf_pq_persist_recall" -> oracleBase("ann_ivf_pq_recall"))
+    ("ann_ivf_pq_persist_recall" -> oracleBase("ann_ivf_pq_recall")) +
+    // encoding new arrivals from the loaded artifacts must reproduce
+    // the trainer's own code rows for those ids — the full-index twin
+    // restricted to the sampled "arrivals"
+    ("ann_ivf_pq_encode" -> oracleBase("ann_ivf_pq").replace(
+      "SELECT * FROM idx ORDER BY vec_id",
+      "SELECT * FROM idx WHERE substring(md5(CAST(vec_id AS VARCHAR)), 1, 1) " +
+        "IN ('0','1','2','3') ORDER BY vec_id"))
 
   private def oracleBase: Map[String, String] = Map(
     "ann_topk" ->

@@ -138,4 +138,76 @@ object AnnIndexIO {
       .agg(array_sort(collect_list(struct(col("dim"), col("cval")))).as("dc"))
       .select(col("label").cast("long").as("label"),
         transform(col("dc"), _.getField("cval")).as("cv"))
+
+  /** Encode NEW vectors against a loaded index — the daily-ingest
+    * path of the train-once posture: fresh corpus arrivals get coarse
+    * cell + residual PQ codes from the PERSISTED codebooks alone, no
+    * retraining, no Memo'd session state. Per-vector and
+    * embarrassingly parallel (two broadcast-centroid assignments and
+    * a row-local residual), so it scales like a scan regardless of
+    * how big the already-indexed corpus is. The arithmetic is
+    * bit-identical to the trainer's own code assignment
+    * (`ann_ivf_pq_encode` grades it against the full-index twin), so
+    * encode-then-[[append]] equals having trained with those vectors
+    * present — the property that makes incremental ingest sound.
+    *
+    * `vectors` must be (vec_id, v: array<double>) with v of
+    * manifest.dim components (the [[graft.ext.Ann.prepared]] shape).
+    * Returns (vec_id, coarse, code_0.., recon_d2) — the codes/ row
+    * schema. */
+  def encode(idx: IvfPqIndex, vectors: DataFrame): DataFrame = {
+    import graft.ext.Ann
+    val nSub = idx.manifest.subspaces
+    val w = idx.manifest.dim / nSub
+    val base = vectors.select(col("vec_id"), col("v"))
+    val coarse = Ann.nearestCentroid(base, idx.coarseCentroids)
+      .select(col("vec_id"), col("label").cast("long").as("label"))
+    val resid = base
+      .join(coarse, Seq("vec_id"))
+      .join(broadcast(coarseCentVec(idx)), Seq("label"))
+      .select(col("vec_id"), col("label"),
+        zip_with(col("v"), col("cv"), (a, b) => a - b).as("rv"))
+    val parts = (0 until nSub).map { sub =>
+      Ann.nearestCentroid(
+        resid.select(col("vec_id"), slice(col("rv"), sub * w + 1, w).as("v")),
+        idx.codebooks(sub))
+        .select(col("vec_id"), col("label").cast("long").as(s"code_$sub"),
+          col("d2").as(s"d2_$sub"))
+    }
+    val joined = parts.reduce((a, b) => a.join(b, Seq("vec_id")))
+    val reconInt = (0 until nSub).map(sub =>
+      (col(s"d2_$sub").cast("decimal(28,4)") * 10000).cast("long"))
+      .reduce(_ + _)
+    resid.select(col("vec_id"), col("label").as("coarse"))
+      .join(joined, Seq("vec_id"))
+      .select(col("vec_id") +: col("coarse") +:
+        (0 until nSub).map(sub => col(s"code_$sub")) :+
+        (reconInt.cast("double") / 10000.0).as("recon_d2"): _*)
+  }
+
+  /** Append freshly-encoded rows to a persisted index's code table
+    * and refresh the manifest row count. The centroid artifacts are
+    * immutable (they define the geometry); only codes/ grows — the
+    * parquet-append is the same operation a 1000-executor ingest job
+    * would run, with whatever parallelism `codes` carries. Callers
+    * are responsible for vec_id disjointness (appending an existing
+    * id duplicates it, as in any append-only table). */
+  def append(dir: String, codes: DataFrame): Unit = {
+    val mPath = Paths.get(dir, "manifest.json")
+    require(Files.exists(mPath), s"no index manifest at $dir/manifest.json")
+    val json = new String(Files.readAllBytes(mPath), StandardCharsets.UTF_8)
+    val m = Manifest("ivf-pq",
+      jsonField(json, "subspaces").toInt, jsonField(json, "codebookK").toInt,
+      jsonField(json, "coarseK").toInt, jsonField(json, "dim").toInt,
+      jsonField(json, "nVectors").toLong)
+    val codeCols = (0 until m.subspaces).map(s => s"code_$s")
+    val missing = (Seq("vec_id", "coarse") ++ codeCols)
+      .filterNot(codes.columns.contains)
+    require(missing.isEmpty,
+      s"append to $dir: codes frame is missing ${missing.mkString(", ")}")
+    codes.write.mode(SaveMode.Append).parquet(s"$dir/codes")
+    val n = codes.sparkSession.read.parquet(s"$dir/codes").count()
+    Files.write(mPath,
+      manifestJson(m.copy(nVectors = n)).getBytes(StandardCharsets.UTF_8)): Unit
+  }
 }

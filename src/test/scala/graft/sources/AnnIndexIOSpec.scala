@@ -93,6 +93,53 @@ class AnnIndexIOSpec extends AnyFunSuite {
     } finally rmTree(new java.io.File(dir))
   }
 
+  test("encode assigns new vectors from the loaded artifacts alone") {
+    import spark.implicits._
+    val dir = tmpDir()
+    try {
+      val (coarse, books, codes) = fixture()
+      AnnIndexIO.save(dir, coarse, books, codes,
+        coarseK = 2, codebookK = 2, dim = 4)
+      val idx = AnnIndexIO.load(spark, dir)
+      // v = exactly coarse cell 1's centroid: residual 0, so every
+      // subspace picks the codebook entry nearest the zero vector
+      // (book0: label 0 at d2 0.05 vs label 1 at 0.25; book1: label 1
+      // at d2 6.25 vs label 0 at 2.65 -> label 0) and recon_d2 is
+      // their exact sum
+      val fresh = Seq((20L, Seq(-1.5, 0.75, 2.0, -0.125))).toDF("vec_id", "v")
+      val got = AnnIndexIO.encode(idx, fresh).collect()
+      assert(got.length == 1)
+      val r = got(0)
+      assert(r.getAs[Long]("vec_id") == 20L)
+      assert(r.getAs[Long]("coarse") == 1L)
+      assert(r.getAs[Long]("code_0") == 0L)
+      assert(r.getAs[Long]("code_1") == 0L)
+      // exact BIGINT micro-unit sum: (500 + 26500) / 10000
+      assert(r.getAs[Double]("recon_d2") == 27000 / 10000.0)
+    } finally rmTree(new java.io.File(dir))
+  }
+
+  test("append grows codes and refreshes the manifest count") {
+    import spark.implicits._
+    val dir = tmpDir()
+    try {
+      val (coarse, books, codes) = fixture()
+      AnnIndexIO.save(dir, coarse, books, codes,
+        coarseK = 2, codebookK = 2, dim = 4)
+      val fresh = Seq((20L, 1L, 0L, 0L, 2.7))
+        .toDF("vec_id", "coarse", "code_0", "code_1", "recon_d2")
+      AnnIndexIO.append(dir, fresh)
+      val idx = AnnIndexIO.load(spark, dir)
+      assert(idx.manifest.nVectors == 4L)
+      assert(idx.codes.orderBy("vec_id").collect().map(_.getLong(0)).toSeq ==
+        Seq(10L, 11L, 12L, 20L))
+      // append refuses a frame missing declared code columns
+      val e = intercept[IllegalArgumentException](
+        AnnIndexIO.append(dir, fresh.drop("code_1")))
+      assert(e.getMessage.contains("code_1"))
+    } finally rmTree(new java.io.File(dir))
+  }
+
   test("load refuses codes that contradict the manifest's subspace count") {
     val dir = tmpDir()
     try {
