@@ -155,34 +155,69 @@ object AnnIndexIO {
     * manifest.dim components (the [[graft.ext.Ann.prepared]] shape).
     * Returns (vec_id, coarse, code_0.., recon_d2) — the codes/ row
     * schema. */
+  /** (label, vector) rows of a (label, dim, cval) centroid table,
+    * collected to the driver sorted by label. Bounded by the index
+    * GEOMETRY (k·dim doubles — KBs for any corpus), never by corpus
+    * size: loading codebooks into memory is what every ANN serving
+    * system does (FAISS holds them resident); the manifest validates
+    * the shape before this runs. */
+  private def collectCentroids(cent: DataFrame): Seq[(Long, Seq[Double])] =
+    cent.groupBy("label")
+      .agg(array_sort(collect_list(struct(col("dim"), col("cval")))).as("dc"))
+      .select(col("label").cast("long"),
+        transform(col("dc"), _.getField("cval")))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1)))
+      .sortBy(_._1)
+      .toSeq
+
+  /** round(Σ (v[i]-c[i])², 4) to each centroid in `cents`, as one
+    * row-local fold per centroid — the same dim-order, same rounding
+    * arithmetic as the trainer's centroidDistances aggregate (whose
+    * 64 exploded dim rows also sum in array order within one
+    * partition), so assignments are bit-identical. */
+  private def d2All(v: org.apache.spark.sql.Column, cents: Seq[Seq[Double]]) =
+    array(cents.map(c =>
+      round(aggregate(zip_with(v, typedLit(c), (a, b) => (a - b) * (a - b)),
+        lit(0.0), (acc, x) => acc + x), 4)): _*)
+
   def encode(idx: IvfPqIndex, vectors: DataFrame): DataFrame = {
-    import graft.ext.Ann
     val nSub = idx.manifest.subspaces
     val w = idx.manifest.dim / nSub
-    val base = vectors.select(col("vec_id"), col("v"))
-    val coarse = Ann.nearestCentroid(base, idx.coarseCentroids)
-      .select(col("vec_id"), col("label").cast("long").as("label"))
-    val resid = base
-      .join(coarse, Seq("vec_id"))
-      .join(broadcast(coarseCentVec(idx)), Seq("label"))
-      .select(col("vec_id"), col("label"),
-        zip_with(col("v"), col("cv"), (a, b) => a - b).as("rv"))
-    val parts = (0 until nSub).map { sub =>
-      Ann.nearestCentroid(
-        resid.select(col("vec_id"), slice(col("rv"), sub * w + 1, w).as("v")),
-        idx.codebooks(sub))
-        .select(col("vec_id"), col("label").cast("long").as(s"code_$sub"),
-          col("d2").as(s"d2_$sub"))
+    // centroid tables → driver-side literals (geometry-bounded).
+    // Each table is carried label-sorted, so the FIRST index of the
+    // minimum distance is the lowest label — the trainer's exact
+    // (d2 asc, label asc) tie-break — without assuming labels are
+    // dense (an empty Lloyd's cluster drops its label).
+    val coarse = collectCentroids(idx.coarseCentroids)
+    val books = (0 until nSub).map(sub => collectCentroids(idx.codebooks(sub)))
+    // ONE codegen'd scan, zero exchanges: the ingest hot path must
+    // cost a linear pass at any already-indexed corpus size. The
+    // original join formulation (posexplode → centroid join → groupBy
+    // → rank window, per subspace) paid ~20 exchanges and 12.8 s for
+    // 50k vectors at sf10; this pass is the plan a 1000-executor
+    // ingest job wants.
+    val cd2 = d2All(col("v"), coarse.map(_._2))
+    val cpos = array_position(cd2, array_min(cd2)) // 1-based first-min
+    val cvArr = typedLit(coarse.map(_._2))
+    val cLabels = typedLit(coarse.map(_._1))
+    val withCoarse = vectors.select(col("vec_id"), col("v"))
+      .withColumn("coarse", element_at(cLabels, cpos.cast("int")))
+      .withColumn("rv",
+        zip_with(col("v"), element_at(cvArr, cpos.cast("int")), (a, b) => a - b))
+    val withCodes = (0 until nSub).foldLeft(withCoarse) { (df, sub) =>
+      val sd2 = d2All(slice(col("rv"), sub * w + 1, w), books(sub).map(_._2))
+      val spos = array_position(sd2, array_min(sd2))
+      df.withColumn(s"code_$sub",
+          element_at(typedLit(books(sub).map(_._1)), spos.cast("int")))
+        .withColumn(s"d2_$sub", element_at(sd2, spos.cast("int")))
     }
-    val joined = parts.reduce((a, b) => a.join(b, Seq("vec_id")))
     val reconInt = (0 until nSub).map(sub =>
       (col(s"d2_$sub").cast("decimal(28,4)") * 10000).cast("long"))
       .reduce(_ + _)
-    resid.select(col("vec_id"), col("label").as("coarse"))
-      .join(joined, Seq("vec_id"))
-      .select(col("vec_id") +: col("coarse") +:
-        (0 until nSub).map(sub => col(s"code_$sub")) :+
-        (reconInt.cast("double") / 10000.0).as("recon_d2"): _*)
+    withCodes.select(col("vec_id") +: col("coarse") +:
+      (0 until nSub).map(sub => col(s"code_$sub")) :+
+      (reconInt.cast("double") / 10000.0).as("recon_d2"): _*)
   }
 
   /** Append freshly-encoded rows to a persisted index's code table
