@@ -604,8 +604,57 @@ object AnnQueries {
           .isin("0", "1", "2", "3"))
         .select(col("vec_id"), col("v"))
       graft.sources.AnnIndexIO.encode(idx, fresh).orderBy("vec_id")
+    }),
+
+    // DELETION against the persisted index (take-down requests are a
+    // fact of life for a 100 TB corpus): tombstone the md5-sampled
+    // 25% (AnnIndexIO.remove — an append of ids, never a rewrite of
+    // the code table), then COMPACT (fold tombstones into the files)
+    // and serve. Exercises remove → live anti-join view → compact →
+    // reload on a throwaway copy of the session's index artifacts;
+    // graded against the trained index's twin MINUS the removed ids.
+    // The oracle can't tell tombstone-masked from physically-compacted
+    // rows — which is the contract: consumers see identical data
+    // either side of compaction.
+    "ann_ivf_pq_remove" -> ((s, dir) => {
+      val tmp = copyOfPersistedIndex(s, dir)
+      try {
+        val doomed = prep(s, dir)
+          .filter(substring(md5(col("vec_id").cast("string")), 1, 1)
+            .isin("0", "1", "2", "3"))
+          .select(col("vec_id"))
+        graft.sources.AnnIndexIO.remove(tmp, doomed)
+        graft.sources.AnnIndexIO.compact(s, tmp)
+        graft.sources.AnnIndexIO.load(s, tmp).codes
+          .orderBy("vec_id")
+          .localCheckpoint(true) // materialize before the copy dies
+      } finally rmTree(new java.io.File(tmp))
     })
   )
+
+  /** Throwaway copy of the session's persisted index artifacts, for
+    * queries that MUTATE the index (remove/compact) without touching
+    * the shared memo. KB-scale recursive file copy into the same
+    * scratch tree family the originals live in. */
+  private def copyOfPersistedIndex(s: SparkSession, dir: String): String = {
+    val src = java.nio.file.Paths.get(persistedIndexDir(s, dir))
+    val shm = java.nio.file.Paths.get("/dev/shm")
+    val dst = if (java.nio.file.Files.isDirectory(shm))
+      java.nio.file.Files.createTempDirectory(shm, "graft_annidx_mut")
+    else java.nio.file.Files.createTempDirectory("graft_annidx_mut")
+    val stream = java.nio.file.Files.walk(src)
+    try stream.forEach { p =>
+      val t = dst.resolve(src.relativize(p))
+      if (java.nio.file.Files.isDirectory(p)) {
+        java.nio.file.Files.createDirectories(t): Unit
+      } else {
+        java.nio.file.Files.createDirectories(t.getParent)
+        java.nio.file.Files.copy(p, t,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING): Unit
+      }
+    } finally stream.close()
+    dst.toString
+  }
 
   /** The IVF-PQ search pipeline (see the ann_ivf_pq_recall scaladoc
     * above), parameterized over WHERE the index lives: the Memo'd
@@ -812,7 +861,13 @@ object AnnQueries {
     ("ann_ivf_pq_encode" -> oracleBase("ann_ivf_pq").replace(
       "SELECT * FROM idx ORDER BY vec_id",
       "SELECT * FROM idx WHERE substring(md5(CAST(vec_id AS VARCHAR)), 1, 1) " +
-        "IN ('0','1','2','3') ORDER BY vec_id"))
+        "IN ('0','1','2','3') ORDER BY vec_id")) +
+    // remove+compact must serve exactly the trained index minus the
+    // tombstoned ids — the complement of the encode sample
+    ("ann_ivf_pq_remove" -> oracleBase("ann_ivf_pq").replace(
+      "SELECT * FROM idx ORDER BY vec_id",
+      "SELECT * FROM idx WHERE substring(md5(CAST(vec_id AS VARCHAR)), 1, 1) " +
+        "NOT IN ('0','1','2','3') ORDER BY vec_id"))
 
   private def oracleBase: Map[String, String] = Map(
     "ann_topk" ->

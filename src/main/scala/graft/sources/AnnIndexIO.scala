@@ -94,6 +94,8 @@ object AnnIndexIO {
     }
     // the compressed corpus: written with the frame's own parallelism
     codes.write.mode(SaveMode.Overwrite).parquet(s"$dir/codes")
+    // a stale tombstone set must not delete rows of a NEW index
+    rmTreeJ(new java.io.File(s"$dir/tombstones"))
 
     val n = codes.sparkSession.read.parquet(s"$dir/codes").count()
     val m = Manifest("ivf-pq", codebooks.size, codebookK, coarseK, dim, n)
@@ -120,7 +122,8 @@ object AnnIndexIO {
     val coarse = s.read.parquet(s"$dir/coarse_centroids")
     val books = (0 until m.subspaces)
       .map(sub => s.read.parquet(s"$dir/codebook_$sub"))
-    val codes = s.read.parquet(s"$dir/codes")
+    // the LIVE view: tombstoned rows ([[remove]]) are anti-joined out
+    val codes = liveCodes(s, dir)
     val codeCols = (0 until m.subspaces).map(i => s"code_$i")
     val missing = (Seq("vec_id", "coarse") ++ codeCols)
       .filterNot(codes.columns.contains)
@@ -228,21 +231,81 @@ object AnnIndexIO {
     * are responsible for vec_id disjointness (appending an existing
     * id duplicates it, as in any append-only table). */
   def append(dir: String, codes: DataFrame): Unit = {
-    val mPath = Paths.get(dir, "manifest.json")
-    require(Files.exists(mPath), s"no index manifest at $dir/manifest.json")
-    val json = new String(Files.readAllBytes(mPath), StandardCharsets.UTF_8)
-    val m = Manifest("ivf-pq",
-      jsonField(json, "subspaces").toInt, jsonField(json, "codebookK").toInt,
-      jsonField(json, "coarseK").toInt, jsonField(json, "dim").toInt,
-      jsonField(json, "nVectors").toLong)
+    val m = readManifest(dir)
     val codeCols = (0 until m.subspaces).map(s => s"code_$s")
     val missing = (Seq("vec_id", "coarse") ++ codeCols)
       .filterNot(codes.columns.contains)
     require(missing.isEmpty,
       s"append to $dir: codes frame is missing ${missing.mkString(", ")}")
     codes.write.mode(SaveMode.Append).parquet(s"$dir/codes")
-    val n = codes.sparkSession.read.parquet(s"$dir/codes").count()
-    Files.write(mPath,
-      manifestJson(m.copy(nVectors = n)).getBytes(StandardCharsets.UTF_8)): Unit
+    val n = liveCodes(codes.sparkSession, dir).count()
+    writeManifest(dir, m.copy(nVectors = n))
+  }
+
+  /** Mark vectors as DELETED without rewriting the code table — the
+    * tombstone pattern every append-only index store uses (a 100 TB
+    * code table is not rewritten because a take-down request removed
+    * a document). `ids` (any frame with a vec_id column) appends to
+    * `<dir>/tombstones/`; [[load]] anti-joins codes against it, so
+    * every consumer — serve, recall, compact — sees the index WITHOUT
+    * the removed vectors, at the cost of one broadcastable anti-join
+    * per scan. [[compact]] folds tombstones into the files when the
+    * debt is worth reclaiming. Removing an id that was never indexed
+    * is a no-op by anti-join semantics; re-appending a tombstoned id
+    * resurrects nothing (the tombstone wins until compaction drops
+    * both). */
+  def remove(dir: String, ids: DataFrame): Unit = {
+    val m = readManifest(dir)
+    require(ids.columns.contains("vec_id"),
+      s"remove from $dir: ids frame has no vec_id column")
+    ids.select(col("vec_id")).write.mode(SaveMode.Append)
+      .parquet(s"$dir/tombstones")
+    writeManifest(dir, m.copy(
+      nVectors = liveCodes(ids.sparkSession, dir).count()))
+  }
+
+  /** Rewrite the code table without tombstoned rows and clear the
+    * tombstones — the maintenance job that reclaims scan cost once
+    * deletion debt accumulates. The rewrite keeps the live frame's
+    * parallelism; centroid artifacts are untouched (geometry is
+    * immutable). */
+  def compact(spark: SparkSession, dir: String): Unit = {
+    val m = readManifest(dir)
+    if (Files.isDirectory(Paths.get(dir, "tombstones"))) {
+      // localCheckpoint: the rewrite reads the files it overwrites
+      val live = liveCodes(spark, dir).localCheckpoint(true)
+      live.write.mode(SaveMode.Overwrite).parquet(s"$dir/codes")
+      rmTreeJ(new java.io.File(s"$dir/tombstones"))
+      writeManifest(dir, m.copy(nVectors = live.count()))
+    }
+  }
+
+  /** codes minus tombstones (the live view every consumer gets). */
+  private def liveCodes(spark: SparkSession, dir: String): DataFrame = {
+    val codes = spark.read.parquet(s"$dir/codes")
+    if (Files.isDirectory(Paths.get(dir, "tombstones")))
+      codes.join(spark.read.parquet(s"$dir/tombstones"),
+        Seq("vec_id"), "left_anti")
+    else codes
+  }
+
+  private def readManifest(dir: String): Manifest = {
+    val mPath = Paths.get(dir, "manifest.json")
+    require(Files.exists(mPath), s"no index manifest at $dir/manifest.json")
+    val json = new String(Files.readAllBytes(mPath), StandardCharsets.UTF_8)
+    Manifest("ivf-pq",
+      jsonField(json, "subspaces").toInt, jsonField(json, "codebookK").toInt,
+      jsonField(json, "coarseK").toInt, jsonField(json, "dim").toInt,
+      jsonField(json, "nVectors").toLong)
+  }
+
+  private def writeManifest(dir: String, m: Manifest): Unit =
+    Files.write(Paths.get(dir, "manifest.json"),
+      manifestJson(m).getBytes(StandardCharsets.UTF_8)): Unit
+
+  private def rmTreeJ(f: java.io.File): Unit = {
+    val kids = f.listFiles()
+    if (kids != null) kids.foreach(rmTreeJ)
+    f.delete(): Unit
   }
 }

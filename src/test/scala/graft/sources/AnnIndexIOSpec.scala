@@ -140,6 +140,42 @@ class AnnIndexIOSpec extends AnyFunSuite {
     } finally rmTree(new java.io.File(dir))
   }
 
+  test("remove tombstones, compact folds, save clears stale tombstones") {
+    import spark.implicits._
+    val dir = tmpDir()
+    try {
+      val (coarse, books, codes) = fixture()
+      AnnIndexIO.save(dir, coarse, books, codes,
+        coarseK = 2, codebookK = 2, dim = 4)
+      // tombstone one row: the live view drops it without a rewrite
+      AnnIndexIO.remove(dir, Seq(11L).toDF("vec_id"))
+      val afterRemove = AnnIndexIO.load(spark, dir)
+      assert(afterRemove.manifest.nVectors == 2L)
+      assert(afterRemove.codes.orderBy("vec_id").collect()
+        .map(_.getLong(0)).toSeq == Seq(10L, 12L))
+      // re-appending a tombstoned id resurrects nothing
+      AnnIndexIO.append(dir,
+        Seq((11L, 0L, 0L, 0L, 1.0))
+          .toDF("vec_id", "coarse", "code_0", "code_1", "recon_d2"))
+      assert(AnnIndexIO.load(spark, dir).codes.orderBy("vec_id").collect()
+        .map(_.getLong(0)).toSeq == Seq(10L, 12L))
+      // removing a never-indexed id is a no-op
+      AnnIndexIO.remove(dir, Seq(999L).toDF("vec_id"))
+      // compact: same live rows, tombstones physically gone
+      AnnIndexIO.compact(spark, dir)
+      assert(!new java.io.File(s"$dir/tombstones").exists())
+      val afterCompact = AnnIndexIO.load(spark, dir)
+      assert(afterCompact.manifest.nVectors == 2L)
+      assert(afterCompact.codes.orderBy("vec_id").collect()
+        .map(_.getLong(0)).toSeq == Seq(10L, 12L))
+      // a fresh save over the dir must not inherit deletions
+      AnnIndexIO.remove(dir, Seq(10L).toDF("vec_id"))
+      AnnIndexIO.save(dir, coarse, books, codes,
+        coarseK = 2, codebookK = 2, dim = 4)
+      assert(AnnIndexIO.load(spark, dir).codes.count() == 3L)
+    } finally rmTree(new java.io.File(dir))
+  }
+
   test("load refuses codes that contradict the manifest's subspace count") {
     val dir = tmpDir()
     try {
