@@ -37,8 +37,10 @@ object ProfileStream {
       r
     }
 
+    // mirror of the gated query's md5-bucketed 25% sample (r13)
     val docs = Tables.documents(spark, sfDir)
-      .filter(col("doc_id") % 2 === 0)
+      .filter(substring(md5(col("doc_id").cast("string")), 1, 1)
+        .isin("0", "1", "2", "3"))
       .select(col("doc_id"), col("text"))
       .withColumn("ts", lit("2024-01-01 00:00:00").cast("timestamp"))
     val mid = docs.agg(max(col("doc_id"))).head().getLong(0) / 2

@@ -118,6 +118,30 @@ class BpeSpec extends AnyFunSuite {
         s"batch=$b diverged from sequential on the steal vocabulary")
   }
 
+  test("randomized differential: batch == sequential on 12 seeded corpora") {
+    import spark.implicits._
+    // Deterministic pseudo-random corpora over a 5-char alphabet:
+    // short words over a tiny alphabet maximize exact count ties,
+    // shared symbols, and concat collisions (words like "ab" coexist
+    // with pairs (a,b)) — the three hazards the batch guard must
+    // survive. Every corpus must train bit-identically at every
+    // batch size; a guard bug shows up as a merge-order divergence.
+    val alpha = "abcde"
+    for (seed <- 0 until 12) {
+      val rnd = new scala.util.Random(seed)
+      val words = Seq.fill(30) {
+        val len = 1 + rnd.nextInt(4)
+        (0 until len).map(_ => alpha(rnd.nextInt(alpha.length))).mkString
+      }
+      val text = words.flatMap(w => Seq.fill(1 + rnd.nextInt(9))(w)).mkString(" ")
+      val df = Seq((1L, text)).toDF("doc_id", "text")
+      val seqMerges = asTuples(Bpe.train(df, "text", 12))
+      for (b <- Seq(4, 16))
+        assert(asTuples(Bpe.train(df, "text", 12, batch = b)) == seqMerges,
+          s"seed=$seed batch=$b diverged from sequential")
+    }
+  }
+
   test("batched training survives a concat-collision hazard") {
     import spark.implicits._
     // pre-existing symbol string "ab" (the word "ab" is one merge
