@@ -92,6 +92,30 @@ object Bench {
       w.groupBy("r_name").count().count()
     } catch { case _: Throwable => () }
 
+    // In-artifact calibration probe (VERDICT r13 item 4): a FIXED
+    // synthetic workload — constant size at every sf, pure
+    // whole-stage-codegen arithmetic across all cores, no IO, no
+    // shuffle — timed at the start and end of the run and stamped
+    // into the artifact. Cross-round comparison on a noisy box leaned
+    // on a prose caveat ("medians read 20-40% above r12 on identical
+    // code"); with this stamp the box's stall inflation is a measured
+    // divisor: probe medians that differ between two rounds' artifacts
+    // quantify environment drift on code that cannot have changed.
+    // CPU-saturating on purpose — external stalls inflate it the same
+    // way they inflate the benched queries' medians.
+    def calOnce(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(0, 256L * 1000 * 1000, 1, cpus.toInt)
+        .selectExpr("sum((id * 2654435761) % 1000003) AS s").collect(): Unit
+      (System.nanoTime() - t0) / 1e9
+    }
+    def calMedian(): (Double, Seq[Double]) = {
+      calOnce(): Unit // untimed warm (codegen compile)
+      val ts = (1 to 5).map(_ => calOnce()).sorted
+      (ts(2), ts)
+    }
+    val (calStart, calStartReps) = calMedian()
+
     val warms: Map[String, (SparkSession, String) => Unit] = Map(
       "dedup" -> graft.queries.DedupQueries.warmIndexes,
       "text" -> graft.queries.TextQueries.warmIndexes,
@@ -208,6 +232,7 @@ object Bench {
       System.gc()
       rows
     }
+    val (calEnd, calEndReps) = calMedian()
     val total = indexBuild + detail.map(_._3).sum
     val maxSpread = detail.map { case (_, times, median, _, _) =>
       if (median > 0) (times.last - times.head) / median else 0.0
@@ -260,10 +285,15 @@ object Bench {
     val missing = (SparkEntry.queries.keySet -- measured -- skip).toSeq.sorted
     val complete = missing.isEmpty
     val missingJson = missing.map(n => s""""$n"""").mkString("[", ",", "]")
+    val calJson =
+      s"""{"start":${fmt(calStart)},"end":${fmt(calEnd)},""" +
+        s""""start_reps":[${calStartReps.map(fmt).mkString(",")}],""" +
+        s""""end_reps":[${calEndReps.map(fmt).mkString(",")}]}"""
     val artifact =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","method":"$method","index_build":${fmt(indexBuild)},""" +
         s""""warm":$warmJson,"max_spread":${fmt(maxSpread)},"max_iqr_spread":${fmt(maxIqrSpread)},""" +
         s""""n_reps":$reps,"cpus":$cpus,"sf":"$sfDir","complete":$complete,"missing":$missingJson,""" +
+        s""""calibration":$calJson,""" +
         s""""skipped":$skippedJson,"queries":$qDetail}"""
     try {
       val p = java.nio.file.Paths.get(outPath)
@@ -287,7 +317,7 @@ object Bench {
       (if (missing.size > 3) Seq(s""""+${missing.size - 3} more"""") else Nil))
       .mkString("[", ",", "]")
     val missStdout = if (complete) "" else s""","complete":false,"n_missing":${missing.size},"missing":$missStdoutList"""
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","method":"$method","index_build":${fmt(indexBuild)},"queries":$qs,"sf":"$sfDir"$skipStdout$missStdout}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","method":"$method","index_build":${fmt(indexBuild)},"cal":[${fmt(calStart)},${fmt(calEnd)}],"queries":$qs,"sf":"$sfDir"$skipStdout$missStdout}""")
     spark.stop()
   }
 }

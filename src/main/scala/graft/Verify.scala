@@ -60,6 +60,15 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // the DECLARED query surface, for the sweep's structural-
+    // completeness stamp (VERDICT r13 item 3: the bench artifacts are
+    // guarded by Bench's measured ∪ skipped == surface check, but the
+    // SCALE.md correctness sweep had no equivalent — so "the
+    // last-added query trails the sf1 sweep" recurred there; with
+    // this dump tools/check.py enforces compared ∪ skipped == queries)
+    val declared = SparkEntry.queries.keys.toSeq.sorted
+      .map(q).mkString("[", ",", "]")
+    Files.writeString(Paths.get(s"$outDir/queries.json"), declared)
     spark.stop()
   }
 }

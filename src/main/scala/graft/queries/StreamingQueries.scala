@@ -101,6 +101,22 @@ object StreamingQueries {
       }
     ss.conf.set("spark.sql.shuffle.partitions", parts.toString)
     ss.conf.set("spark.sql.streaming.checkpoint.fileChecksum.enabled", "false")
+    // SPARK_GRAFT_STREAM_PROVIDER=rocksdb: run the harness on the
+    // RocksDB state store — the provider a production job uses once
+    // keyed state outgrows executor heap. Results are provider-
+    // independent (RocksDbStateSpec pins equality at spec scale);
+    // this knob exists so the SCALE.md sweep can MEASURE the
+    // biggest-state query on the off-heap provider instead of
+    // asserting the story (VERDICT r13 item 7). Unset = Spark's
+    // default HDFS-backed in-memory provider.
+    sys.env.get("SPARK_GRAFT_STREAM_PROVIDER").foreach {
+      case "rocksdb" => ss.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      case "default" => ()
+      case other => throw new IllegalArgumentException(
+        s"SPARK_GRAFT_STREAM_PROVIDER: unknown provider '$other' (rocksdb|default)")
+    }
     // SPARK_GRAFT_STREAM_STATS=1: print per-batch state-operator
     // totals (rows + memory) — the scale sweep's evidence that keyed
     // state stays bounded (SCALE.md's measured-not-asserted rule for
@@ -152,7 +168,11 @@ object StreamingQueries {
       .getOrElse {
         val cores = s.sparkContext.defaultParallelism
         val bytes = input.queryExecution.optimizedPlan.stats.sizeInBytes
-        math.max(8, math.min(cores, (bytes / (128L << 10)).toInt))
+        // clamp in BigInt space BEFORE toInt: sizeInBytes defaults to
+        // a huge sentinel for non-estimable plans, and BigInt.toInt
+        // keeps only the low 32 bits — an unclamped conversion could
+        // silently truncate to an arbitrary (even negative) fan-out
+        (bytes / (128L << 10)).min(BigInt(cores)).max(BigInt(8)).toInt
       }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

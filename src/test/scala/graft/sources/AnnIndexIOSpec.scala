@@ -10,11 +10,7 @@ class AnnIndexIOSpec extends AnyFunSuite {
   private def tmpDir(): String =
     java.nio.file.Files.createTempDirectory("annidx_spec").toString
 
-  private def rmTree(f: java.io.File): Unit = {
-    val kids = f.listFiles()
-    if (kids != null) kids.foreach(rmTree)
-    f.delete(): Unit
-  }
+  private def rmTree(f: java.io.File): Unit = AnnIndexIO.rmTree(f)
 
   /** A tiny but fully-shaped index: 2 coarse cells over dim 4, two
     * 2-subspace codebooks, 3 coded vectors. */
@@ -159,20 +155,100 @@ class AnnIndexIOSpec extends AnyFunSuite {
           .toDF("vec_id", "coarse", "code_0", "code_1", "recon_d2"))
       assert(AnnIndexIO.load(spark, dir).codes.orderBy("vec_id").collect()
         .map(_.getLong(0)).toSeq == Seq(10L, 12L))
-      // removing a never-indexed id is a no-op
+      // removing a never-indexed id is a no-op on the data (the
+      // incremental count transiently undershoots by 1 — reconciled
+      // exactly by compact below)
       AnnIndexIO.remove(dir, Seq(999L).toDF("vec_id"))
-      // compact: same live rows, tombstones physically gone
+      // compact: live rows land in a NEW generation, manifest flips,
+      // count is reconciled exactly, tombstone debt is cleared
       AnnIndexIO.compact(spark, dir)
-      assert(!new java.io.File(s"$dir/tombstones").exists())
       val afterCompact = AnnIndexIO.load(spark, dir)
+      assert(afterCompact.manifest.generation == 1)
       assert(afterCompact.manifest.nVectors == 2L)
+      assert(afterCompact.manifest.nTombstones == 0L)
+      assert(new java.io.File(s"$dir/codes_g1").isDirectory)
       assert(afterCompact.codes.orderBy("vec_id").collect()
         .map(_.getLong(0)).toSeq == Seq(10L, 12L))
-      // a fresh save over the dir must not inherit deletions
+      // vacuum drops everything but the live generation
+      AnnIndexIO.vacuum(dir)
+      assert(!new java.io.File(s"$dir/codes").exists())
+      assert(!new java.io.File(s"$dir/tombstones").exists())
+      assert(AnnIndexIO.load(spark, dir).codes.count() == 2L)
+      // a fresh save over the dir must not inherit deletions and
+      // resets to generation 0 (stale generation dirs cleared)
       AnnIndexIO.remove(dir, Seq(10L).toDF("vec_id"))
       AnnIndexIO.save(dir, coarse, books, codes,
         coarseK = 2, codebookK = 2, dim = 4)
-      assert(AnnIndexIO.load(spark, dir).codes.count() == 3L)
+      assert(!new java.io.File(s"$dir/codes_g1").exists())
+      val fresh = AnnIndexIO.load(spark, dir)
+      assert(fresh.manifest.generation == 0)
+      assert(fresh.codes.count() == 3L)
+    } finally rmTree(new java.io.File(dir))
+  }
+
+  test("a reader holding the pre-compact manifest never sees a mix") {
+    import spark.implicits._
+    val dir = tmpDir()
+    try {
+      val (coarse, books, codes) = fixture()
+      AnnIndexIO.save(dir, coarse, books, codes,
+        coarseK = 2, codebookK = 2, dim = 4)
+      AnnIndexIO.remove(dir, Seq(11L).toDF("vec_id"))
+      // the reader loads (manifest read + lazy frames over gen-0
+      // dirs) BEFORE maintenance compacts — the deterministic
+      // interleaving of the load-during-compact race
+      val reader = AnnIndexIO.load(spark, dir)
+      AnnIndexIO.compact(spark, dir)
+      // compact wrote codes_g1 and flipped the manifest, but the
+      // reader's generation-0 dirs (codes + tombstones) still exist —
+      // evaluating the pre-flip frames yields the consistent
+      // PRE-compact live view, not a missing-path error and not
+      // resurrected tombstoned rows
+      assert(reader.codes.orderBy("vec_id").collect()
+        .map(_.getLong(0)).toSeq == Seq(10L, 12L))
+      // a post-flip load serves the compacted generation — same rows
+      val after = AnnIndexIO.load(spark, dir)
+      assert(after.manifest.generation == 1)
+      assert(after.codes.orderBy("vec_id").collect()
+        .map(_.getLong(0)).toSeq == Seq(10L, 12L))
+      // a SECOND maintenance cycle retires generation 0: only then
+      // are the old reader's dirs reclaimed (one-cycle grace window)
+      AnnIndexIO.remove(dir, Seq(12L).toDF("vec_id"))
+      AnnIndexIO.compact(spark, dir)
+      assert(!new java.io.File(s"$dir/codes").exists())
+      assert(!new java.io.File(s"$dir/tombstones").exists())
+      assert(new java.io.File(s"$dir/codes_g1").isDirectory)
+      val g2 = AnnIndexIO.load(spark, dir)
+      assert(g2.manifest.generation == 2)
+      assert(g2.codes.collect().map(_.getLong(0)).toSeq == Seq(10L))
+    } finally rmTree(new java.io.File(dir))
+  }
+
+  test("append/remove bookkeeping is O(batch): counts stay exact under the maintenance contract") {
+    import spark.implicits._
+    val dir = tmpDir()
+    try {
+      val (coarse, books, codes) = fixture()
+      AnnIndexIO.save(dir, coarse, books, codes,
+        coarseK = 2, codebookK = 2, dim = 4)
+      // interleaved maintenance: append 2 fresh, remove 1 live,
+      // append 1 more — nVectors tracks incrementally (3+2-1+1) and
+      // nTombstones carries the pending debt
+      AnnIndexIO.append(dir,
+        Seq((20L, 1L, 0L, 0L, 2.7), (21L, 0L, 1L, 1L, 0.5))
+          .toDF("vec_id", "coarse", "code_0", "code_1", "recon_d2"))
+      AnnIndexIO.remove(dir, Seq(10L).toDF("vec_id"))
+      AnnIndexIO.append(dir,
+        Seq((22L, 0L, 0L, 1L, 1.25))
+          .toDF("vec_id", "coarse", "code_0", "code_1", "recon_d2"))
+      val m = AnnIndexIO.load(spark, dir)
+      assert(m.manifest.nVectors == 5L)
+      assert(m.manifest.nTombstones == 1L)
+      assert(m.codes.orderBy("vec_id").collect().map(_.getLong(0)).toSeq ==
+        Seq(11L, 12L, 20L, 21L, 22L))
+      // compact reconciles to the same number the anti-join view had
+      AnnIndexIO.compact(spark, dir)
+      assert(AnnIndexIO.load(spark, dir).manifest.nVectors == 5L)
     } finally rmTree(new java.io.File(dir))
   }
 

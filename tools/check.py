@@ -13,13 +13,19 @@ args = [a for a in sys.argv[1:] if not a.startswith("--")]
 SF_DIR = args[0] if args else "/root/testdata/sf0.01"
 OUT = Path(args[1]) if len(args) > 1 else Path(tempfile.mkdtemp(prefix="graft_verify_"))
 SKIP_VERIFY = "--no-verify" in sys.argv
-# --skip=q1,q2: exclude queries whose ORACLE is infeasible at this
-# scale (e.g. the deliberately-ungoverned quadratic twin at sf1)
-SKIP = set()
+# --skip=q1:reason,q2:reason — exclude queries whose ORACLE is
+# infeasible at this scale (e.g. the deliberately-ungoverned quadratic
+# twin at sf1). Each skip carries an explicit reason; both land in the
+# sweep's completeness stamp so a reduced sweep can never masquerade
+# as full coverage (VERDICT r13 item 3 — Bench.scala's stamp is the
+# template; this is the correctness-sweep twin of it).
+SKIP = {}
 ONLY = set()
 for a in sys.argv[1:]:
     if a.startswith("--skip="):
-        SKIP.update(a[len("--skip="):].split(","))
+        for ent in a[len("--skip="):].split(","):
+            name, _, reason = ent.partition(":")
+            SKIP[name] = reason or "unspecified"
     if a.startswith("--only="):  # restrict the compare to these names
         ONLY.update(a[len("--only="):].split(","))
 
@@ -44,11 +50,13 @@ for t in TABLES:
 
 oracle = json.loads((OUT / "oracle_sql.json").read_text())
 fails = 0
+compared = []
 for name, sql in sorted(oracle.items()):
     if name in SKIP or (ONLY and name not in ONLY):
         if name in SKIP:
-            print(f"SKIP {name} (--skip)")
+            print(f"SKIP {name} ({SKIP[name]})")
         continue
+    compared.append(name)
     pdir = OUT / name
     if not pdir.exists():
         print(f"FAIL {name}: no spark output"); fails += 1; continue
@@ -82,6 +90,29 @@ for name, sql in sorted(oracle.items()):
         fails += 1; continue
     print(f"OK   {name} ({len(got)} rows)")
 
-print(f"\n{'ALL GREEN' if fails == 0 else f'{fails} FAILURES'} "
-      f"({len(oracle)} queries, sf={SF_DIR}, out={OUT})")
+# Structural-completeness stamp (same invariant Bench.scala enforces
+# for its artifacts): compared ∪ skipped must equal the DECLARED query
+# surface dumped by Verify. Any gap — a query added after the sweep's
+# Verify run, a stale OUT dir, a typo'd skip — stamps complete:false
+# with the missing names, so an incomplete sweep can never read as
+# full coverage. An --only run is by definition partial and stamps the
+# same way. Verify dumps queries.json since round 14; an OUT dir
+# without it (pre-r14) falls back to the oracle keys.
+qj = OUT / "queries.json"
+declared = set(json.loads(qj.read_text())) if qj.exists() else set(oracle)
+missing = sorted(declared - set(compared) - set(SKIP))
+stamp = {
+    "sf": SF_DIR,
+    "n_declared": len(declared),
+    "n_compared": len(compared),
+    "n_failed": fails,
+    "skipped": {n: SKIP[n] for n in sorted(SKIP)},
+    "complete": not missing,
+    "missing": missing,
+}
+(OUT / "sweep_stamp.json").write_text(json.dumps(stamp, indent=1))
+print(f"\nSWEEP_STAMP {json.dumps(stamp)}")
+print(f"{'ALL GREEN' if fails == 0 else f'{fails} FAILURES'} "
+      f"({len(compared)}/{len(declared)} compared, {len(SKIP)} skipped, "
+      f"complete={not missing}, sf={SF_DIR}, out={OUT})")
 sys.exit(1 if fails else 0)
