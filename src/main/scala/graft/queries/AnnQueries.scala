@@ -205,8 +205,14 @@ object AnnQueries {
       case None => synchronized {
         savedIdxDirs.getOrElse(key, {
           val base = freshScratchDir("graft_annidx")
+          // the code table is KBs at bench scale: 32 cache-partition
+          // files would make every load/serve pay 32 file opens of
+          // ~60 rows each (a real trainer sizes its output files; so
+          // does this one — save keeps whatever parallelism the
+          // caller's frame carries)
           graft.sources.AnnIndexIO.save(base, coarseCent(s, dir),
-            (0 until IpSub).map(sub => ipCent(s, dir, sub)), ipIndex(s, dir),
+            (0 until IpSub).map(sub => ipCent(s, dir, sub)),
+            ipIndex(s, dir).coalesce(8),
             coarseK = KmK, codebookK = IpK, dim = 64)
           savedIdxDirs.update(key, base)
           base
@@ -736,6 +742,7 @@ object AnnQueries {
         .filter(substring(md5(col("vec_id").cast("string")), 1, 1)
           .isin("0", "1", "2", "3"))
         .select(col("vec_id"))
+        .coalesce(1) // a take-down batch is one small id file
       graft.sources.AnnIndexIO.remove(tmp, doomed)
       graft.sources.AnnIndexIO.compact(s, tmp)
       graft.sources.AnnIndexIO.load(s, tmp).codes

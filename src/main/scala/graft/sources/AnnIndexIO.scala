@@ -140,13 +140,12 @@ object AnnIndexIO {
       cb.coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$dir/codebook_$s")
     }
     // the compressed corpus: written with the frame's own parallelism
-    codes.write.mode(SaveMode.Overwrite).parquet(s"$dir/codes")
+    val n = writeCounted(codes, SaveMode.Overwrite, s"$dir/codes")
     // a stale tombstone set must not delete rows of a NEW index, and
     // a stale generation dir must not shadow it after a compact
     generationDirs(dir).filter(_.getFileName.toString != "codes")
       .foreach(p => rmTree(p.toFile))
 
-    val n = codes.sparkSession.read.parquet(s"$dir/codes").count()
     val m = Manifest("ivf-pq", codebooks.size, codebookK, coarseK, dim, n)
     writeManifest(dir, m)
   }
@@ -298,9 +297,7 @@ object AnnIndexIO {
     val m = readManifest(dir)
     requireCodeCols(codes, m.subspaces, s"append to $dir: codes frame")
     val cdir = s"$dir/${codesDirName(m.generation)}"
-    val before = parquetFiles(cdir)
-    codes.write.mode(SaveMode.Append).parquet(cdir)
-    val added = countNewRows(codes.sparkSession, cdir, before)
+    val added = writeCounted(codes, SaveMode.Append, cdir)
     writeManifest(dir, m.copy(nVectors = m.nVectors + added))
   }
 
@@ -322,9 +319,7 @@ object AnnIndexIO {
     require(ids.columns.contains("vec_id"),
       s"remove from $dir: ids frame has no vec_id column")
     val tdir = s"$dir/${tombsDirName(m.generation)}"
-    val before = parquetFiles(tdir)
-    ids.select(col("vec_id")).write.mode(SaveMode.Append).parquet(tdir)
-    val removed = countNewRows(ids.sparkSession, tdir, before)
+    val removed = writeCounted(ids.select(col("vec_id")), SaveMode.Append, tdir)
     writeManifest(dir, m.copy(
       nVectors = math.max(0L, m.nVectors - removed),
       nTombstones = m.nTombstones + removed))
@@ -346,8 +341,7 @@ object AnnIndexIO {
     if (Files.isDirectory(Paths.get(dir, tombsDirName(m.generation)))) {
       val newGen = m.generation + 1
       val newDir = s"$dir/${codesDirName(newGen)}"
-      liveCodes(spark, dir, m).write.mode(SaveMode.Overwrite).parquet(newDir)
-      val n = spark.read.parquet(newDir).count()
+      val n = writeCounted(liveCodes(spark, dir, m), SaveMode.Overwrite, newDir)
       writeManifest(dir,
         m.copy(nVectors = n, generation = newGen, nTombstones = 0))
       // retention: keep the immediate predecessor for in-flight
@@ -391,25 +385,16 @@ object AnnIndexIO {
     if (i < 0) 0 else dirName.drop(i + 2).toInt
   }
 
-  /** The parquet data files currently in `dir` (empty if absent). */
-  private def parquetFiles(dir: String): Set[String] = {
-    val p = Paths.get(dir)
-    if (!Files.isDirectory(p)) Set.empty
-    else {
-      val s = Files.list(p)
-      try s.iterator().asScala.map(_.toString)
-        .filter(_.endsWith(".parquet")).toSet
-      finally s.close()
-    }
-  }
-
-  /** Row count of the files added to `dir` since `before` was listed
-    * — a footer-level read of ONLY the new files, so maintenance
-    * bookkeeping costs O(batch), never O(corpus). */
-  private def countNewRows(spark: SparkSession, dir: String,
-      before: Set[String]): Long = {
-    val fresh = (parquetFiles(dir) -- before).toSeq.sorted
-    if (fresh.isEmpty) 0L else spark.read.parquet(fresh: _*).count()
+  /** Write `df` to `path` and return how many rows were written,
+    * observed DURING the write itself (Spark's Observation metric on
+    * the written frame) — maintenance bookkeeping costs zero extra
+    * jobs and never touches the existing corpus, so append/remove
+    * stay O(batch) in both IO and scheduling. */
+  private def writeCounted(df: DataFrame, mode: SaveMode,
+      path: String): Long = {
+    val obs = org.apache.spark.sql.Observation()
+    df.observe(obs, count(lit(1)).as("rows")).write.mode(mode).parquet(path)
+    obs.get("rows").asInstanceOf[Long]
   }
 
   /** codes minus tombstones (the live view every consumer gets), for
