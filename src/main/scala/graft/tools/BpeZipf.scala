@@ -27,17 +27,35 @@ import org.apache.spark.sql.functions._
   * Prints one JSON line: rounds, batch, pcRounds, merges, wall
   * seconds, corpus shape. NOT part of the library surface. */
 object BpeZipf {
-  /** rank → deterministic lowercase word: 1-based bijective base-26
-    * ("a".."z","aa","ab",…) — dense short words with shared prefixes. */
+  /** English letters in frequency order — the naturalistic letter
+    * marginal the generator skews toward. */
+  private val Letters = "etaoinshrdlcumwfgypbvkjxqz"
+
+  /** splitmix64 finalizer — deterministic position/rank mixing with
+    * no RNG state. */
+  private def mix(a: Long, b: Long): Long = {
+    var z = a * 0x9e3779b97f4a7c15L + b
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    (z ^ (z >>> 31)) & Long.MaxValue
+  }
+
+  /** rank → deterministic pseudo-word with naturalistic statistics:
+    * length 3-8, each letter drawn from a quadratically-skewed
+    * frequency-ordered alphabet (u² over the ranked letters ≈ the
+    * Zipfian letter marginal of English). Unlike a dense base-26 rank
+    * encoding — whose top pair counts ALL involve 'a'/'b' and force
+    * the batch conflict rule to stop at one merge per round — this
+    * gives the digraph diversity real text has, so the measurement
+    * exercises the distribution the extrapolation claims to hold on.
+    * Rank collisions just merge two frequency masses (Bpe.train
+    * groups by word anyway). */
   private def wordOf(rank: Long): String = {
-    val sb = new StringBuilder
-    var r = rank
-    while (r > 0) {
-      val d = ((r - 1) % 26).toInt
-      sb.append(('a' + d).toChar)
-      r = (r - 1) / 26
-    }
-    sb.reverse.toString
+    val len = 3 + (mix(rank, 0) % 6).toInt
+    (1 to len).map { pos =>
+      val u = (mix(rank, pos) % 100003).toDouble / 100003.0
+      Letters(math.min(25, (u * u * 26).toInt))
+    }.mkString
   }
 
   def main(args: Array[String]): Unit = {
