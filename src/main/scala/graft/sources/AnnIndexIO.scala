@@ -84,12 +84,22 @@ object AnnIndexIO {
 
   /** A loaded index: the three artifact families as DataFrames, plus
     * the manifest they were trained under. `codebooks(s)` is the
-    * subspace-s residual codebook. */
-  final case class IvfPqIndex(
-      manifest: Manifest,
-      coarseCentroids: DataFrame,
-      codebooks: IndexedSeq[DataFrame],
-      codes: DataFrame)
+    * subspace-s residual codebook. The code table is opened (and its
+    * schema validated against the manifest) at [[load]]; the NINE
+    * centroid artifacts are opened lazily on first access — a
+    * consumer that only serves/compacts the code table (persist,
+    * remove, append) pays one parquet schema discovery, not ten
+    * sequential ones. Laziness is per-index-instance and memoized,
+    * so every access after the first is the same DataFrame. */
+  final class IvfPqIndex(
+      val manifest: Manifest,
+      coarseF: () => DataFrame,
+      bookF: Int => DataFrame,
+      val codes: DataFrame) {
+    lazy val coarseCentroids: DataFrame = coarseF()
+    lazy val codebooks: IndexedSeq[DataFrame] =
+      (0 until manifest.subspaces).map(bookF).toIndexedSeq
+  }
 
   /** Generation-numbered artifact dirs: generation 0 keeps the
     * original names, so pre-generation indexes load unchanged. */
@@ -160,14 +170,14 @@ object AnnIndexIO {
     require(m.subspaces > 0 && m.dim > 0,
       s"degenerate manifest at $dir: $m")
 
-    val coarse = s.read.parquet(s"$dir/coarse_centroids")
-    val books = (0 until m.subspaces)
-      .map(sub => s.read.parquet(s"$dir/codebook_$sub"))
     // the LIVE view: tombstoned rows ([[remove]]) are anti-joined out
     val codes = liveCodes(s, dir, m)
     requireCodeCols(codes, m.subspaces,
       s"index at $dir: codes (manifest declares ${m.subspaces} subspaces)")
-    IvfPqIndex(m, coarse, books.toIndexedSeq, codes)
+    new IvfPqIndex(m,
+      () => s.read.parquet(s"$dir/coarse_centroids"),
+      sub => s.read.parquet(s"$dir/codebook_$sub"),
+      codes)
   }
 
   private def requireCodeCols(codes: DataFrame, nSub: Int, what: String): Unit = {
