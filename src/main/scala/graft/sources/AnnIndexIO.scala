@@ -97,8 +97,18 @@ object AnnIndexIO {
       bookF: Int => DataFrame,
       val codes: DataFrame) {
     lazy val coarseCentroids: DataFrame = coarseF()
-    lazy val codebooks: IndexedSeq[DataFrame] =
-      (0 until manifest.subspaces).map(bookF).toIndexedSeq
+    lazy val codebooks: IndexedSeq[DataFrame] = {
+      // the subspace opens are independent driver-side schema
+      // discoveries (file listing + footer read each) — do them
+      // concurrently so an 8-subspace index pays ~one discovery
+      // latency, not eight in sequence
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      import scala.concurrent.duration.DurationInt
+      implicit val ec: ExecutionContext = ExecutionContext.global
+      Await.result(
+        Future.sequence((0 until manifest.subspaces).map(i => Future(bookF(i)))),
+        10.minutes).toIndexedSeq
+    }
   }
 
   /** Generation-numbered artifact dirs: generation 0 keeps the
