@@ -110,7 +110,12 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
     def calMedian(): (Double, Seq[Double]) = {
-      calOnce(): Unit // untimed warm (codegen compile)
+      // three untimed warms: the probe's first executions carry
+      // codegen + JIT compilation that the steady-state measurement
+      // must not (round-14 start probes read 0.2-1.3 s with one warm
+      // while end probes sat at a flat ~0.09 s — the start stamp is
+      // only a useful divisor if it measures the machine, not the JIT)
+      (1 to 3).foreach(_ => calOnce())
       val ts = (1 to 5).map(_ => calOnce()).sorted
       (ts(2), ts)
     }
