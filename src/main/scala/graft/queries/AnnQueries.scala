@@ -837,8 +837,8 @@ object AnnQueries {
     * (md5-derived, regenerated bit-identically by any engine;
     * component (j,d) depends only on (j,d), so any prefix of this
     * table equals the same-length table). */
-  private[queries] val MaxPlanes = 16
-  private[queries] val PlanesAll: Seq[Seq[Double]] =
+  private[graft] val MaxPlanes = 16
+  private[graft] val PlanesAll: Seq[Seq[Double]] =
     Ann.hyperplanes(MaxPlanes, 64)
 
   /** The declared fixed-geometry plane set (6 planes — kept for the
@@ -860,7 +860,7 @@ object AnnQueries {
     * retained pair falls as planes grow — the documented
     * recall-vs-cost lever, now sized by data volume instead of prose. */
   private[queries] val GovernedBucketTarget = 32L
-  private[queries] def planesFor(n: Long): Int =
+  private[graft] def planesFor(n: Long): Int =
     6 + (7 to MaxPlanes).count(p => n > GovernedBucketTarget * (1L << (p - 1)))
 
   /** DuckDB literal for one plane (Double.toString round-trips). */
