@@ -310,10 +310,20 @@ object Bench {
       case t: Throwable =>
         System.err.println(s"WARN Bench: failed to write $outPath: $t")
     }
-    // compact stdout line (must fit the driver's 2KB stdout tail):
-    // medians only, 3 decimals
-    val qs = detail.map { case (name, _, median, _, _) => s""""$name":${fmt(median)}""" }
-      .mkString("{", ",", "}")
+    // compact stdout line (must fit the driver's ~2KB stdout tail —
+    // rounds 10-13 printed all ~110+ query medians, ~2.6KB, so the
+    // tail cut the line's HEAD and the driver recorded parsed:null;
+    // the full map lives in the artifact, so when the complete line
+    // would overflow, stdout keeps only the most expensive medians
+    // and says so): medians only, 3 decimals
+    def qsJson(rows: Seq[(String, Double)]): String =
+      rows.map { case (n, m) => s""""$n":${fmt(m)}""" }.mkString("{", ",", "}")
+    val medians = detail.map { case (name, _, median, _, _) => (name, median) }
+    val qsFull = qsJson(medians)
+    val (qs, qsNote) =
+      if (qsFull.length <= 1500) (qsFull, "")
+      else (qsJson(medians.sortBy(-_._2).take(30).sortBy(_._1)),
+        s""","queries_shown":"top30-of-${medians.size}-by-median-full-map-in-artifact"""")
     val skipStdout = if (skip.isEmpty) "" else s""","skipped":$skippedJson"""
     // stdout must fit the driver's ~2KB tail: a family-restricted dev
     // run can miss 100+ queries, so the stdout form carries a count +
@@ -322,7 +332,7 @@ object Bench {
       (if (missing.size > 3) Seq(s""""+${missing.size - 3} more"""") else Nil))
       .mkString("[", ",", "]")
     val missStdout = if (complete) "" else s""","complete":false,"n_missing":${missing.size},"missing":$missStdoutList"""
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","method":"$method","index_build":${fmt(indexBuild)},"cal":[${fmt(calStart)},${fmt(calEnd)}],"queries":$qs,"sf":"$sfDir"$skipStdout$missStdout}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","method":"$method","index_build":${fmt(indexBuild)},"cal":[${fmt(calStart)},${fmt(calEnd)}],"queries":$qs$qsNote,"sf":"$sfDir"$skipStdout$missStdout}""")
     spark.stop()
   }
 }
