@@ -164,8 +164,7 @@ object AnnQueries {
   private val savedIdxDirs =
     scala.collection.concurrent.TrieMap.empty[String, String]
 
-  private def rmTree(f: java.io.File): Unit =
-    graft.sources.AnnIndexIO.rmTree(f)
+  private def rmTree(f: java.io.File): Unit = graft.core.Fs.rmTree(f)
 
   locally {
     Runtime.getRuntime.addShutdownHook(new Thread(() =>
@@ -231,7 +230,18 @@ object AnnQueries {
     * production take-down batch pays). With generation-numbered
     * compaction the gen-0 code files are never touched by
     * remove/compact, so the rewind is metadata-only: restore the
-    * manifest, drop tombstones and post-0 generations. */
+    * manifest, drop tombstones and post-0 generations.
+    *
+    * SINGLE-EVALUATION CONTRACT (ADVICE r14): frames returned by
+    * queries over this scratch (ann_ivf_pq_remove) are lazy views over
+    * state the NEXT invocation rewinds — they must be fully evaluated
+    * before ann_ivf_pq_remove runs again, and never concurrently with
+    * it. Verify and Bench both evaluate eagerly and sequentially, and
+    * the scratch is private to this object, so the contract holds by
+    * construction; a caller wanting a longer-lived frame must
+    * localCheckpoint it (which would put a materialization cost no
+    * production take-down batch pays back into the timed path this
+    * scratch exists to keep honest). */
   private def mutationScratch(s: SparkSession, dir: String): String = {
     val key = s"mut:$dir:s$IpSub:k$IpK:i$IpIters:km$KmK"
     val scratch = savedIdxDirs.get(key) match {

@@ -48,11 +48,7 @@ object StreamingQueries {
     } else java.nio.file.Files.createTempDirectory(prefix)
   }
 
-  private def rmTree(f: java.io.File): Unit = {
-    val kids = f.listFiles()
-    if (kids != null) kids.foreach(rmTree)
-    f.delete(): Unit
-  }
+  private def rmTree(f: java.io.File): Unit = graft.core.Fs.rmTree(f)
 
   /** Run `body` with a scratch tree, deleting it even on failure —
     * the scratch lives in RAM (/dev/shm) when available, so a leak on

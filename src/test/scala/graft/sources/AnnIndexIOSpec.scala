@@ -169,8 +169,14 @@ class AnnIndexIOSpec extends AnyFunSuite {
       assert(new java.io.File(s"$dir/codes_g1").isDirectory)
       assert(afterCompact.codes.orderBy("vec_id").collect()
         .map(_.getLong(0)).toSeq == Seq(10L, 12L))
-      // vacuum drops everything but the live generation
+      // vacuum right after compact KEEPS the immediate predecessor —
+      // the same reader grace window compact honors (an in-flight
+      // reader's pre-flip manifest still points at gen 0); only
+      // force=true asserts no such reader exists and reclaims it
       AnnIndexIO.vacuum(dir)
+      assert(new java.io.File(s"$dir/codes").isDirectory)
+      assert(new java.io.File(s"$dir/tombstones").isDirectory)
+      AnnIndexIO.vacuum(dir, force = true)
       assert(!new java.io.File(s"$dir/codes").exists())
       assert(!new java.io.File(s"$dir/tombstones").exists())
       assert(AnnIndexIO.load(spark, dir).codes.count() == 2L)
@@ -272,6 +278,60 @@ class AnnIndexIOSpec extends AnyFunSuite {
         java.nio.file.Paths.get(dir, "manifest.json")), "UTF-8")
       assert(json.contains("\"nVectors\":1"), json)
       assert(json.contains("\"nTombstones\":2"), json)
+    } finally rmTree(new java.io.File(dir))
+  }
+
+  test("a stray non-generation dir never crashes maintenance, and is never deleted") {
+    import spark.implicits._
+    // ADVICE r14: generationOf used to .toInt the suffix of anything
+    // matching codes_g*/tombstones_g*, so a foreign `codes_gold/`
+    // under the index dir made save/compact/vacuum throw
+    // NumberFormatException mid-enumeration. Foreign names are now
+    // simply not ours to manage: ignored, and left alone.
+    val dir = tmpDir()
+    try {
+      val (coarse, books, codes) = fixture()
+      AnnIndexIO.save(dir, coarse, books, codes,
+        coarseK = 2, codebookK = 2, dim = 4)
+      val stray = new java.io.File(s"$dir/codes_gold")
+      assert(stray.mkdir())
+      AnnIndexIO.remove(dir, Seq(11L).toDF("vec_id"))
+      AnnIndexIO.compact(spark, dir)
+      AnnIndexIO.vacuum(dir, force = true)
+      AnnIndexIO.save(dir, coarse, books, codes,
+        coarseK = 2, codebookK = 2, dim = 4)
+      assert(stray.isDirectory, "foreign dir must survive maintenance untouched")
+    } finally rmTree(new java.io.File(dir))
+  }
+
+  test("maintenance ops refuse a foreign-kind manifest before mutating anything") {
+    import spark.implicits._
+    // ADVICE r14: only load checked kind — remove/compact/vacuum
+    // would have silently mutated a foreign index dir. The check now
+    // lives in readManifest, which every op goes through first.
+    val dir = tmpDir()
+    try {
+      val (coarse, books, codes) = fixture()
+      AnnIndexIO.save(dir, coarse, books, codes,
+        coarseK = 2, codebookK = 2, dim = 4)
+      val mPath = java.nio.file.Paths.get(dir, "manifest.json")
+      val json = new String(java.nio.file.Files.readAllBytes(mPath), "UTF-8")
+      java.nio.file.Files.write(mPath,
+        json.replace("\"ivf-pq\"", "\"hnsw\"").getBytes("UTF-8"))
+      val ids = Seq(10L).toDF("vec_id")
+      Seq[() => Unit](
+        () => AnnIndexIO.remove(dir, ids),
+        () => AnnIndexIO.append(dir, codes),
+        () => AnnIndexIO.compact(spark, dir),
+        () => AnnIndexIO.vacuum(dir),
+        () => { AnnIndexIO.load(spark, dir); () }
+      ).foreach { op =>
+        val e = intercept[IllegalArgumentException](op())
+        assert(e.getMessage.contains("hnsw"), e.getMessage)
+      }
+      // nothing was mutated: restore the manifest and the index serves
+      java.nio.file.Files.write(mPath, json.getBytes("UTF-8"))
+      assert(AnnIndexIO.load(spark, dir).codes.count() == 3L)
     } finally rmTree(new java.io.File(dir))
   }
 
