@@ -110,12 +110,21 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
     def calMedian(): (Double, Seq[Double]) = {
-      // three untimed warms: the probe's first executions carry
+      // untimed warms until two CONSECUTIVE warm reps agree within
+      // 10% (bounded at 10): the probe's first executions carry
       // codegen + JIT compilation that the steady-state measurement
-      // must not (round-14 start probes read 0.2-1.3 s with one warm
-      // while end probes sat at a flat ~0.09 s — the start stamp is
-      // only a useful divisor if it measures the machine, not the JIT)
-      (1 to 3).foreach(_ => calOnce())
+      // must not, and a FIXED warm count doesn't cut it — round-14
+      // start probes still read 0.2-1.3 s after three warms while end
+      // probes sat at a flat ~0.09 s (VERDICT r14 item 7). The stamp
+      // is only a useful divisor if it measures the machine, not the
+      // JIT ramp, so warm adaptively until the ramp has flattened.
+      var prev = calOnce()
+      var cur = calOnce()
+      var warms = 2
+      while (warms < 10 &&
+          math.abs(cur - prev) / math.max(cur, prev) > 0.10) {
+        prev = cur; cur = calOnce(); warms += 1
+      }
       val ts = (1 to 5).map(_ => calOnce()).sorted
       (ts(2), ts)
     }
@@ -319,11 +328,6 @@ object Bench {
     def qsJson(rows: Seq[(String, Double)]): String =
       rows.map { case (n, m) => s""""$n":${fmt(m)}""" }.mkString("{", ",", "}")
     val medians = detail.map { case (name, _, median, _, _) => (name, median) }
-    val qsFull = qsJson(medians)
-    val (qs, qsNote) =
-      if (qsFull.length <= 1500) (qsFull, "")
-      else (qsJson(medians.sortBy(-_._2).take(30).sortBy(_._1)),
-        s""","queries_shown":"top30-of-${medians.size}-by-median-full-map-in-artifact"""")
     val skipStdout = if (skip.isEmpty) "" else s""","skipped":$skippedJson"""
     // stdout must fit the driver's ~2KB tail: a family-restricted dev
     // run can miss 100+ queries, so the stdout form carries a count +
@@ -332,7 +336,27 @@ object Bench {
       (if (missing.size > 3) Seq(s""""+${missing.size - 3} more"""") else Nil))
       .mkString("[", ",", "]")
     val missStdout = if (complete) "" else s""","complete":false,"n_missing":${missing.size},"missing":$missStdoutList"""
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","method":"$method","index_build":${fmt(indexBuild)},"cal":[${fmt(calStart)},${fmt(calEnd)}],"queries":$qs$qsNote,"sf":"$sfDir"$skipStdout$missStdout}""")
+    def stdoutLine(qs: String, qsNote: String): String =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","method":"$method","index_build":${fmt(indexBuild)},"cal":[${fmt(calStart)},${fmt(calEnd)}],"queries":$qs$qsNote,"sf":"$sfDir"$skipStdout$missStdout}"""
+    // the 2KB budget applies to the ASSEMBLED line — prefix, cal,
+    // skipped and missing lists included — not just the query map
+    // (ADVICE r14: a long SKIP list next to a just-under-threshold
+    // map could still overflow the tail). Shrink the map until the
+    // whole line fits; the full map always lives in the artifact.
+    val lineFull = stdoutLine(qsJson(medians), "")
+    val line =
+      if (lineFull.length <= 2000) lineFull
+      else {
+        var k = 30
+        var l = ""
+        do {
+          l = stdoutLine(qsJson(medians.sortBy(-_._2).take(k).sortBy(_._1)),
+            s""","queries_shown":"top$k-of-${medians.size}-by-median-full-map-in-artifact"""")
+          k -= 5
+        } while (l.length > 2000 && k > 0)
+        l
+      }
+    println(line)
     spark.stop()
   }
 }
