@@ -104,7 +104,65 @@ object Ann {
     * bucket = hyperplane signature) and SemDeDup ([[semDedup]],
     * bucket = cluster label). */
   def saltedCosinePairs(bucketed: DataFrame, minCos: Double,
-      salt: Int = 16): DataFrame = {
+      salt: Int = 16, bucketCap: Option[Int] = None,
+      window: Int = 8): DataFrame = bucketCap match {
+    case None => triangularPairs(bucketed, minCos, salt)
+    case Some(cap) =>
+      // Hot-bucket governor (VERDICT r14 item 1 — the ANN counterpart
+      // of the dedup pair join's maxBlockNames cap): a bucket with n
+      // members implies n(n−1)/2 candidate cosines, so one hot bucket
+      // (a duplicate family, a degenerate embedding mode) makes the
+      // whole join quadratic no matter how well the LSH geometry
+      // spreads everything else. Buckets over `cap` members switch to
+      // the sorted-neighborhood O(n·window) policy (dedup's
+      // hotBlockWindow pattern, NOT the text family's drop-the-bucket
+      // policy): members sort by vec_id and each pairs with its
+      // window−1 successors only. For the workload the cap exists for
+      // — near-dup FAMILIES co-bucketed because genuine near-dups
+      // agree on every hyperplane — the family stays CHAIN-CONNECTED
+      // through rank-adjacent pairs (every adjacent pair clears θ when
+      // the family is a θ-clique), so the downstream connected
+      // components recover the identical clusters at a fraction of the
+      // edges; recall is only traded for members whose nearest
+      // in-bucket neighbors all sit further than `window` ranks away.
+      // The size split is a count window over the bucket key: one
+      // exchange over ≤ corpus rows (one bucket row per vector — not
+      // the text family's 16 band rows per doc, so no size gate is
+      // needed to make the pass worth it).
+      val base = bucketed.select(col("bucket"), col("vec_id"), col("u"))
+        .withColumn("bn", count(lit(1)).over(Window.partitionBy("bucket")))
+      triangularPairs(base.filter(col("bn") <= cap).drop("bn"), minCos, salt)
+        .unionByName(
+          neighborhoodPairs(base.filter(col("bn") > cap).drop("bn"),
+            minCos, window))
+  }
+
+  /** Sorted-neighborhood pairs within hot buckets: rank by vec_id
+    * within the bucket, join rank r to ranks r+1..r+window−1 — an
+    * equi-join on (bucket, rank), O(|b|·window) pairs, a_id < b_id by
+    * construction (ranks follow vec_id order). The rank window is
+    * per-bucket: fine to ~1M members per bucket; a corpus whose single
+    * hottest CELL outgrows that needs the distributed two-pass ranking
+    * (dedup's blockRanked) — at that point the cell is ~the whole
+    * corpus and the geometry, not the cap, is the problem. */
+  private def neighborhoodPairs(hot: DataFrame, minCos: Double,
+      window: Int): DataFrame = {
+    val ranked = hot.withColumn("rnk",
+      row_number().over(Window.partitionBy("bucket").orderBy("vec_id")))
+    val a = ranked.select(col("bucket"), col("vec_id").as("a_id"),
+      col("u").as("lu"),
+      explode(sequence(col("rnk") + 1, col("rnk") + (window - 1))).as("rnk"))
+    val b = ranked.select(col("bucket"), col("vec_id").as("b_id"),
+      col("u").as("ru"), col("rnk"))
+    a.join(b, Seq("bucket", "rnk"))
+      .withColumn("cos", cosine(col("lu"), col("ru")))
+      .filter(col("cos") >= minCos)
+      .select(col("a_id"), col("b_id"), col("bucket"), col("cos"))
+  }
+
+  /** The full salted triangular join (see [[saltedCosinePairs]]). */
+  private def triangularPairs(bucketed: DataFrame, minCos: Double,
+      salt: Int): DataFrame = {
     val chunked = bucketed
       .select(col("bucket"), col("vec_id"), col("u"))
       .withColumn("chunk", pmod(hash(col("vec_id")), lit(salt)))
@@ -135,9 +193,10 @@ object Ann {
     * split by any plane are missed; recall rises with fewer planes or
     * multiple tables. */
   def lshPairs(prep: DataFrame, planes: Seq[Seq[Double]], minCos: Double,
-      salt: Int = 16): DataFrame =
+      salt: Int = 16, bucketCap: Option[Int] = None,
+      window: Int = 8): DataFrame =
     saltedCosinePairs(prep.withColumn("bucket", lshBucket(col("v"), planes)),
-      minCos, salt)
+      minCos, salt, bucketCap, window)
 
   /** SemDeDup-style semantic dedup (Abbas et al. 2023,
     * arXiv:2303.08487) over PRE-CLUSTERED embeddings: within each

@@ -289,6 +289,38 @@ object AnnQueries {
     }
   }
 
+  /** The governed LSH pair join — volume-derived plane count AND the
+    * hot-bucket sorted-neighborhood cap (see [[Ann.saltedCosinePairs]])
+    * — the DEFAULT candidate generator of ann_lsh_pairs /
+    * ann_dedup_clusters since r15 (the r12 text-family swap, replayed:
+    * fixed geometry and uncapped planes are the explicitly-named
+    * audits). The count() driving the plane governor reads a Memo'd
+    * cached frame; a cluster job would read table metadata. */
+  private def governedPairs(s: SparkSession, dir: String,
+      minCos: Double): DataFrame = {
+    val p = prep(s, dir)
+    Ann.lshPairs(p, PlanesAll.take(planesFor(p.count())), minCos,
+      bucketCap = Some(AnnBucketCap), window = AnnNeighborWindow)
+  }
+
+  /** Near-dup cluster assembly shared by the three ann_dedup_clusters
+    * variants: verified pairs become edges, connected components merge
+    * transitive near-dups, min vec_id elects the canonical vector,
+    * non-edge vectors stay singletons. */
+  private def dedupClusters(p: DataFrame, pairs: DataFrame): DataFrame = {
+    val comps = graft.dedup.Cluster.connectedComponents(
+      pairs.select(col("a_id").as("src"), col("b_id").as("dst")))
+      .withColumnRenamed("id", "vec_id")
+    val w = Window.partitionBy("cluster_id")
+    p.select(col("vec_id"))
+      .join(comps, Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("component"), col("vec_id")).as("cluster_id"))
+      .withColumn("cluster_size", count(lit(1)).over(w))
+      .withColumn("is_canonical", col("vec_id") === col("cluster_id"))
+      .orderBy("vec_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // exact cosine top-k for a BOUNDED probe set of queries (the
     // QueryMod sieve alone grows linearly with the corpus; ProbeIdCap
@@ -318,20 +350,31 @@ object AnnQueries {
 
     // sign-LSH bucketed near-dup join: one bucket per vector (vs the
     // all-pairs O(n²) of ann_threshold_pairs), exact-cosine verified.
+    // GOVERNED BY DEFAULT since r15 (VERDICT r14 item 1): volume-
+    // derived plane count (planesFor — expected bucket size pinned at
+    // ~32 as the corpus grows) AND the hot-bucket sorted-neighborhood
+    // cap (buckets over AnnBucketCap members pair rank-adjacently
+    // instead of quadratically). Both governors are derived from
+    // integer thresholds the DuckDB twin replays exactly, so the
+    // default is oracle-gated at every sf; the fixed-6-plane
+    // ungoverned geometry lives on as the _fixed audit below, and the
+    // planes-only variant as the _governed audit (what does the cap
+    // cost / what did the planes buy).
     "ann_lsh_pairs" -> ((s, dir) =>
+      governedPairs(s, dir, minCos = 0.20).orderBy("a_id", "b_id")),
+
+    // AUDIT: the historical fixed 6-plane, uncapped geometry — the
+    // quadratic counterfactual (18× wall at 10× data, SCALE.md ANN
+    // table) kept oracle-gated so the governed default's cost/recall
+    // trade stays measurable against it.
+    "ann_lsh_pairs_fixed" -> ((s, dir) =>
       Ann.lshPairs(prep(s, dir), Planes, minCos = 0.20)
         .orderBy("a_id", "b_id")),
 
-    // the same bucketed join with the VOLUME-GOVERNED plane count
-    // (see planesFor): corpus row count → log2-scaled planes, so
-    // expected bucket size — and with it the within-bucket pairwise
-    // cost per vector — stays flat as the corpus grows, where the
-    // declared 6-plane geometry above goes quadratic (17× wall at 10×
-    // data). The count() driving the governor reads a Memo'd cached
-    // frame (a cluster job would read table metadata); the DuckDB
-    // twin derives the identical plane count from the same integer
-    // thresholds, so this is oracle-gated at every sf, not just
-    // spec-asserted.
+    // AUDIT: volume-governed planes WITHOUT the hot-bucket cap —
+    // isolates what the cap costs (pairs dropped in hot buckets) from
+    // what the plane governor buys (unrelated-vector candidates never
+    // generated).
     "ann_lsh_pairs_governed" -> ((s, dir) => {
       val p = prep(s, dir)
       Ann.lshPairs(p, PlanesAll.take(planesFor(p.count())), minCos = 0.20)
@@ -375,47 +418,33 @@ object AnnQueries {
     // transitive near-dups, min vec_id elects the canonical vector.
     // The full near-dup-removal composition for an embedding corpus:
     // candidates are bucket-local (never all-pairs), CC runs on the
-    // tiny pair set, and the final join back to ids broadcasts — the
-    // same shape survives a 100 TB embedding table.
-    "ann_dedup_clusters" -> ((s, dir) => {
+    // verified pair set, and the final join back to ids broadcasts.
+    // GOVERNED BY DEFAULT since r15: volume-derived planes + the
+    // hot-bucket cap. For the workload the cap exists for — co-
+    // bucketed near-dup FAMILIES — rank-adjacent pairs keep each
+    // family chain-connected, so CC recovers the same clusters from
+    // O(|family|·window) edges instead of O(|family|²) (sf10: 8.8M →
+    // ~1.4M candidate pairs); recall is traded only when a hot bucket
+    // mixes families. This is the shape that survives a 100 TB
+    // embedding table with a pathological duplicate mass.
+    "ann_dedup_clusters" -> ((s, dir) =>
+      dedupClusters(prep(s, dir),
+        governedPairs(s, dir, minCos = CosThreshold))),
+
+    // AUDIT: the historical fixed 6-plane, uncapped composition (20×
+    // wall at 10× data — the documented quadratic counterfactual).
+    "ann_dedup_clusters_fixed" -> ((s, dir) => {
       val p = prep(s, dir)
-      val edges = Ann.lshPairs(p, Planes, minCos = CosThreshold)
-        .select(col("a_id").as("src"), col("b_id").as("dst"))
-      val comps = graft.dedup.Cluster.connectedComponents(edges)
-        .withColumnRenamed("id", "vec_id")
-      val w = org.apache.spark.sql.expressions.Window.partitionBy("cluster_id")
-      p.select(col("vec_id"))
-        .join(comps, Seq("vec_id"), "left")
-        .select(col("vec_id"),
-          coalesce(col("component"), col("vec_id")).as("cluster_id"))
-        .withColumn("cluster_size", count(lit(1)).over(w))
-        .withColumn("is_canonical", col("vec_id") === col("cluster_id"))
-        .orderBy("vec_id")
+      dedupClusters(p, Ann.lshPairs(p, Planes, minCos = CosThreshold))
     }),
 
-    // the near-dup DEDUP composition on the governed geometry — the
-    // other super-linear fixed-geometry row in SCALE.md's ANN table
-    // (23× wall at 10× data): candidates from the volume-governed
-    // bucket join, same CC + canonical election downstream. Clusters
-    // are computed over the governed (higher-precision) edge set, so
-    // at growing sf this trades LSH recall for pinned per-bucket
-    // cost — the production dial for "dedup 100 TB of embeddings
-    // this week, not this quarter".
+    // AUDIT: volume-governed planes WITHOUT the hot-bucket cap —
+    // isolates the cap's cluster-level recall cost from the plane
+    // governor's candidate savings.
     "ann_dedup_clusters_governed" -> ((s, dir) => {
       val p = prep(s, dir)
       val planes = PlanesAll.take(planesFor(p.count()))
-      val edges = Ann.lshPairs(p, planes, minCos = CosThreshold)
-        .select(col("a_id").as("src"), col("b_id").as("dst"))
-      val comps = graft.dedup.Cluster.connectedComponents(edges)
-        .withColumnRenamed("id", "vec_id")
-      val w = org.apache.spark.sql.expressions.Window.partitionBy("cluster_id")
-      p.select(col("vec_id"))
-        .join(comps, Seq("vec_id"), "left")
-        .select(col("vec_id"),
-          coalesce(col("component"), col("vec_id")).as("cluster_id"))
-        .withColumn("cluster_size", count(lit(1)).over(w))
-        .withColumn("is_canonical", col("vec_id") === col("cluster_id"))
-        .orderBy("vec_id")
+      dedupClusters(p, Ann.lshPairs(p, planes, minCos = CosThreshold))
     }),
 
     // IVF: probe the 2 nearest coarse partitions, exact top-k inside.
@@ -873,6 +902,21 @@ object AnnQueries {
   private[graft] def planesFor(n: Long): Int =
     6 + (7 to MaxPlanes).count(p => n > GovernedBucketTarget * (1L << (p - 1)))
 
+  /** Hot-bucket cap for the governed defaults (VERDICT r14 item 1):
+    * 2× the governed expected bucket size, so a bucket only switches
+    * to the sorted-neighborhood policy when it is genuinely an
+    * outlier under the plane governor's own target — duplicate
+    * families, degenerate embedding modes — never the random-load
+    * tail (declared sf0.01/sf0.1 buckets max out at 15/54, so the cap
+    * is a measured no-op there; sf1 has 23 hot buckets and sf10 ~1.5k,
+    * the divergent regimes the sweep hash-grades). Interpolated into
+    * the DuckDB twins verbatim, like the text family's LshBucketCap. */
+  private[graft] val AnnBucketCap: Int = (2L * GovernedBucketTarget).toInt
+  /** Sorted-neighborhood width inside over-cap buckets (members pair
+    * with their window−1 vec_id-rank successors — dedup's
+    * hotBlockWindow pattern). */
+  private[graft] val AnnNeighborWindow = 8
+
   /** DuckDB literal for one plane (Double.toString round-trips). */
   private def planeLit(p: Seq[Double]): String =
     p.map(_.toString).mkString("[", ", ", "]")
@@ -1024,7 +1068,62 @@ object AnnQueries {
        |)""".stripMargin
   }
 
+  /** The hot-bucket cap over the governed buckets, mirrored exactly:
+    * buckets ≤ AnnBucketCap members pair triangularly; over-cap
+    * buckets rank members by vec_id and pair rank-adjacently within
+    * AnnNeighborWindow (a_id < b_id holds in both branches — the rank
+    * follows vec_id order). Appended after governedCtes; `cpairs` is
+    * the unfiltered candidate pair set (caller applies its θ). */
+  private lazy val cappedPairCtes: String =
+    s"""bsz AS (
+       |  SELECT bucket, count(*) AS bn FROM bucketed GROUP BY bucket
+       |), smallb AS (
+       |  SELECT b.* FROM bucketed b JOIN bsz USING (bucket)
+       |  WHERE bn <= $AnnBucketCap
+       |), hotb AS (
+       |  SELECT b.*, row_number() OVER (PARTITION BY bucket ORDER BY vec_id) AS rnk
+       |  FROM bucketed b JOIN bsz USING (bucket) WHERE bn > $AnnBucketCap
+       |), cpairs AS (
+       |  SELECT a.vec_id AS a_id, b.vec_id AS b_id, a.bucket,
+       |         ${cosSql("a.v", "b.v", "a.nrm", "b.nrm")} AS cos
+       |  FROM smallb a JOIN smallb b
+       |    ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+       |  UNION ALL
+       |  SELECT a.vec_id AS a_id, b.vec_id AS b_id, a.bucket,
+       |         ${cosSql("a.v", "b.v", "a.nrm", "b.nrm")} AS cos
+       |  FROM hotb a JOIN hotb b
+       |    ON a.bucket = b.bucket AND b.rnk > a.rnk
+       |   AND b.rnk <= a.rnk + ${AnnNeighborWindow - 1}
+       |)""".stripMargin
+
   private lazy val oracleBase: Map[String, String] = Map(
+    // the governed DEFAULT: plane count and hot-bucket cap both
+    // derived from the same integer thresholds as the Spark side
+    "ann_lsh_pairs" ->
+      s"""$prepCte, $governedCtes, $cappedPairCtes
+         |SELECT a_id, b_id, bucket, cos FROM cpairs
+         |WHERE cos >= 0.20
+         |ORDER BY a_id, b_id""".stripMargin,
+
+    "ann_dedup_clusters" ->
+      s"""WITH RECURSIVE ${prepCte.stripPrefix("WITH ")}, $governedCtes,
+         |$cappedPairCtes, pairs AS (
+         |  SELECT a_id, b_id FROM cpairs WHERE cos >= $CosThreshold
+         |), edges AS (
+         |  SELECT a_id AS src, b_id AS dst FROM pairs
+         |  UNION ALL SELECT b_id, a_id FROM pairs
+         |), reach(id, lbl) AS (
+         |  SELECT vec_id, vec_id FROM n
+         |  UNION
+         |  SELECT e2.dst, r.lbl FROM reach r JOIN edges e2 ON e2.src = r.id
+         |), cc AS (
+         |  SELECT id AS vec_id, min(lbl) AS cluster_id FROM reach GROUP BY id
+         |)
+         |SELECT vec_id, cluster_id,
+         |       count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+         |       vec_id = cluster_id AS is_canonical
+         |FROM cc ORDER BY vec_id""".stripMargin,
+
     "ann_lsh_pairs_governed" ->
       s"""$prepCte, $governedCtes
          |SELECT a.vec_id AS a_id, b.vec_id AS b_id, a.bucket,
@@ -1093,7 +1192,7 @@ object AnnQueries {
          |         i -> (v[i] - q[i] / 127.0) * (v[i] - q[i] / 127.0)))), 6) AS recon_err
          |FROM qz ORDER BY vec_id""".stripMargin,
 
-    "ann_lsh_pairs" -> {
+    "ann_lsh_pairs_fixed" -> {
       val bucketTerms = Planes.zipWithIndex.map { case (p, j) =>
         s"(CASE WHEN list_sum(list_transform(generate_series(1, len(v)), " +
           s"i -> v[i] * (${planeLit(p)})[i])) > 0 THEN CAST(${1L << j} AS BIGINT) " +
@@ -1125,7 +1224,7 @@ object AnnQueries {
          |FROM topk JOIN documents d ON d.doc_id = topk.neighbor_id
          |ORDER BY query_id, rk""".stripMargin,
 
-    "ann_dedup_clusters" -> {
+    "ann_dedup_clusters_fixed" -> {
       val bucketTerms = Planes.zipWithIndex.map { case (p, j) =>
         s"(CASE WHEN list_sum(list_transform(generate_series(1, len(v)), " +
           s"i -> v[i] * (${planeLit(p)})[i])) > 0 THEN CAST(${1L << j} AS BIGINT) " +

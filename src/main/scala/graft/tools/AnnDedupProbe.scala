@@ -5,10 +5,11 @@ import org.apache.spark.sql.functions._
 
 /** Dev probe: stage timings of the embedding near-dup DEDUP
   * composition (candidate pairs → connected components → labeled
-  * corpus) under a chosen plane count — the breakdown behind
-  * SCALE.md's governed-vs-fixed sf10 rows. Usage:
-  *   runMain graft.tools.AnnDedupProbe <sfDir> [nPlanes]
-  * (nPlanes defaults to the volume governor's pick). */
+  * corpus) under a chosen plane count and hot-bucket cap — the
+  * breakdown behind SCALE.md's governed-vs-fixed sf10 rows. Usage:
+  *   runMain graft.tools.AnnDedupProbe <sfDir> [nPlanes] [cap]
+  * (nPlanes defaults to the volume governor's pick; cap defaults to
+  * the production AnnBucketCap, 0 = uncapped). */
 object AnnDedupProbe {
   def main(args: Array[String]): Unit = {
     val dir = args.lift(0).getOrElse("/tmp/testdata/sf10")
@@ -31,12 +32,17 @@ object AnnDedupProbe {
     val n = t("prep cache + count")(prep.count())
     val planes = args.lift(1).map(_.toInt)
       .getOrElse(graft.queries.AnnQueries.planesFor(n))
-    println(s"[probe] n=$n planes=$planes")
+    val cap = args.lift(2).map(_.toInt)
+      .getOrElse(graft.queries.AnnQueries.AnnBucketCap)
+    val bucketCap = if (cap > 0) Some(cap) else None
+    println(s"[probe] n=$n planes=$planes cap=$bucketCap")
     val planeVals = graft.ext.Ann.hyperplanes(planes, 64)
     // steady-state: run the chain twice, read the second pass
     (1 to 2).foreach { pass =>
       val pairs = t(s"pass$pass lshPairs(cos>=0.30) checkpoint")(
-        graft.ext.Ann.lshPairs(prep, planeVals, minCos = 0.30)
+        graft.ext.Ann.lshPairs(prep, planeVals, minCos = 0.30,
+            bucketCap = bucketCap,
+            window = graft.queries.AnnQueries.AnnNeighborWindow)
           .localCheckpoint(true))
       val nPairs = t(s"pass$pass pairs count")(pairs.count())
       val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
