@@ -35,12 +35,15 @@ object Cluster {
   private val log = org.slf4j.LoggerFactory.getLogger(getClass)
 
   /** Diagnostics from the most recent [[connectedComponents]] call on
-    * the calling thread: which regime ran and how many driver-loop
-    * rounds it took. Thread-local so parallel suites (and concurrent
+    * the calling thread: which regime ran, how many driver-loop
+    * rounds it took, and how many edges the per-partition
+    * pre-contraction forwarded to the regime (−1 when pre-contraction
+    * didn't run). Thread-local so parallel suites (and concurrent
     * pipeline runs sharing a session) don't race; regime 1 reports 0
     * rounds (single collect, no loop). Observability only — no
     * production code branches on it. */
-  final case class CcStats(regime: String, rounds: Int)
+  final case class CcStats(regime: String, rounds: Int,
+      contractedEdges: Long = -1L)
   private val lastStatsTl = new ThreadLocal[CcStats]
   def lastStats: Option[CcStats] = Option(lastStatsTl.get)
 
@@ -100,14 +103,76 @@ object Cluster {
       val r = localEdgeCC(directed); releaseDirected(); return r
     }
 
-    val nodeCount = directed
-      .select(col("src").as("n")).union(directed.select(col("dst").as("n")))
-      .agg(approx_count_distinct(col("n"), 0.02)).head().getLong(0)
-    val result =
-      if (nodeCount <= localThreshold) minEdgeContractionCC(directed, maxIter)
-      else labelPropagationCC(directed, maxIter)
+    // Per-partition pre-contraction (VERDICT r14 item 2): one
+    // map-only pass replaces each partition's edge list with a local
+    // spanning star — union-find over the partition's edges, emitting
+    // (local root, member) for every non-root member. Components are
+    // invariant under the reduction (a spanning forest of each
+    // partition's subgraph preserves exactly its connectivity, and
+    // the global union of per-partition forests preserves the global
+    // closure), while the edge volume drops from O(edges) to ≤ one
+    // edge per distinct node per partition — on the sf10 near-dup
+    // corpus, 8.8M intra-family pairwise edges carry the same
+    // components as ~200k star edges. Every downstream regime then
+    // iterates over the contracted set: the min-neighbor aggregates,
+    // broadcast relabels and label-propagation rounds that dominated
+    // the composition's wall (8.8 of 11.1 s) touch 40× fewer rows,
+    // and a graph that contracts under the local threshold collapses
+    // to the single-collect regime outright.
+    val contracted = preContract(directed).localCheckpoint(true, SerLevel)
     releaseDirected()
+    val cEdges = contracted.count()
+    val result =
+      if (2L * cEdges <= localThreshold) {
+        lastStatsTl.set(CcStats("local-union-find", 0))
+        localEdgeCC(contracted)
+      } else {
+        val nodeCount = contracted
+          .select(col("src").as("n")).union(contracted.select(col("dst").as("n")))
+          .agg(approx_count_distinct(col("n"), 0.02)).head().getLong(0)
+        if (nodeCount <= localThreshold) minEdgeContractionCC(contracted, maxIter)
+        else labelPropagationCC(contracted, maxIter)
+      }
+    release(contracted)
+    lastStatsTl.set(lastStatsTl.get.copy(contractedEdges = cEdges))
     result
+  }
+
+  /** The per-partition spanning-star pass: local union-find over each
+    * partition's edges, one (root, member) edge per non-root member.
+    * Nodes keep appearing in the output (every input node's local
+    * component has ≥ 2 members — self-loops are filtered upstream —
+    * so each node is either an emitted member or the root carried by
+    * a sibling's edge), which preserves the contract that every
+    * edge-connected node shows up in the result. Memory is bounded by
+    * the DISTINCT NODES PER PARTITION, not the edge count — the
+    * pathological inputs this pass exists for (dense near-clique
+    * families) have far more edges than nodes. */
+  private[dedup] def preContract(directed: DataFrame): DataFrame = {
+    val spark = directed.sparkSession
+    import spark.implicits._
+    directed.select(col("src"), col("dst")).as[(Long, Long)]
+      .mapPartitions { it =>
+        val parent = scala.collection.mutable.Map.empty[Long, Long]
+        def find(x: Long): Long = {
+          var r = x
+          while (parent(r) != r) r = parent(r)
+          var c = x
+          while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+          r
+        }
+        it.foreach { case (a, b) =>
+          parent.getOrElseUpdate(a, a)
+          parent.getOrElseUpdate(b, b)
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+        }
+        // keys snapshot: find() path-compresses values mid-iteration
+        parent.keys.toArray.iterator.flatMap { k =>
+          val r = find(k)
+          if (r == k) None else Some((r, k))
+        }
+      }.toDF("src", "dst")
   }
 
   /** Regime 1: collect + path-compressed union-find (direction

@@ -108,6 +108,50 @@ class ClusterSpec extends AnyFunSuite {
       s"label propagation leaked ${leaked.size} persisted RDDs over ${stats.rounds} rounds")
   }
 
+  test("pre-contraction: components invariant, edge volume bounded by nodes") {
+    import spark.implicits._
+    // shapes that straddle partitions on purpose: a clique (the dense
+    // near-dup family pre-contraction exists for), a chain, stars —
+    // shuffled into 7 partitions so every local union-find sees a
+    // fragment, never a whole component
+    val clique = for (a <- 0L to 60L; b <- (a + 1) to 60L) yield (a, b)
+    val chain = (100L until 160L).map(i => (i, i + 1))
+    val star = (300L until 340L).map(i => (200L, i))
+    val edges = scala.util.Random.shuffle(clique ++ chain ++ star)
+    val df = edges.toDF("src", "dst").repartition(7)
+    val want = cc(edges)
+
+    val contracted = Cluster.preContract(df)
+    val cRows = contracted.collect().map(r => (r.getLong(0), r.getLong(1)))
+    // ≤ one output edge per node per partition, and far fewer than the
+    // clique's edge count
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    assert(cRows.length < edges.length)
+    assert(cRows.length <= 7 * nodes.size)
+    // every edge-connected node survives the pass
+    assert(cRows.flatMap(e => Seq(e._1, e._2)).toSet == nodes.toSet)
+    // and the contracted graph carries bit-identical components
+    val got = Cluster.connectedComponents(contracted)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == want)
+  }
+
+  test("pre-contraction engages above the local threshold and is stamped in stats") {
+    import spark.implicits._
+    // a 40-node clique: 780 directed edges (1560 symmetrized) exceed
+    // localThreshold=1000, so the pre-contraction pass runs before
+    // regime selection — and its output (≤ nodes·partitions star
+    // edges) is what the regime iterates over
+    val clique = for (a <- 0L to 39L; b <- (a + 1) to 39L) yield (a, b)
+    val got = Cluster.connectedComponents(
+      clique.toDF("src", "dst"), localThreshold = 1000)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.values.toSet == Set(0L) && got.keySet == (0L to 39L).toSet)
+    val stats = Cluster.lastStats.get
+    assert(stats.contractedEdges >= 0L, stats)
+    assert(stats.contractedEdges < 780L, stats)
+  }
+
   test("contraction + distributed path agree with union-find on random graphs") {
     import spark.implicits._
     val rnd = new scala.util.Random(23)
