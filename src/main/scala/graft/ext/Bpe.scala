@@ -120,9 +120,30 @@ object Bpe {
     * UTF-8 byte order (see the inline proof sketch at the tie
     * extension) — count-flat vocabularies batch instead of
     * serializing. Remaining degradation is graceful toward batch=1
-    * semantics — never toward wrong merges. */
+    * semantics — never toward wrong merges.
+    *
+    * `exact = false` switches to RELAXED batching (VERDICT r14
+    * item 4): the round-14 zipfian measurement showed exact batching
+    * is bound by the FIRST-CONFLICT stop (top candidates share a
+    * symbol — 'th' vs 'he' — so most rounds accept one merge no
+    * matter the batch), and further speedup requires giving up
+    * bit-exactness. Relaxed mode scans the round-start top table and
+    * accepts ANY candidate disjoint from the batch so far — skipping
+    * conflicted candidates instead of stopping at them (their counts
+    * refresh next round) and dropping the fstop/fhaz/tie guards: the
+    * SentencePiece-flavored trade of exact merge ORDER for pair-count
+    * rounds. Still fully deterministic (same corpus → same merges —
+    * the scan order is the same binary-collated sort), and the
+    * accepted batch is still mutually disjoint, so the one-fold-pass
+    * application stays order-independent and each accepted pair's own
+    * count is exact; what is given up is only the guarantee that a
+    * LATER accepted candidate would still have been the argmax at its
+    * turn (its true count may have decayed below a skipped rival's).
+    * batch = 1 relaxed is byte-identical to exact. BpeRelaxedSpec
+    * measures the divergence this buys on seeded corpora and pins a
+    * floor under the merge-set overlap. */
   def train(docs: DataFrame, textCol: String, rounds: Int,
-      batch: Int = 1): DataFrame = {
+      batch: Int = 1, exact: Boolean = true): DataFrame = {
     require(batch >= 1, s"batch must be >= 1, got $batch")
     val spark = docs.sparkSession
     // split into chars via a zero-width split: (?!^) skips the start
@@ -165,6 +186,29 @@ object Bpe {
             .orderBy(col("f").desc, col("l").asc, col("r").asc)
             .limit(1).collect().toSeq
             .map(r => Cand(r.getString(0), r.getString(1), r.getLong(2)))
+        } else if (!exact) {
+          // RELAXED: one sorted top-4·want window per round; greedy
+          // disjoint acceptance, conflicts SKIPPED (not stopped at) —
+          // a skipped candidate keeps its chance next round with a
+          // fresh count. The 4× window gives the scan skip room: at
+          // the table head, conflicts (shared symbols among the most
+          // frequent digraphs) are the norm, and a window of exactly
+          // `want` would strand most of the batch budget.
+          val top = pairCounts(words)
+            .orderBy(col("f").desc, col("l").asc, col("r").asc)
+            .limit(4 * want).collect()
+            .map(r => Cand(r.getString(0), r.getString(1), r.getLong(2)))
+          val acc = scala.collection.mutable.ArrayBuffer.empty[Cand]
+          val prot = scala.collection.mutable.Set.empty[String]
+          var i = 0
+          while (i < top.length && acc.size < want) {
+            val c = top(i)
+            if (!(prot(c.l) || prot(c.r) || prot(c.l + c.r))) {
+              acc += c; prot ++= Seq(c.l, c.r, c.l + c.r)
+            }
+            i += 1
+          }
+          acc.toSeq
         } else {
           // ONE pair-count job per round, exactly like the sequential
           // path (just top-(want+1) instead of top-1): on count-flat

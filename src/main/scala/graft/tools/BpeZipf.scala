@@ -20,8 +20,8 @@ import org.apache.spark.sql.functions._
   * real vocabulary does and BPE has real merge structure to learn.
   *
   * {{{
-  *   sbt -batch "runMain graft.tools.BpeZipf 50000 100000 256 8"
-  *   // vocabSize, topWordFreq, merge rounds, batch
+  *   sbt -batch "runMain graft.tools.BpeZipf 50000 100000 256 8 relaxed"
+  *   // vocabSize, topWordFreq, merge rounds, batch, mode(exact|relaxed)
   * }}}
   *
   * Prints one JSON line: rounds, batch, pcRounds, merges, wall
@@ -63,6 +63,8 @@ object BpeZipf {
     val topFreq = args.lift(1).map(_.toLong).getOrElse(100000L)
     val rounds = args.lift(2).map(_.toInt).getOrElse(256)
     val batch = args.lift(3).map(_.toInt).getOrElse(8)
+    val mode = args.lift(4).getOrElse("exact")
+    require(mode == "exact" || mode == "relaxed", s"bad mode: $mode")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors.toString)
     val spark = SparkSession.builder()
@@ -84,13 +86,14 @@ object BpeZipf {
     val nDocs = corpus.count()
 
     val t0 = System.nanoTime()
-    val merges = graft.ext.Bpe.train(corpus, "text", rounds, batch = batch)
+    val merges = graft.ext.Bpe.train(corpus, "text", rounds, batch = batch,
+      exact = mode == "exact")
     val nMerges = merges.count()
     val wall = (System.nanoTime() - t0) / 1e9
     val (pcRounds, learned) = graft.ext.Bpe.lastTrainStats.getOrElse((-1, -1))
 
     println(f"""{"tool":"bpe_zipf","vocab":$vocab,"top_freq":$topFreq,""" +
-      f""""word_occurrences":$nDocs,"rounds":$rounds,"batch":$batch,""" +
+      f""""word_occurrences":$nDocs,"rounds":$rounds,"batch":$batch,"mode":"$mode",""" +
       f""""pc_rounds":$pcRounds,"merges":$learned,"merge_rows":$nMerges,""" +
       f""""wall_sec":$wall%.1f}""")
     spark.stop()
