@@ -299,8 +299,8 @@ object StreamingQueries {
     // the same column expressions as the batch join), and run 2's
     // vectors score exact cosines against the unit vectors run 1
     // left in state. In audit mode the emitted pairs are EXACTLY the
-    // batch Ann.lshPairs relation, so the twin is the proven
-    // ann_lsh_pairs oracle verbatim — the strongest possible gate:
+    // batch Ann.lshPairs relation at the fixed 6-plane geometry, so
+    // the twin is the ann_lsh_pairs_fixed oracle — the strongest gate:
     // the streaming path must reproduce the batch sign-LSH join
     // bit-for-bit, including the in-state Scala cosine matching the
     // codegen'd DotProduct + Round to the last ulp.
@@ -490,12 +490,15 @@ object StreamingQueries {
          |WHERE n_agree >= ${TextQueries.NumSigs / 2}
          |ORDER BY a_id, b_id""".stripMargin,
 
-    // audit-mode streaming sign-LSH == the batch bucketed join, so
-    // the twin is the proven ann_lsh_pairs oracle over the SAME
-    // md5-bucketed 25% sample the stream query reads (per-vector
-    // bucketing/cosine commute with corpus restriction — the
-    // stream_incremental_neardup sampling argument)
-    "stream_incremental_ann" -> AnnQueries.oracle("ann_lsh_pairs")
+    // audit-mode streaming sign-LSH == the batch bucketed join at the
+    // FIXED 6-plane geometry (streaming state keys must stay stable
+    // across runs, so the stream pins its plane count — a
+    // volume-governed key would re-bucket in-state vectors as the
+    // corpus grows), so the twin is the ann_lsh_pairs_fixed oracle
+    // over the SAME md5-bucketed 25% sample the stream query reads
+    // (per-vector bucketing/cosine commute with corpus restriction —
+    // the stream_incremental_neardup sampling argument)
+    "stream_incremental_ann" -> AnnQueries.oracle("ann_lsh_pairs_fixed")
       .replace("FROM embeddings",
         "FROM embeddings WHERE substring(md5(CAST(vec_id AS VARCHAR)), 1, 1) IN ('0','1','2','3')"),
 
