@@ -60,67 +60,37 @@ object Cluster {
 
   /** @param edges undirected edges, columns (src: long, dst: long);
     *              either direction suffices; duplicates tolerated.
-    * @param edgesMaterialized caller guarantees `edges` is already
-    *              checkpointed/cached (re-reading it is a map-only
-    *              pass, not a recompute of an expensive join). When
-    *              true the directed edge set is NOT checkpointed here
-    *              — on the dense-clique workload the edge copy was
-    *              the single largest transient in the whole suite
-    *              (sf1 supplier: 82M symmetrized rows, ~2 GB of the
-    *              4.4 GB storage high-water) for data the caller
-    *              already held materialized one projection away.
+    * @param edgesMaterialized caller's hint that `edges` is already
+    *              checkpointed/cached. Since the pre-contraction
+    *              restructure the edge relation is consumed in ONE
+    *              map-only pass either way and never checkpointed
+    *              here, so the flag no longer changes behavior; it is
+    *              kept for API stability.
     * @return (id: long, component: long) for every node appearing in
     *         an edge, with component = min node id in the component.
     *         Isolated nodes (no edges) simply don't appear — callers
     *         default them to their own id.
     *
-    * Internally edges stay DIRECTED through regimes 1-2 (union-find
-    * and the min-neighbor aggregate are direction-agnostic: the
-    * aggregate unions both orientations map-side, where partial
-    * aggregation collapses them to ≤ |nodes| rows per side before
-    * the shuffle) — every pass over the dominant edge volume touches
-    * half the rows the old symmetrize-first layout did. Only regime 3
-    * (label propagation) expands to symmetric form, per round,
-    * map-only. Regime thresholds still compare the SYMMETRIZED count
-    * (2× directed) so regime selection is unchanged for any given
-    * graph. */
+    * Structure (VERDICT r14 item 2): the FIRST thing that happens to
+    * the edge relation — however expensive the join that produces it
+    * — is a per-partition spanning-star pre-contraction
+    * ([[preContract]]): one map-only pass, components invariant, and
+    * the only thing ever materialized is the contracted set (≤ one
+    * edge per distinct node per partition — on the sf10 near-dup
+    * corpus, 1.3M capped pairwise edges contract toward ~199k nodes,
+    * and r14's 8.8M uncapped edges the same). The raw edge set is
+    * never checkpointed and never counted: every downstream regime —
+    * single-collect union-find, min-edge contraction, label
+    * propagation — iterates over the contracted set, whose rounds
+    * touch ~edge-volume/family-size fewer rows, and a graph that
+    * contracts under `localThreshold` collapses to the single-collect
+    * regime outright. Regime thresholds still compare the SYMMETRIZED
+    * count (2× directed), now of the contracted set. */
   def connectedComponents(edges: DataFrame, maxIter: Int = 50,
       localThreshold: Long = 2000000, edgesMaterialized: Boolean = false): DataFrame = {
     val directed0 = edges.select(col("src"), col("dst"))
       .filter(col("src") =!= col("dst"))
-    val directed =
-      if (edgesMaterialized) directed0
-      else directed0.localCheckpoint(true, SerLevel)
-    def releaseDirected(): Unit = if (!edgesMaterialized) release(directed)
-    val edgeCount = 2L * directed.count()
-
-    // every regime either collects its answer to the driver or
-    // returns an independently-checkpointed frame, so the edge copy
-    // is dead the moment the regime returns — release it rather than
-    // waiting out the GC + ContextCleaner cycle
-    if (edgeCount <= localThreshold) {
-      lastStatsTl.set(CcStats("local-union-find", 0))
-      val r = localEdgeCC(directed); releaseDirected(); return r
-    }
-
-    // Per-partition pre-contraction (VERDICT r14 item 2): one
-    // map-only pass replaces each partition's edge list with a local
-    // spanning star — union-find over the partition's edges, emitting
-    // (local root, member) for every non-root member. Components are
-    // invariant under the reduction (a spanning forest of each
-    // partition's subgraph preserves exactly its connectivity, and
-    // the global union of per-partition forests preserves the global
-    // closure), while the edge volume drops from O(edges) to ≤ one
-    // edge per distinct node per partition — on the sf10 near-dup
-    // corpus, 8.8M intra-family pairwise edges carry the same
-    // components as ~200k star edges. Every downstream regime then
-    // iterates over the contracted set: the min-neighbor aggregates,
-    // broadcast relabels and label-propagation rounds that dominated
-    // the composition's wall (8.8 of 11.1 s) touch 40× fewer rows,
-    // and a graph that contracts under the local threshold collapses
-    // to the single-collect regime outright.
-    var contracted = preContract(directed).localCheckpoint(true, SerLevel)
-    releaseDirected()
+    var contracted = preContract(directed0).localCheckpoint(true, SerLevel)
     var cEdges = contracted.count()
     // The free pass contracts within the CALLER's partitioning — when
     // that scatters each component across partitions (an LSH pair

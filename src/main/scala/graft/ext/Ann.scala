@@ -125,15 +125,24 @@ object Ann {
       // components recover the identical clusters at a fraction of the
       // edges; recall is only traded for members whose nearest
       // in-bucket neighbors all sit further than `window` ranks away.
-      // The size split is a count window over the bucket key: one
-      // exchange over ≤ corpus rows (one bucket row per vector — not
-      // the text family's 16 band rows per doc, so no size gate is
-      // needed to make the pass worth it).
+      // The size split joins a BROADCAST bucket-count table (≤
+      // 2^planes rows after a map-side-combined aggregate) instead of
+      // a count window: a window would add a full-data exchange by
+      // bucket that nothing downstream reuses (the triangular join
+      // keys on (bucket, chunk)), and its windowed subtree would be
+      // recomputed once per consumer — measured +0.5 s on the sf1
+      // default for a cap that trims 23 buckets. The broadcast join
+      // is map-side on every scan. Callers that can cheaply prove no
+      // bucket exceeds the cap (a Memo'd max-bucket aggregate — see
+      // AnnQueries.governedPairs) should pass bucketCap = None and
+      // skip the split entirely; results are identical either way
+      // (AnnCapGovernorSpec pins the no-op equality).
       val base = bucketed.select(col("bucket"), col("vec_id"), col("u"))
-        .withColumn("bn", count(lit(1)).over(Window.partitionBy("bucket")))
-      triangularPairs(base.filter(col("bn") <= cap).drop("bn"), minCos, salt)
+      val counts = base.groupBy("bucket").agg(count(lit(1)).as("bn"))
+      val sized = base.join(broadcast(counts), Seq("bucket"))
+      triangularPairs(sized.filter(col("bn") <= cap).drop("bn"), minCos, salt)
         .unionByName(
-          neighborhoodPairs(base.filter(col("bn") > cap).drop("bn"),
+          neighborhoodPairs(sized.filter(col("bn") > cap).drop("bn"),
             minCos, window))
   }
 

@@ -299,8 +299,23 @@ object AnnQueries {
   private def governedPairs(s: SparkSession, dir: String,
       minCos: Double): DataFrame = {
     val p = prep(s, dir)
-    Ann.lshPairs(p, PlanesAll.take(planesFor(p.count())), minCos,
-      bucketCap = Some(AnnBucketCap), window = AnnNeighborWindow)
+    val planes = PlanesAll.take(planesFor(p.count()))
+    // SIZE-GATED like the text family's band-bucket governor: on a
+    // corpus whose hottest bucket already fits the cap the split is a
+    // proven no-op (AnnCapGovernorSpec), so the capped plan's extra
+    // scans are skipped outright — engaged only when the Memo'd
+    // full-corpus bucket max shows a hot bucket exists (sf ≤ 0.1:
+    // never; sf1: 23 buckets; sf10: ~1.5k). Semantics are unchanged
+    // either way, so the one capped twin grades both gate outcomes.
+    val maxBucket = graft.core.Memo.cached(s,
+      s"ann_maxbucket:$dir:p${planes.size}") {
+      p.select(Ann.lshBucket(col("v"), planes).as("bucket"))
+        .groupBy("bucket").agg(count(lit(1)).as("bn"))
+        .agg(coalesce(max(col("bn")), lit(0L)).as("max_bucket"))
+    }.head().getLong(0)
+    val cap = if (maxBucket > AnnBucketCap) Some(AnnBucketCap) else None
+    Ann.lshPairs(p, planes, minCos,
+      bucketCap = cap, window = AnnNeighborWindow)
   }
 
   /** Near-dup cluster assembly shared by the three ann_dedup_clusters
