@@ -110,20 +110,22 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
     def calMedian(): (Double, Seq[Double]) = {
-      // untimed warms until two CONSECUTIVE warm reps agree within
-      // 10% (bounded at 10): the probe's first executions carry
-      // codegen + JIT compilation that the steady-state measurement
-      // must not, and a FIXED warm count doesn't cut it — round-14
-      // start probes still read 0.2-1.3 s after three warms while end
-      // probes sat at a flat ~0.09 s (VERDICT r14 item 7). The stamp
-      // is only a useful divisor if it measures the machine, not the
-      // JIT ramp, so warm adaptively until the ramp has flattened.
+      // untimed warms until the ramp has flattened: two CONSECUTIVE
+      // warm reps within 10% AND ≥ 2.5 s of cumulative warm work
+      // (bounded at 15 reps). A fixed warm count doesn't cut it —
+      // round-14 start probes read 0.2-1.3 s after three warms — and
+      // consecutive-agreement alone exits on the C1-compile plateau
+      // (~0.22 s flat for 2-3 reps) before C2 drops the loop to its
+      // ~0.1 s steady state; the work budget keeps warming through
+      // that plateau, so the stamp measures the machine, not the JIT
+      // ramp (VERDICT r14 item 7).
       var prev = calOnce()
       var cur = calOnce()
+      var spent = prev + cur
       var warms = 2
-      while (warms < 10 &&
-          math.abs(cur - prev) / math.max(cur, prev) > 0.10) {
-        prev = cur; cur = calOnce(); warms += 1
+      while (warms < 15 && (spent < 2.5 ||
+          math.abs(cur - prev) / math.max(cur, prev) > 0.10)) {
+        prev = cur; cur = calOnce(); spent += cur; warms += 1
       }
       val ts = (1 to 5).map(_ => calOnce()).sorted
       (ts(2), ts)
