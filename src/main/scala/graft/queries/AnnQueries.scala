@@ -895,9 +895,9 @@ object AnnQueries {
   private[graft] val PlanesAll: Seq[Seq[Double]] =
     Ann.hyperplanes(MaxPlanes, 64)
 
-  /** The declared fixed-geometry plane set (6 planes — kept for the
-    * oracle parity of ann_lsh_pairs / ann_dedup_clusters and their
-    * history across rounds). */
+  /** The fixed-geometry plane set (6 planes) — the `_fixed` audits'
+    * geometry, and the stable bucketing the STREAMING sign-LSH path
+    * pins (state keys must not re-bucket as the corpus grows). */
   private[queries] val Planes: Seq[Seq[Double]] = PlanesAll.take(6)
 
   /** Volume-governed sign-LSH plane count (VERDICT r13 item 5): each

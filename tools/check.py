@@ -33,7 +33,12 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 if not SKIP_VERIFY:
-    cmd = ["sbt", "-batch", f'runMain graft.Verify {SF_DIR} {OUT}']
+    # forward --only to Verify so a restricted compare also restricts
+    # the Spark dump: without this, an --only sweep at sf10 still
+    # dumps the FULL surface — including the deliberately-quadratic
+    # audit queries whose sf10 run is a documented kill
+    extra = (" " + " ".join(sorted(ONLY))) if ONLY else ""
+    cmd = ["sbt", "-batch", f'runMain graft.Verify {SF_DIR} {OUT}{extra}']
     r = subprocess.run(cmd, capture_output=True, text=True, cwd="/root/repo")
     if r.returncode != 0:
         print(r.stdout[-4000:]); print(r.stderr[-4000:]); sys.exit(1)
