@@ -119,11 +119,16 @@ object Bench {
       // ~0.1 s steady state; the work budget keeps warming through
       // that plateau, so the stamp measures the machine, not the JIT
       // ramp (VERDICT r14 item 7).
+      // The budget is 6 s / ≤40 reps: the probe's own loop C2-compiles
+      // quickly, but the paths the END probe implicitly enjoys —
+      // scheduler, DAG submission, collect decode — only warm through
+      // repeated full executions, and a 2.5 s budget still left the
+      // start stamp ~1.8× the end stamp (r15 interim runs).
       var prev = calOnce()
       var cur = calOnce()
       var spent = prev + cur
       var warms = 2
-      while (warms < 15 && (spent < 2.5 ||
+      while (warms < 40 && (spent < 6.0 ||
           math.abs(cur - prev) / math.max(cur, prev) > 0.10)) {
         prev = cur; cur = calOnce(); spent += cur; warms += 1
       }
