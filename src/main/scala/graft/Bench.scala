@@ -111,19 +111,19 @@ object Bench {
     }
     def calMedian(): (Double, Seq[Double]) = {
       // untimed warms until the ramp has flattened: two CONSECUTIVE
-      // warm reps within 10% AND ≥ 2.5 s of cumulative warm work
-      // (bounded at 15 reps). A fixed warm count doesn't cut it —
+      // warm reps within 10% AND ≥ 6 s of cumulative warm work
+      // (bounded at 40 reps). A fixed warm count doesn't cut it —
       // round-14 start probes read 0.2-1.3 s after three warms — and
       // consecutive-agreement alone exits on the C1-compile plateau
       // (~0.22 s flat for 2-3 reps) before C2 drops the loop to its
       // ~0.1 s steady state; the work budget keeps warming through
       // that plateau, so the stamp measures the machine, not the JIT
       // ramp (VERDICT r14 item 7).
-      // The budget is 6 s / ≤40 reps: the probe's own loop C2-compiles
-      // quickly, but the paths the END probe implicitly enjoys —
-      // scheduler, DAG submission, collect decode — only warm through
-      // repeated full executions, and a 2.5 s budget still left the
-      // start stamp ~1.8× the end stamp (r15 interim runs).
+      // Why 6 s / ≤40 reps: the probe's own loop C2-compiles quickly,
+      // but the paths the END probe implicitly enjoys — scheduler,
+      // DAG submission, collect decode — only warm through repeated
+      // full executions, and a 2.5 s budget still left the start
+      // stamp ~1.8× the end stamp (r15 interim runs).
       var prev = calOnce()
       var cur = calOnce()
       var spent = prev + cur
@@ -208,6 +208,14 @@ object Bench {
         // SPARK_GRAFT_SF_DIR at a nonexistent dir produced a
         // plausible-looking artifact of 0.01s entries (same silent-
         // failure class as the unknown-family guard above).
+        // CC observability (VERDICT r15 item 5): the warm run is a
+        // full execution, so CC-consuming queries leave their regime/
+        // rounds/contracted-edges stats on this thread — stamped into
+        // the artifact so a future round that defeats the
+        // pre-contraction (or the small-graph gate) shows up as a
+        // stat diff, not wall-time noise. Cleared first so a previous
+        // query's stats can't masquerade as this one's.
+        graft.dedup.Cluster.clearStats()
         try {
           val d = fn(spark, sfDir); d.count()
           nExchanges = countShuffles(d.queryExecution.executedPlan)
@@ -215,6 +223,7 @@ object Bench {
           case e: Throwable => throw new RuntimeException(
             s"bench query '$name' failed on $sfDir: ${e.getMessage}", e)
         }
+        val ccStats = graft.dedup.Cluster.lastStats
         def timeOne(): Double = {
           val t0 = System.nanoTime()
           fn(spark, sfDir).count()
@@ -243,7 +252,7 @@ object Bench {
           m > 0 && (times.last - times.head) / m > 0.5 && times.last - times.head > 0.25
         }) { times = (times :+ timeOne()).sorted; extra += 1 }
         val storageHw = storageMb()
-        (name, times, medianOf(times), nExchanges, storageHw)
+        (name, times, medianOf(times), nExchanges, storageHw, ccStats)
       }
       // release this family's Memo indexes before the next family
       // runs, then take the GC hit HERE, between families, instead of
@@ -255,7 +264,7 @@ object Bench {
     }
     val (calEnd, calEndReps) = calMedian()
     val total = indexBuild + detail.map(_._3).sum
-    val maxSpread = detail.map { case (_, times, median, _, _) =>
+    val maxSpread = detail.map { case (_, times, median, _, _, _) =>
       if (median > 0) (times.last - times.head) / median else 0.0
     }.foldLeft(0.0)(math.max)
     // IQR-based dispersion: raw spread keeps every recorded stall rep
@@ -272,19 +281,22 @@ object Bench {
     }
     def iqrSpread(ts: IndexedSeq[Double], median: Double): Double =
       if (median > 0) (quart(ts, 0.75) - quart(ts, 0.25)) / median else 0.0
-    val maxIqrSpread = detail.map { case (_, times, median, _, _) =>
+    val maxIqrSpread = detail.map { case (_, times, median, _, _, _) =>
       iqrSpread(times.toIndexedSeq, median)
     }.foldLeft(0.0)(math.max)
     // full artifact: one object per query with every repetition, a
     // relative-spread dispersion column, the shuffle count of the
     // executed plan, and the storage high-water (MB) observed while
     // the query ran
-    val qDetail = detail.map { case (name, times, median, nEx, hw) =>
+    val qDetail = detail.map { case (name, times, median, nEx, hw, cc) =>
       val spread = if (median > 0) (times.last - times.head) / median else 0.0
+      val ccJson = cc.map(c =>
+        s""","cc":{"regime":"${c.regime}","rounds":${c.rounds},""" +
+          s""""contracted_edges":${c.contractedEdges}}""").getOrElse("")
       s""""$name":{"reps":[${times.map(fmt).mkString(",")}],"median":${fmt(median)},""" +
         s""""min":${fmt(times.head)},"max":${fmt(times.last)},"spread":${fmt(spread)},""" +
         s""""iqr_spread":${fmt(iqrSpread(times.toIndexedSeq, median))},""" +
-        s""""n_exchanges":$nEx,"storage_mb":$hw}"""
+        s""""n_exchanges":$nEx,"storage_mb":$hw$ccJson}"""
     }.mkString("{", ",", "}")
     val warmJson = warmDetail.map { case (f, s) => s""""$f":${fmt(s)}""" }
       .mkString("{", ",", "}")
@@ -306,8 +318,17 @@ object Bench {
     val missing = (SparkEntry.queries.keySet -- measured -- skip).toSeq.sorted
     val complete = missing.isEmpty
     val missingJson = missing.map(n => s""""$n"""").mkString("[", ",", "]")
+    // divisor role (VERDICT r15 item 6, closing r14 item 7): the END
+    // probe is the cross-round environment divisor. The start probe
+    // never converged to the end probe on this box (1.46× residual
+    // after the 6 s warm budget — some scheduler/JIT paths only warm
+    // through the run itself), and the per-query medians are measured
+    // in the END state anyway (every query gets its own untimed warm),
+    // so normalizing on the start stamp would mis-attribute the ramp
+    // as environment drift. The start stamp stays as a cold-ramp
+    // diagnostic only.
     val calJson =
-      s"""{"start":${fmt(calStart)},"end":${fmt(calEnd)},""" +
+      s"""{"divisor":"end","end":${fmt(calEnd)},"start":${fmt(calStart)},""" +
         s""""start_reps":[${calStartReps.map(fmt).mkString(",")}],""" +
         s""""end_reps":[${calEndReps.map(fmt).mkString(",")}]}"""
     val artifact =
@@ -334,7 +355,7 @@ object Bench {
     // and says so): medians only, 3 decimals
     def qsJson(rows: Seq[(String, Double)]): String =
       rows.map { case (n, m) => s""""$n":${fmt(m)}""" }.mkString("{", ",", "}")
-    val medians = detail.map { case (name, _, median, _, _) => (name, median) }
+    val medians = detail.map { case (name, _, median, _, _, _) => (name, median) }
     val skipStdout = if (skip.isEmpty) "" else s""","skipped":$skippedJson"""
     // stdout must fit the driver's ~2KB tail: a family-restricted dev
     // run can miss 100+ queries, so the stdout form carries a count +
@@ -361,6 +382,13 @@ object Bench {
             s""","queries_shown":"top$k-of-${medians.size}-by-median-full-map-in-artifact"""")
           k -= 5
         } while (l.length > 2000 && k > 0)
+        // final fallback (ADVICE r15): with a long skipped+missing
+        // list even the top-5 line can overflow and get truncated
+        // mid-JSON by the driver's ~2KB tail — drop the query map
+        // entirely rather than ship an unparseable line
+        if (l.length > 2000)
+          l = stdoutLine("{}",
+            s""","queries_shown":"none-of-${medians.size}-full-map-in-artifact"""")
         l
       }
     println(line)

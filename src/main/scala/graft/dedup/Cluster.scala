@@ -46,6 +46,10 @@ object Cluster {
       contractedEdges: Long = -1L)
   private val lastStatsTl = new ThreadLocal[CcStats]
   def lastStats: Option[CcStats] = Option(lastStatsTl.get)
+  /** Reset the calling thread's stats so a reader (the bench's
+    * per-query stamp) can tell "this query ran CC" from "a previous
+    * query on this thread did". */
+  def clearStats(): Unit = lastStatsTl.remove()
 
   /** Checkpoint-release on supersede — shared with the k-means loop
     * (see [[graft.core.Frames.release]] for the full rationale). */
@@ -66,6 +70,21 @@ object Cluster {
     *              map-only pass either way and never checkpointed
     *              here, so the flag no longer changes behavior; it is
     *              kept for API stability.
+    * @param edgeCountHint caller-supplied UPPER BOUND on the edge
+    *              count (−1 = unknown). When the bound already proves
+    *              the symmetrized set fits the driver
+    *              (2·hint ≤ localThreshold), the pre-contraction pass
+    *              and its checkpoint + count jobs are skipped and the
+    *              raw edges go straight to the single-collect
+    *              union-find — the same algorithm preContract runs
+    *              per-partition, so results are bit-identical
+    *              (ClusterSpec pins both sides of the gate). Callers
+    *              that already know their pair volume (the dedup
+    *              pipeline's Σ C(block,2) estimate, the ANN path's
+    *              Memo'd bucket histogram) pass it here; VERDICT r15
+    *              item 1 — small graphs were paying the contract-first
+    *              constant (~0.35 s per CC consumer at sf0.1) for a
+    *              pass that exists for multi-million-edge inputs.
     * @return (id: long, component: long) for every node appearing in
     *         an edge, with component = min node id in the component.
     *         Isolated nodes (no edges) simply don't appear — callers
@@ -87,9 +106,16 @@ object Cluster {
     * regime outright. Regime thresholds still compare the SYMMETRIZED
     * count (2× directed), now of the contracted set. */
   def connectedComponents(edges: DataFrame, maxIter: Int = 50,
-      localThreshold: Long = 2000000, edgesMaterialized: Boolean = false): DataFrame = {
+      localThreshold: Long = 2000000, edgesMaterialized: Boolean = false,
+      edgeCountHint: Long = -1L): DataFrame = {
     val directed0 = edges.select(col("src"), col("dst"))
       .filter(col("src") =!= col("dst"))
+    if (edgeCountHint >= 0 && 2L * edgeCountHint <= localThreshold) {
+      // proven-small: one collect of the raw edges, no pre-contraction
+      // jobs (contractedEdges stays −1 = "pre-contraction didn't run")
+      lastStatsTl.set(CcStats("local-union-find", 0))
+      return localEdgeCC(directed0)
+    }
     var contracted = preContract(directed0).localCheckpoint(true, SerLevel)
     var cEdges = contracted.count()
     // The free pass contracts within the CALLER's partitioning — when
@@ -103,18 +129,21 @@ object Cluster {
     // preserves components, so any prefix of passes is safe. Stop
     // when a pass stops paying (< 30% shrink), when the set fits the
     // single-collect regime, or after 4 passes (convergence is
-    // O(log n) rounds; the tail isn't worth the scheduling).
+    // O(log n) rounds; the tail isn't worth the scheduling). The 30%
+    // bar only decides whether to KEEP ITERATING — a pass that shrank
+    // the set at all has already materialized the smaller copy, which
+    // is free to adopt and strictly cheaper for the regime to iterate
+    // over (ADVICE r15).
     var pass = 0
     while (pass < 4 && 2L * cEdges > localThreshold) {
       val key = if (pass % 2 == 0) "dst" else "src"
       val next = preContract(contracted.repartition(col(key)))
         .localCheckpoint(true, SerLevel)
       val n = next.count()
-      if (n < (cEdges * 7) / 10) {
-        release(contracted); contracted = next; cEdges = n; pass += 1
-      } else {
-        release(next); pass = 4
-      }
+      val paying = n < (cEdges * 7) / 10
+      if (n < cEdges) { release(contracted); contracted = next; cEdges = n }
+      else release(next)
+      pass = if (paying) pass + 1 else 4
     }
     val result =
       if (2L * cEdges <= localThreshold) {

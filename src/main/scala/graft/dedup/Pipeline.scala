@@ -96,6 +96,10 @@ object Pipeline {
     // (components, candidates) in one driver pass — bit-identical
     // results, ~6 fewer jobs (the Cluster.localEdgeCC philosophy
     // applied to the whole name-level stage).
+    // lazy: the driver fast path never needs the estimate; the other
+    // two branches share ONE aggregate job (the regime guard and the
+    // CC gate both read it)
+    lazy val impliedPairs = Pipeline.pairEstimate(stats)
     val (comps, crossCand) =
       Matching.driverPairsAndCandidates(stats, settings) match {
         case Some((compsLocal, candLocal)) =>
@@ -103,7 +107,7 @@ object Pipeline {
           Matching.recordStage("driver-fast-path", 1)
           (compsLocal.toDF("id", "component"),
             candLocal.toDF("cand_name", "cand_conf", "partner_max_row"))
-        case None if Pipeline.pairEstimate(stats) > settings.densePairEstimate =>
+        case None if impliedPairs > settings.densePairEstimate =>
           // DENSE regime (sf1+ supplier: a 10k-name near-clique is
           // 50M implied pairs): checkpointing the pair rows costs
           // gigabytes of storage + GC churn while the codegen'd JW
@@ -125,8 +129,12 @@ object Pipeline {
           // was ~2 GB of storage and seconds of wall per run).
           val edges = pairsCompact
             .select(col("a_min_row").as("src"), col("b_min_row").as("dst"))
+          // edgeCountHint: qualifying pairs ⊆ implied pairs, so the
+          // Σ C(block,2) estimate is a valid upper bound — when it
+          // already fits the driver, CC skips the pre-contraction
+          // constant outright (VERDICT r15 item 1)
           val compsDist = Cluster.connectedComponents(edges,
-            edgesMaterialized = true)
+            edgesMaterialized = true, edgeCountHint = impliedPairs)
           // name fields recovered from the compact checkpoint: AQE
           // turns both min_row joins into broadcasts (the name index
           // is tiny relative to pairs), so this costs two map-side

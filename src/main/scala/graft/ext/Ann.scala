@@ -108,6 +108,12 @@ object Ann {
       window: Int = 8): DataFrame = bucketCap match {
     case None => triangularPairs(bucketed, minCos, salt)
     case Some(cap) =>
+      // window=1 would make neighborhoodPairs' sequence(rnk+1, rnk)
+      // DESCENDING — emitting self-pairs that violate a_id < b_id
+      // (ADVICE r15); production passes 8, but the parameter is public
+      require(window >= 2,
+        s"bucketCap requires window >= 2 (each hot-bucket member pairs " +
+          s"with its window-1 rank successors); got $window")
       // Hot-bucket governor (VERDICT r14 item 1 — the ANN counterpart
       // of the dedup pair join's maxBlockNames cap): a bucket with n
       // members implies n(n−1)/2 candidate cosines, so one hot bucket

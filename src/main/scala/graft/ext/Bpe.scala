@@ -84,6 +84,17 @@ object Bpe {
     * same pattern as Matching.lastStageStats. */
   @volatile var lastTrainStats: Option[(Int, Int)] = None
 
+  /** Per-round accepted batches — (lhs, rhs) in acceptance order —
+    * from the most recent [[train]] call on the calling thread. Test
+    * observability (ADVICE r15): the within-round mutual-disjointness
+    * invariant ({l, r, l+r} of a batch never overlapping) is pinned
+    * DIRECTLY on these by BpeRelaxedSpec, instead of being inferred
+    * from prefix self-consistency of the flat merge list (round
+    * boundaries are unrecoverable from the list alone). Driver-side
+    * and tiny: pcRounds entries of ≤ batch pairs each. */
+  private val lastBatchesTl = new ThreadLocal[Seq[Seq[(String, String)]]]
+  def lastTrainBatches: Option[Seq[Seq[(String, String)]]] = Option(lastBatchesTl.get)
+
   /** Learn `rounds` merges from the corpus' word-frequency table.
     * Returns (rank, lhs, rhs, freq) in learning order — the merge
     * list IS the tokenizer vocabulary beyond the character base.
@@ -175,6 +186,7 @@ object Bpe {
     var rank = 0
     var pcRounds = 0
     var done = false
+    val roundBatches = Seq.newBuilder[Seq[(String, String)]]
     while (rank < rounds && !done) {
       pcRounds += 1
       val want = math.min(batch, rounds - rank)
@@ -307,6 +319,7 @@ object Bpe {
         }
       if (accepted.isEmpty) done = true // every word fully merged
       else {
+        roundBatches += accepted.map(c => (c.l, c.r))
         accepted.foreach { c =>
           rank += 1
           merges += ((rank, c.l, c.r, c.f))
@@ -325,6 +338,7 @@ object Bpe {
     }
     words.unpersist()
     lastTrainStats = Some((pcRounds, rank))
+    lastBatchesTl.set(roundBatches.result())
     import spark.implicits._
     merges.result().toDF("rank", "lhs", "rhs", "freq").orderBy("rank")
   }

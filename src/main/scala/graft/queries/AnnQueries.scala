@@ -296,8 +296,41 @@ object AnnQueries {
     * fixed geometry and uncapped planes are the explicitly-named
     * audits). The count() driving the plane governor reads a Memo'd
     * cached frame; a cluster job would read table metadata. */
+  /** One Memo'd scan of the bucket histogram yields every governor
+    * input at once: the hottest bucket's size (drives the cap gate)
+    * and the candidate-pair upper bound of the plan that gate selects
+    * (drives the CC small-graph gate, VERDICT r15 item 1). Keyed by
+    * (dir, plane count) — buckets depend on nothing else — so the
+    * governed default and the `_governed` audit share one aggregate
+    * job per session. */
+  private final case class BucketStats(maxBucket: Long, pairBound: Long)
+  private def bucketStats(s: SparkSession, p: DataFrame, dir: String,
+      planes: Seq[Seq[Double]]): BucketStats = {
+    val row = graft.core.Memo.cached(s,
+      s"ann_bucketstats:$dir:p${planes.size}") {
+      // triangular buckets imply C(bn,2) candidates; a bucket the cap
+      // would switch to sorted-neighborhood implies ≤ bn·(window−1).
+      // bn·(bn−1) is even, so the long cast after halving is exact.
+      val tri = (col("bn") * (col("bn") - 1) / 2).cast("long")
+      val hot = (col("bn") * (AnnNeighborWindow - 1)).cast("long")
+      p.select(Ann.lshBucket(col("v"), planes).as("bucket"))
+        .groupBy("bucket").agg(count(lit(1)).as("bn"))
+        .agg(coalesce(max(col("bn")), lit(0L)).as("max_bucket"),
+          coalesce(sum(tri), lit(0L)).as("pairs_uncapped"),
+          coalesce(sum(when(col("bn") > AnnBucketCap, hot).otherwise(tri)),
+            lit(0L)).as("pairs_capped"))
+    }.head()
+    val capped = row.getLong(0) > AnnBucketCap
+    BucketStats(row.getLong(0), if (capped) row.getLong(2) else row.getLong(1))
+  }
+
   private def governedPairs(s: SparkSession, dir: String,
-      minCos: Double): DataFrame = {
+      minCos: Double): DataFrame = governedPairsWithBound(s, dir, minCos)._1
+
+  /** Returns the governed pair join AND its candidate-count upper
+    * bound (verified pairs ⊆ candidates) for downstream CC gating. */
+  private def governedPairsWithBound(s: SparkSession, dir: String,
+      minCos: Double): (DataFrame, Long) = {
     val p = prep(s, dir)
     val planes = PlanesAll.take(planesFor(p.count()))
     // SIZE-GATED like the text family's band-bucket governor: on a
@@ -307,24 +340,21 @@ object AnnQueries {
     // full-corpus bucket max shows a hot bucket exists (sf ≤ 0.1:
     // never; sf1: 23 buckets; sf10: ~1.5k). Semantics are unchanged
     // either way, so the one capped twin grades both gate outcomes.
-    val maxBucket = graft.core.Memo.cached(s,
-      s"ann_maxbucket:$dir:p${planes.size}") {
-      p.select(Ann.lshBucket(col("v"), planes).as("bucket"))
-        .groupBy("bucket").agg(count(lit(1)).as("bn"))
-        .agg(coalesce(max(col("bn")), lit(0L)).as("max_bucket"))
-    }.head().getLong(0)
-    val cap = if (maxBucket > AnnBucketCap) Some(AnnBucketCap) else None
-    Ann.lshPairs(p, planes, minCos,
-      bucketCap = cap, window = AnnNeighborWindow)
+    val stats = bucketStats(s, p, dir, planes)
+    val cap = if (stats.maxBucket > AnnBucketCap) Some(AnnBucketCap) else None
+    (Ann.lshPairs(p, planes, minCos,
+      bucketCap = cap, window = AnnNeighborWindow), stats.pairBound)
   }
 
   /** Near-dup cluster assembly shared by the three ann_dedup_clusters
     * variants: verified pairs become edges, connected components merge
     * transitive near-dups, min vec_id elects the canonical vector,
     * non-edge vectors stay singletons. */
-  private def dedupClusters(p: DataFrame, pairs: DataFrame): DataFrame = {
+  private def dedupClusters(p: DataFrame, pairs: DataFrame,
+      pairBound: Long = -1L): DataFrame = {
     val comps = graft.dedup.Cluster.connectedComponents(
-      pairs.select(col("a_id").as("src"), col("b_id").as("dst")))
+      pairs.select(col("a_id").as("src"), col("b_id").as("dst")),
+      edgeCountHint = pairBound)
       .withColumnRenamed("id", "vec_id")
     val w = Window.partitionBy("cluster_id")
     p.select(col("vec_id"))
@@ -442,9 +472,10 @@ object AnnQueries {
     // ~1.4M candidate pairs); recall is traded only when a hot bucket
     // mixes families. This is the shape that survives a 100 TB
     // embedding table with a pathological duplicate mass.
-    "ann_dedup_clusters" -> ((s, dir) =>
-      dedupClusters(prep(s, dir),
-        governedPairs(s, dir, minCos = CosThreshold))),
+    "ann_dedup_clusters" -> ((s, dir) => {
+      val (pairs, bound) = governedPairsWithBound(s, dir, minCos = CosThreshold)
+      dedupClusters(prep(s, dir), pairs, pairBound = bound)
+    }),
 
     // AUDIT: the historical fixed 6-plane, uncapped composition (20×
     // wall at 10× data — the documented quadratic counterfactual).
@@ -459,7 +490,31 @@ object AnnQueries {
     "ann_dedup_clusters_governed" -> ((s, dir) => {
       val p = prep(s, dir)
       val planes = PlanesAll.take(planesFor(p.count()))
-      dedupClusters(p, Ann.lshPairs(p, planes, minCos = CosThreshold))
+      // uncapped plan → the triangular Σ C(bn,2) bound (same Memo'd
+      // histogram scan as the governed default)
+      val row = bucketStats(s, p, dir, planes)
+      val bound = if (row.maxBucket > AnnBucketCap) -1L else row.pairBound
+      dedupClusters(p, Ann.lshPairs(p, planes, minCos = CosThreshold),
+        pairBound = bound)
+    }),
+
+    // SAMPLED composition twin (VERDICT r15 item 3 — the
+    // text_neardup_clusters_sample precedent): the deterministic 25%
+    // slice (vec_id % 4 = 0) restricted FIRST, then the SAME governed
+    // pipeline — planes derived from the SAMPLE's count, cap gate from
+    // the sample's bucket histogram, verified pairs, connected
+    // components. At sf10 the full-corpus composition twin is
+    // oracle-infeasible (recursive reach-closure over 200k nodes), so
+    // this is the hash-gradable oracle for governed cluster FORMATION
+    // at the scale the governor was built for.
+    "ann_dedup_clusters_sample" -> ((s, dir) => {
+      val p = prep(s, dir).filter(col("vec_id") % 4 === 0)
+      val planes = PlanesAll.take(planesFor(p.count()))
+      val stats = bucketStats(s, p, s"$dir#sample4", planes)
+      val cap = if (stats.maxBucket > AnnBucketCap) Some(AnnBucketCap) else None
+      val pairs = Ann.lshPairs(p, planes, minCos = CosThreshold,
+        bucketCap = cap, window = AnnNeighborWindow)
+      dedupClusters(p, pairs, pairBound = stats.pairBound)
     }),
 
     // IVF: probe the 2 nearest coarse partitions, exact top-k inside.
@@ -1017,16 +1072,21 @@ object AnnQueries {
        |)""".stripMargin
   }
 
-  /** Shared DuckDB fragments. */
-  private val prepCte: String =
-    """WITH e AS (
-      |  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-      |  FROM embeddings
-      |), n AS (
-      |  SELECT vec_id, label, v,
-      |         sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
-      |  FROM e
-      |)""".stripMargin
+  /** Shared DuckDB fragments. `where` restricts the corpus BEFORE
+    * anything downstream sees it (the sampled twins' restriction —
+    * identical placement to the Spark side's filter-first prep). */
+  private def prepCteFor(where: String): String = {
+    val w = if (where.isEmpty) "" else s" WHERE $where"
+    s"""WITH e AS (
+       |  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings$w
+       |), n AS (
+       |  SELECT vec_id, label, v,
+       |         sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+       |  FROM e
+       |)""".stripMargin
+  }
+  private val prepCte: String = prepCteFor("")
 
   /** Mirrors the Spark side exactly: per-element division by the norm
     * (prenormalized vectors), then an index-ordered dot product. */
@@ -1066,7 +1126,8 @@ object AnnQueries {
     * governor is hash-gated at every sf instead of spec-asserted.
     * `governedCtes` = "pc" (the derived plane count) + "bucketed"
     * (vectors with governed bucket ids), appended after prepCte. */
-  private lazy val governedCtes: String = {
+  private def governedCtesFor(where: String): String = {
+    val w = if (where.isEmpty) "" else s" WHERE $where"
     val thresholds = (7 to MaxPlanes).map(p =>
       s"(CASE WHEN cnt > ${GovernedBucketTarget * (1L << (p - 1))} THEN 1 ELSE 0 END)")
       .mkString(" + ")
@@ -1075,13 +1136,17 @@ object AnnQueries {
         s"i -> v[i] * (${planeLit(p)})[i])) > 0 THEN CAST(${1L << j} AS BIGINT) " +
         s"ELSE CAST(0 AS BIGINT) END)"
     }.mkString(" + ")
+    // the plane count derives from the RESTRICTED corpus volume —
+    // the sampled twin's governor must see the sample's count, same
+    // as the Spark side's planesFor(sample.count())
     s"""pc AS (
        |  SELECT 6 + ($thresholds) AS np
-       |  FROM (SELECT count(*) AS cnt FROM embeddings)
+       |  FROM (SELECT count(*) AS cnt FROM embeddings$w)
        |), bucketed AS (
        |  SELECT vec_id, v, nrm, ($bucketTerms) AS bucket FROM n, pc
        |)""".stripMargin
   }
+  private lazy val governedCtes: String = governedCtesFor("")
 
   /** The hot-bucket cap over the governed buckets, mirrored exactly:
     * buckets ≤ AnnBucketCap members pair triangularly; over-cap
@@ -1138,6 +1203,31 @@ object AnnQueries {
          |       count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
          |       vec_id = cluster_id AS is_canonical
          |FROM cc ORDER BY vec_id""".stripMargin,
+
+    // the governed composition on the deterministic 25% slice —
+    // restriction first, then the identical governed CTE chain with
+    // the plane count derived from the SAMPLE's volume
+    "ann_dedup_clusters_sample" -> {
+      val sampleWhere = "vec_id % 4 = 0"
+      s"""WITH RECURSIVE ${prepCteFor(sampleWhere).stripPrefix("WITH ")},
+         |${governedCtesFor(sampleWhere)},
+         |$cappedPairCtes, pairs AS (
+         |  SELECT a_id, b_id FROM cpairs WHERE cos >= $CosThreshold
+         |), edges AS (
+         |  SELECT a_id AS src, b_id AS dst FROM pairs
+         |  UNION ALL SELECT b_id, a_id FROM pairs
+         |), reach(id, lbl) AS (
+         |  SELECT vec_id, vec_id FROM n
+         |  UNION
+         |  SELECT e2.dst, r.lbl FROM reach r JOIN edges e2 ON e2.src = r.id
+         |), cc AS (
+         |  SELECT id AS vec_id, min(lbl) AS cluster_id FROM reach GROUP BY id
+         |)
+         |SELECT vec_id, cluster_id,
+         |       count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+         |       vec_id = cluster_id AS is_canonical
+         |FROM cc ORDER BY vec_id""".stripMargin
+    },
 
     "ann_lsh_pairs_governed" ->
       s"""$prepCte, $governedCtes

@@ -152,6 +152,60 @@ class ClusterSpec extends AnyFunSuite {
     assert(stats.contractedEdges < 780L, stats)
   }
 
+  test("edge-count hint gates the pre-contraction: bit-equal results both sides") {
+    import spark.implicits._
+    // mixed shapes across partitions — the same adversarial mix the
+    // invariance spec uses — run three ways: no hint (pre-contraction
+    // path), a proving hint (direct collect, pre-contraction skipped),
+    // and an over-threshold hint (gate must NOT fire)
+    val clique = for (a <- 0L to 30L; b <- (a + 1) to 30L) yield (a, b)
+    val chain = (100L until 140L).map(i => (i, i + 1))
+    val star = (300L until 320L).map(i => (200L, i))
+    val edges = clique ++ chain ++ star
+    val df = edges.toDF("src", "dst").repartition(5)
+
+    Cluster.clearStats()
+    val unhinted = Cluster.connectedComponents(df)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val statsUnhinted = Cluster.lastStats.get
+    assert(statsUnhinted.contractedEdges >= 0L, statsUnhinted) // pre-contraction ran
+
+    Cluster.clearStats()
+    val hinted = Cluster.connectedComponents(df, edgeCountHint = edges.size.toLong)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val statsHinted = Cluster.lastStats.get
+    assert(statsHinted.regime == "local-union-find", statsHinted)
+    assert(statsHinted.contractedEdges == -1L, statsHinted) // pre-contraction skipped
+    assert(hinted == unhinted)
+
+    // a hint that does NOT prove the set small must leave the normal
+    // path (pre-contraction + regime selection) untouched
+    Cluster.clearStats()
+    val bigHint = Cluster.connectedComponents(df,
+      localThreshold = 100, edgeCountHint = edges.size.toLong)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Cluster.lastStats.get.contractedEdges >= 0L, Cluster.lastStats.get)
+    assert(bigHint == unhinted)
+  }
+
+  test("re-contraction pass below the payoff bar is still adopted when smaller") {
+    import spark.implicits._
+    // A graph whose alternating-key pass shrinks the set a little but
+    // under 30%: components must be unchanged regardless of whether
+    // the pass was adopted (any prefix of passes preserves
+    // components); this pins the ADVICE r15 adopt-when-smaller change
+    // against the invariance contract.
+    val rnd = new scala.util.Random(41)
+    val edges = (1 to 4000).map(_ =>
+      (rnd.nextInt(1500).toLong, rnd.nextInt(1500).toLong))
+      .filter { case (a, b) => a != b }
+    val want = cc(edges)
+    val got = Cluster.connectedComponents(
+      edges.toDF("src", "dst").repartition(11), localThreshold = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == want)
+  }
+
   test("contraction + distributed path agree with union-find on random graphs") {
     import spark.implicits._
     val rnd = new scala.util.Random(23)

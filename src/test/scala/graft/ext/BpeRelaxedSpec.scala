@@ -51,21 +51,23 @@ class BpeRelaxedSpec extends AnyFunSuite {
 
   test("relaxed batches stay mutually disjoint (one-fold application is order-free)") {
     for (seed <- 0 until 5) {
-      // ranks within one pair-count round are contiguous; disjointness
-      // is observable on the OUTPUT: no symbol of a merge may equal a
-      // symbol or concat of another merge accepted in the same round.
-      // Rebuild round boundaries from the learning order: a round ends
-      // where a conflict WOULD have occurred, so instead check the
-      // stronger global property the acceptance scan enforces — every
-      // consecutive window of merges learned between two pair-count
-      // rounds is conflict-free. lastTrainStats gives the round count;
-      // with batch=8 and rounds=16 most seeds train in ≤ 4 rounds, so
-      // windows are recoverable only statistically — instead assert
-      // the invariant the fold DEPENDS on directly: applying the full
-      // merge list via segment() reproduces each merge's own concat.
+      // The invariant the one-fold application depends on, pinned
+      // DIRECTLY (ADVICE r15): within each pair-count round's accepted
+      // batch — exposed per-round via lastTrainBatches — no merge's
+      // symbol may equal another same-round merge's symbol OR concat.
       val df = corpus(seed)
       val merges = asTuples(Bpe.train(df, "text", 16, batch = 8, exact = false))
       val ml = merges.map(m => (m._2, m._3))
+      val batches = Bpe.lastTrainBatches.get
+      assert(batches.map(_.size).sum == merges.size) // hook covers every merge
+      batches.zipWithIndex.foreach { case (b, round) =>
+        val prot = scala.collection.mutable.Set.empty[String]
+        b.foreach { case (l, r) =>
+          assert(!(prot(l) || prot(r) || prot(l + r)),
+            s"seed=$seed round=$round merge $l+$r overlaps its own batch: $b")
+          prot ++= Seq(l, r, l + r)
+        }
+      }
       // each learned concat must segment to itself under the prefix of
       // merges up to and including its own rank — i.e. the merge list
       // is self-consistent and applicable in rank order

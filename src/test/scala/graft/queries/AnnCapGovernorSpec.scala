@@ -101,4 +101,14 @@ class AnnCapGovernorSpec extends AnyFunSuite {
     assert(AnnQueries.AnnBucketCap == 64)
     assert(AnnQueries.AnnNeighborWindow == 8)
   }
+
+  test("a capped join refuses window < 2 (descending rank range would emit self-pairs)") {
+    val rows = clique(0L, 0 until 12)
+    val e = intercept[IllegalArgumentException] {
+      Ann.saltedCosinePairs(rows, minCos = 0.3, bucketCap = Some(4), window = 1)
+    }
+    assert(e.getMessage.contains("window"))
+    // and the uncapped path never reads the parameter, so it stays legal
+    Ann.saltedCosinePairs(rows, minCos = 0.3, window = 1).count(): Unit
+  }
 }
