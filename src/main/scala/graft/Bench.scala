@@ -1,5 +1,6 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.{col, sum}
 import org.apache.spark.sql.execution.SparkPlan
 import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
 import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
@@ -135,7 +136,33 @@ object Bench {
       val ts = (1 to 5).map(_ => calOnce()).sorted
       (ts(2), ts)
     }
+    // Second calibration axis (round 16): the CPU probe stayed flat
+    // (0.073 vs 0.074 s) across two back-to-back sf1 runs whose query
+    // medians differed 19% in aggregate — 37/123 queries moved >1.2×,
+    // all of them shuffle-heavy. External interference on this box
+    // lands on the exchange path (shuffle write/read, disk
+    // writeback), which a pure-arithmetic collect never touches. This
+    // probe is a fixed-size repartition→agg round trip: same constant
+    // work at every sf, one full shuffle, so its start/end medians
+    // move with the stall mode that actually inflates the benched
+    // queries. Diagnostic only — the CPU end-probe stays the divisor
+    // (it isolates compute drift; mixing axes would blur both).
+    def shufOnce(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(0, 16L * 1000 * 1000, 1, cpus.toInt)
+        .selectExpr("id", "(id * 2654435761) % 65536 AS k")
+        .repartition(cpus.toInt, col("k"))
+        .groupBy("k").agg(sum("id").as("s"))
+        .selectExpr("sum(s)").collect(): Unit
+      (System.nanoTime() - t0) / 1e9
+    }
+    def shufMedian(): Double = {
+      (1 to 2).foreach(_ => shufOnce())
+      val ts = (1 to 5).map(_ => shufOnce()).sorted
+      ts(2)
+    }
     val (calStart, calStartReps) = calMedian()
+    val shufStart = shufMedian()
 
     val warms: Map[String, (SparkSession, String) => Unit] = Map(
       "dedup" -> graft.queries.DedupQueries.warmIndexes,
@@ -263,6 +290,7 @@ object Bench {
       rows
     }
     val (calEnd, calEndReps) = calMedian()
+    val shufEnd = shufMedian()
     val total = indexBuild + detail.map(_._3).sum
     val maxSpread = detail.map { case (_, times, median, _, _, _) =>
       if (median > 0) (times.last - times.head) / median else 0.0
@@ -329,6 +357,7 @@ object Bench {
     // diagnostic only.
     val calJson =
       s"""{"divisor":"end","end":${fmt(calEnd)},"start":${fmt(calStart)},""" +
+        s""""shuffle_end":${fmt(shufEnd)},"shuffle_start":${fmt(shufStart)},""" +
         s""""start_reps":[${calStartReps.map(fmt).mkString(",")}],""" +
         s""""end_reps":[${calEndReps.map(fmt).mkString(",")}]}"""
     val artifact =
