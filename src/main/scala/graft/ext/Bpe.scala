@@ -152,7 +152,15 @@ object Bpe {
     * turn (its true count may have decayed below a skipped rival's).
     * batch = 1 relaxed is byte-identical to exact. BpeRelaxedSpec
     * measures the divergence this buys on seeded corpora and pins a
-    * floor under the merge-set overlap. */
+    * floor under the merge-set overlap.
+    *
+    * RELAXED IS THE RECOMMENDED MODE AT PRODUCTION VOCAB DEPTH:
+    * compression parity is measured, not assumed — at 4096 merges on
+    * the zipfian corpus, held-out tokens/byte is within 0.06% of the
+    * exact vocab (1.0006 ratio) for 1.94× fewer pair-count rounds
+    * (527 vs 1022) and 1.51× less wall (SCALE.md round-16 parity
+    * table; `graft.tools.BpeZipf … parity` reproduces it). Exact
+    * stays the default for bit-reproducibility and small vocabs. */
   def train(docs: DataFrame, textCol: String, rounds: Int,
       batch: Int = 1, exact: Boolean = true): DataFrame = {
     require(batch >= 1, s"batch must be >= 1, got $batch")
