@@ -1187,9 +1187,9 @@ object AnnQueries {
 
     "ann_dedup_clusters" ->
       s"""WITH RECURSIVE ${prepCte.stripPrefix("WITH ")}, $governedCtes,
-         |$cappedPairCtes, pairs AS (
+         |$cappedPairCtes, pairs AS MATERIALIZED (
          |  SELECT a_id, b_id FROM cpairs WHERE cos >= $CosThreshold
-         |), edges AS (
+         |), edges AS MATERIALIZED (
          |  SELECT a_id AS src, b_id AS dst FROM pairs
          |  UNION ALL SELECT b_id, a_id FROM pairs
          |), reach(id, lbl) AS (
@@ -1211,9 +1211,9 @@ object AnnQueries {
       val sampleWhere = "vec_id % 4 = 0"
       s"""WITH RECURSIVE ${prepCteFor(sampleWhere).stripPrefix("WITH ")},
          |${governedCtesFor(sampleWhere)},
-         |$cappedPairCtes, pairs AS (
+         |$cappedPairCtes, pairs AS MATERIALIZED (
          |  SELECT a_id, b_id FROM cpairs WHERE cos >= $CosThreshold
-         |), edges AS (
+         |), edges AS MATERIALIZED (
          |  SELECT a_id AS src, b_id AS dst FROM pairs
          |  UNION ALL SELECT b_id, a_id FROM pairs
          |), reach(id, lbl) AS (
@@ -1242,12 +1242,12 @@ object AnnQueries {
     // via the same recursive reachability closure as the fixed-
     // geometry ann_dedup_clusters twin below
     "ann_dedup_clusters_governed" ->
-      s"""WITH RECURSIVE ${prepCte.stripPrefix("WITH ")}, $governedCtes, pairs AS (
+      s"""WITH RECURSIVE ${prepCte.stripPrefix("WITH ")}, $governedCtes, pairs AS MATERIALIZED (
          |  SELECT a.vec_id AS a_id, b.vec_id AS b_id
          |  FROM bucketed a JOIN bucketed b
          |    ON a.bucket = b.bucket AND a.vec_id < b.vec_id
          |  WHERE ${cosSql("a.v", "b.v", "a.nrm", "b.nrm")} >= $CosThreshold
-         |), edges AS (
+         |), edges AS MATERIALIZED (
          |  SELECT a_id AS src, b_id AS dst FROM pairs
          |  UNION ALL SELECT b_id, a_id FROM pairs
          |), reach(id, lbl) AS (
@@ -1340,12 +1340,12 @@ object AnnQueries {
       // the Spark side's min-label component id)
       s"""WITH RECURSIVE ${prepCte.stripPrefix("WITH ")}, bucketed AS (
          |  SELECT vec_id, v, nrm, ($bucketTerms) AS bucket FROM n
-         |), pairs AS (
+         |), pairs AS MATERIALIZED (
          |  SELECT a.vec_id AS a_id, b.vec_id AS b_id
          |  FROM bucketed a JOIN bucketed b
          |    ON a.bucket = b.bucket AND a.vec_id < b.vec_id
          |  WHERE ${cosSql("a.v", "b.v", "a.nrm", "b.nrm")} >= $CosThreshold
-         |), edges AS (
+         |), edges AS MATERIALIZED (
          |  SELECT a_id AS src, b_id AS dst FROM pairs
          |  UNION ALL SELECT b_id, a_id FROM pairs
          |), reach(id, lbl) AS (

@@ -1612,7 +1612,7 @@ object TextQueries {
          |  JOIN shcnt ca ON ca.doc_id = i.a_id
          |  JOIN shcnt cb ON cb.doc_id = i.b_id
          |  WHERE i.i / (ca.n + cb.n - i.i) >= $JaccardThreshold
-         |), edges AS (
+         |), edges AS MATERIALIZED (
          |  SELECT a_id AS src, b_id AS dst FROM pairs
          |  UNION ALL SELECT b_id, a_id FROM pairs
          |), reach(id, lbl) AS (
@@ -1684,7 +1684,7 @@ object TextQueries {
          |  JOIN shcnt ca ON ca.doc_id = i.a_id
          |  JOIN shcnt cb ON cb.doc_id = i.b_id
          |  WHERE i.i / (ca.n + cb.n - i.i) >= $JaccardThreshold
-         |), edges AS (
+         |), edges AS MATERIALIZED (
          |  SELECT a_id AS src, b_id AS dst FROM pairs
          |  UNION ALL SELECT b_id, a_id FROM pairs
          |), reach(id, lbl) AS (
