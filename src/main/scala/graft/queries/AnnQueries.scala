@@ -52,6 +52,45 @@ object AnnQueries {
       Ann.prepared(Tables.embeddings(s, dir))
     }
 
+  /** Exact-cosine top-k ground truth over the bounded probe set,
+    * Memo'd (round 16): FOUR recall audits were each re-running the
+    * same |probes|·n brute pass (~10 s apiece at sf10 — the dominant
+    * cost of every audit at scale). Ground truth is the canonical
+    * shared asset of a recall harness — computed once, scored against
+    * by every index variant and parameter sweep — so it takes the
+    * same Memo treatment as the prepared vectors and trained
+    * codebooks. NOT used by ann_topk, where the brute pass IS the
+    * operator under measurement. */
+  private def cosTruth(s: SparkSession, dir: String): DataFrame =
+    graft.core.Memo.cached(s, s"ann_cos_truth:$dir:k$TopK") {
+      val p = prep(s, dir)
+      Ann.bruteForceTopK(p.filter(probeSet), p, TopK)
+        .select("query_id", "neighbor_id")
+    }
+
+  /** Exact-L2 top-k ground truth over the bounded probe set, Memo'd —
+    * the PQ-family audits rank by squared L2 (the metric ADC
+    * approximates), so they share this table the way the IVF audits
+    * share [[cosTruth]]. Ties broken by neighbor_id, self excluded —
+    * verbatim the per-audit truth pass this replaces. */
+  private def l2Truth(s: SparkSession, dir: String): DataFrame =
+    graft.core.Memo.cached(s, s"ann_l2_truth:$dir:k$TopK") {
+      val p = prep(s, dir)
+      val probes = p.filter(probeSet)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"))
+      val corpus = p.select(col("vec_id").as("neighbor_id"), col("v").as("nv"))
+      val exd2 = round(aggregate(
+        zip_with(col("qv"), col("nv"), (a, b) => (a - b) * (a - b)),
+        lit(0.0), (acc, x) => acc + x), 4)
+      val tw = Window.partitionBy("query_id")
+        .orderBy(col("d2").asc, col("neighbor_id").asc)
+      broadcast(probes)
+        .join(corpus, col("neighbor_id") =!= col("query_id"))
+        .withColumn("d2", exd2)
+        .withColumn("rk", row_number().over(tw)).filter(col("rk") <= TopK)
+        .select("query_id", "neighbor_id")
+    }
+
   /** The trained whole-vector codebook (label, dim, cval) — Memo'd
     * separately from the assignment so IVF-PQ residual consumers can
     * reuse the centroid VALUES without re-running the Lloyd's chain. */
@@ -549,8 +588,7 @@ object AnnQueries {
     "ann_recall" -> ((s, dir) => {
       val p = prep(s, dir)
       val q = p.filter(probeSet)
-      val truth = Ann.bruteForceTopK(q, p, TopK)
-        .select("query_id", "neighbor_id")
+      val truth = cosTruth(s, dir)
       val approx = Ann.ivfSearch(Tables.embeddings(s, dir), q, nProbe = 2, k = TopK)
         .select(col("query_id"), col("neighbor_id"), lit(1).as("hit"))
       truth.join(approx, Seq("query_id", "neighbor_id"), "left")
@@ -576,8 +614,7 @@ object AnnQueries {
       import s.implicits._
       val p = prep(s, dir)
       val q = p.filter(probeSet)
-      val truth = Ann.bruteForceTopK(q, p, TopK)
-        .select("query_id", "neighbor_id")
+      val truth = cosTruth(s, dir)
       val cand = graft.core.Memo.cached(s,
         s"ann_recall_curve:$dir:k$KmK:i$KmIters:p${ProbeCurve.max}") {
         val probeW = Window.partitionBy("query_id")
@@ -722,20 +759,7 @@ object AnnQueries {
         .withColumn("rk", row_number().over(aw)).filter(col("rk") <= TopK)
         .select(col("query_id"), col("vec_id").as("neighbor_id"),
           lit(1).as("hit"))
-      val probes = p.filter(probeSet)
-        .select(col("vec_id").as("query_id"), col("v").as("qv"))
-      val corpus = p.select(col("vec_id").as("neighbor_id"), col("v").as("nv"))
-      val exd2 = round(aggregate(
-        zip_with(col("qv"), col("nv"), (a, b) => (a - b) * (a - b)),
-        lit(0.0), (acc, x) => acc + x), 4)
-      val tw = Window.partitionBy("query_id")
-        .orderBy(col("d2").asc, col("neighbor_id").asc)
-      val truth = broadcast(probes)
-        .join(corpus, col("neighbor_id") =!= col("query_id"))
-        .withColumn("d2", exd2)
-        .withColumn("rk", row_number().over(tw)).filter(col("rk") <= TopK)
-        .select("query_id", "neighbor_id")
-      truth.join(approxTopk, Seq("query_id", "neighbor_id"), "left")
+      l2Truth(s, dir).join(approxTopk, Seq("query_id", "neighbor_id"), "left")
         .groupBy("query_id")
         .agg(count(col("hit")).as("n_hits"),
           round(count(col("hit")) / count(lit(1)), 6).as("recall"))
@@ -923,19 +947,9 @@ object AnnQueries {
         .withColumn("d2", exd2)
         .withColumn("rk", row_number().over(rw)).filter(col("rk") <= TopK)
         .select(col("query_id"), col("vec_id").as("neighbor_id"), lit(1).as("hit"))
-      // exact-L2 truth over the bounded probe set (same pass every
-      // brute audit here uses)
-      val exd2t = round(aggregate(
-        zip_with(col("qv"), col("nv"), (a, b) => (a - b) * (a - b)),
-        lit(0.0), (acc, x) => acc + x), 4)
-      val tw = Window.partitionBy("query_id").orderBy(col("d2").asc, col("neighbor_id").asc)
-      val truth = broadcast(probes.select(col("vec_id").as("query_id"), col("v").as("qv")))
-        .join(p.select(col("vec_id").as("neighbor_id"), col("v").as("nv")),
-          col("neighbor_id") =!= col("query_id"))
-        .withColumn("d2", exd2t)
-        .withColumn("rk", row_number().over(tw)).filter(col("rk") <= TopK)
-        .select("query_id", "neighbor_id")
-      truth.join(approxTopk, Seq("query_id", "neighbor_id"), "left")
+      // exact-L2 truth over the bounded probe set — the shared Memo'd
+      // table every PQ-family audit scores against
+      l2Truth(s, dir).join(approxTopk, Seq("query_id", "neighbor_id"), "left")
         .groupBy("query_id")
         .agg(count(col("hit")).as("n_hits"),
           round(count(col("hit")) / count(lit(1)), 6).as("recall"))
