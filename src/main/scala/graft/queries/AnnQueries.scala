@@ -185,8 +185,14 @@ object AnnQueries {
 
   /** Materialize the session-shared prepared-vector index (bench
     * warm-up hook — see TextQueries.warmIndexes). */
-  def warmIndexes(s: SparkSession, dir: String): Unit =
+  def warmIndexes(s: SparkSession, dir: String): Unit = {
     prep(s, dir).count()
+    // ground-truth tables build here so their one-time cost lands in
+    // the artifact's index_build stamp (visible, counted in total)
+    // rather than inside a recall query's untimed warm rep (invisible)
+    cosTruth(s, dir).count()
+    l2Truth(s, dir).count()
+  }
 
   /** Scratch locations of persisted IVF-PQ artifacts, keyed by
     * (testdata dir, index params) — save-once-per-JVM (VERDICT r12
