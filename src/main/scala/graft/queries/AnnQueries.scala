@@ -189,9 +189,19 @@ object AnnQueries {
     prep(s, dir).count()
     // ground-truth tables build here so their one-time cost lands in
     // the artifact's index_build stamp (visible, counted in total)
-    // rather than inside a recall query's untimed warm rep (invisible)
-    cosTruth(s, dir).count()
-    l2Truth(s, dir).count()
+    // rather than inside a recall query's untimed warm rep (invisible).
+    // Skip-aware (ADVICE r16): a SPARK_GRAFT_BENCH_SKIP run that
+    // excludes every consumer of a truth table must not pay (and
+    // stamp) its |probes|·n brute pass for nothing. Outside Bench the
+    // env var is unset and both tables always build.
+    val skipped = sys.env.get("SPARK_GRAFT_BENCH_SKIP")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .getOrElse(Set.empty[String])
+    val cosConsumers = Set("ann_recall", "ann_recall_curve")
+    val l2Consumers =
+      Set("ann_pq_recall", "ann_ivf_pq_recall", "ann_ivf_pq_persist_recall")
+    if (!cosConsumers.subsetOf(skipped)) cosTruth(s, dir).count()
+    if (!l2Consumers.subsetOf(skipped)) l2Truth(s, dir).count()
   }
 
   /** Scratch locations of persisted IVF-PQ artifacts, keyed by
