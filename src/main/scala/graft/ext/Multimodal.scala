@@ -112,6 +112,104 @@ object Multimodal {
     bos.toByteArray
   }
 
+  /** Deterministic PATTERNED PNG for the perceptual near-dup path
+    * (`mm_neardup`): an 18×16 grayscale image of 9×8 constant 2×2
+    * cells. Ids in the same family (`id / 4`) share a per-cell base
+    * level (md5-derived, pseudo-random in [28,227]); each id adds a
+    * small per-cell jitter in [-2,+2] — the re-encode/resize noise a
+    * real pipeline sees. Same-family images are perceptual near-dups
+    * (dHash hamming ≈ 0-3: a jitter flips a dHash bit only where two
+    * adjacent bases land within 4 levels of each other); cross-family
+    * images are far apart (≈ 32). Every level is md5 arithmetic over
+    * ASCII strings, so a SQL oracle recomputes the exact cell values
+    * — and therefore the exact dHash — from doc_id without decoding.
+    * (The solid-color [[syntheticPng]] corpus can't serve here: a
+    * solid image has no gradients, so every dHash is the all-zero
+    * degenerate hash.) */
+  def syntheticPatternPng(id: Long): Array[Byte] = {
+    require(id >= 0, s"syntheticPatternPng requires a non-negative id, got $id")
+    val md = java.security.MessageDigest.getInstance("MD5")
+    // first 8 hex chars of md5(s) as an unsigned int — the same value
+    // DuckDB's CAST(concat('0x', substr(md5(s),1,8)) AS BIGINT) reads
+    def hex8(sv: String): Long = {
+      val d = md.digest(sv.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(4).map("%02x".format(_)).mkString, 16)
+    }
+    val fam = id / 4
+    val img = new java.awt.image.BufferedImage(
+      18, 16, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var cy = 0
+    while (cy < 8) {
+      var cx = 0
+      while (cx < 9) {
+        val base = 28 + (hex8(s"b_${fam}_${cx}_${cy}") % 200).toInt
+        val jit = (hex8(s"j_${id}_${cx}_${cy}") % 5).toInt - 2
+        val g = base + jit
+        val rgb = (g << 16) | (g << 8) | g
+        var y = cy * 2
+        while (y < cy * 2 + 2) {
+          img.setRGB(cx * 2, y, rgb); img.setRGB(cx * 2 + 1, y, rgb)
+          y += 1
+        }
+        cx += 1
+      }
+      cy += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** 64-bit difference hash (dHash) of a decoded image, returned as
+    * FOUR 16-bit band integers — pre-sliced for hamming-LSH
+    * bucketing: two hashes within hamming distance 3 must agree on at
+    * least one of the four bands, so a band-key equi-join finds every
+    * qualifying candidate without an all-pairs comparison (the text
+    * MinHash-LSH banding argument, applied to hamming space).
+    *
+    * Grid: 9 columns × 8 rows of cell means over the red channel
+    * (grayscale inputs); bit (cx, cy) = 1 iff mean(cx+1, cy) >
+    * mean(cx, cy); bit index i = cy*8+cx; band k carries bits
+    * [16k, 16k+16) as `Σ bit << (i mod 16)`. Cell means compare via
+    * integer cross-multiplication — exact at any image size, no
+    * float rounding in the hash. */
+  def dhashBands(payload: Array[Byte]): Array[Int] = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+    require(img != null, s"undecodable image payload (${payload.length} bytes)")
+    val w = img.getWidth
+    val h = img.getHeight
+    val sums = Array.ofDim[Long](9, 8)
+    val counts = Array.ofDim[Long](9, 8)
+    val row = new Array[Int](w)
+    var y = 0
+    while (y < h) {
+      img.getRGB(0, y, w, 1, row, 0, w)
+      val cy = y * 8 / h
+      var x = 0
+      while (x < w) {
+        val cx = x * 9 / w
+        sums(cx)(cy) += (row(x) >> 16) & 0xff
+        counts(cx)(cy) += 1
+        x += 1
+      }
+      y += 1
+    }
+    val bands = new Array[Int](4)
+    var cy = 0
+    while (cy < 8) {
+      var cx = 0
+      while (cx < 8) {
+        val i = cy * 8 + cx
+        // mean(cx+1) > mean(cx) without division: cross-multiply
+        if (sums(cx + 1)(cy) * counts(cx)(cy) > sums(cx)(cy) * counts(cx + 1)(cy))
+          bands(i / 16) |= 1 << (i % 16)
+        cx += 1
+      }
+      cy += 1
+    }
+    bands
+  }
+
   /** The partition-wise decode stage. One Decoder instance per
     * partition (setup amortized), records streamed — never
     * materializes a partition in memory. */

@@ -72,6 +72,29 @@ object StreamAnnDedup {
     BigDecimal(s).setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble
   }
 
+  /** Offline drain of a [[candidatePairs]] checkpoint's keyed state:
+    * the rep vector ids currently held across all buckets, read
+    * through Spark's state data source (public API — no checkpoint
+    * surgery, works against a stopped query's checkpoint under either
+    * state store provider).
+    *
+    * This is step 1 of the RE-INDEX migration (the fixed sign-LSH
+    * geometry is right for state-key stability, but a growing corpus
+    * eventually makes its 2^planes buckets hot — the batch side grew
+    * a volume-derived plane governor for exactly that reason): drain
+    * the ids, join them back to the embeddings table for their
+    * original vectors (re-normalizing the in-state unit vectors would
+    * double-round and break bit-parity with the batch relation), and
+    * replay them as the first batch of a FRESH checkpoint keyed under
+    * the new plane set; live ingestion then resumes on the new
+    * checkpoint. StreamAnnReindexSpec pins the end-to-end migration:
+    * post-migration pairs equal the batch [[Ann.lshPairs]] relation
+    * under the new geometry, bit-for-bit. */
+  def drainStateIds(spark: SparkSession, checkpointDir: String): DataFrame =
+    spark.read.format("statestore").option("path", checkpointDir).load()
+      .select(explode(col("value.groupState.vec_ids")).as("vec_id"))
+      .distinct()
+
   /** Candidate near-dup pairs from a stream of embeddings.
     *
     * @param stream  streaming (or batch, for tests/backfills) frame

@@ -171,6 +171,18 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(opt.contains("InMemoryRelation"), opt.take(3000))
   }
 
+  test("image near-dup stays band-bucketed: equi-join candidates, no nested loop") {
+    assume(new java.io.File(s"$sfDir/documents.parquet").exists())
+    // the perceptual-hash join must propose candidates through the
+    // 16-bit band-key equi-join (hamming-LSH), never an all-pairs
+    // comparison: a nested-loop here is quadratic in the corpus
+    val p = plan("mm_neardup")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+    // the candidate self-join keys on (band, val)
+    assert(p.contains("band"), p.take(2000))
+  }
+
   test("no declared query degenerates to a cartesian product") {
     assume(new java.io.File(s"$sfDir/lineitem.parquet").exists())
     // Every allowlisted query embeds, BY DESIGN, a broadcast
