@@ -253,6 +253,11 @@ object MultimodalQueries {
     // (family, cell), jitter = md5-derived per (id, cell)), derives
     // the identical 64-bit dHash as 4 band ints, and runs the same
     // band-bucket join + XOR-popcount verify — never decoding a pixel.
+    // The hot-bucket cap is mirrored (kept CTE): an unconditional
+    // n ≤ 256 filter equals the Spark side's size-GATED governor at
+    // every scale — a no-op below the gate, the same dropped buckets
+    // above it (sf10's 500k images put 5 collision buckets over the
+    // cap; without the mirror the twin finds 5 extra pairs).
     "mm_neardup" ->
       """WITH gc AS (SELECT unnest(generate_series(0, 8)) AS cx),
         |gr AS (SELECT unnest(generate_series(0, 7)) AS cy),
@@ -276,9 +281,15 @@ object MultimodalQueries {
         |    max(CASE WHEN band = 2 THEN val END) AS b2,
         |    max(CASE WHEN band = 3 THEN val END) AS b3
         |  FROM bands GROUP BY doc_id),
+        |bcnt AS (
+        |  SELECT band, val, count(*) AS n FROM bands GROUP BY band, val),
+        |kept AS (
+        |  SELECT b.doc_id, b.band, b.val
+        |  FROM bands b JOIN bcnt c ON b.band = c.band AND b.val = c.val
+        |  WHERE c.n <= 256),
         |cand AS (
         |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
-        |  FROM bands a JOIN bands b
+        |  FROM kept a JOIN kept b
         |    ON a.band = b.band AND a.val = b.val AND a.doc_id < b.doc_id)
         |SELECT c.a_id, c.b_id,
         |  CAST(bit_count(xor(x.b0, y.b0)) + bit_count(xor(x.b1, y.b1))
