@@ -173,19 +173,21 @@ object Bench {
     // ramp, so median-of-3 with no extra warms is representative)
     // bracket every family; each query row is judged against the
     // RUN'S BEST window and flagged env_degraded when its window's
-    // probes read >1.5× best on either axis. The shuffle axis is the
-    // one that predicts query inflation on this box (r16 forensics);
-    // the CPU axis catches pure compute stalls.
+    // SHUFFLE probe reads >1.6× best. Shuffle-axis ONLY for gating:
+    // it is the axis that predicts query inflation on this box (r16
+    // forensics — interference lands on the exchange path), its
+    // healthy spread is ~1.35× over a full run, and the r16 incident
+    // read 1.6-1.9×; the cheap CPU probe's natural spread without the
+    // full warm ramp is ~2.5× (0.08-0.22 s — the first full-surface
+    // run flagged 6 of 7 windows on CPU alone), so it stays a
+    // stamped DIAGNOSTIC, never a gate.
     final case class Probe(cpu: Double, shuf: Double)
     def med3(f: () => Double): Double = { val ts = (1 to 3).map(_ => f()).sorted; ts(1) }
     def probeQuick(): Probe = Probe(med3(() => calOnce()), med3(() => shufOnce()))
-    var bestCpu = calStart
     var bestShuf = shufStart
-    def noteBest(p: Probe): Unit = {
-      bestCpu = math.min(bestCpu, p.cpu); bestShuf = math.min(bestShuf, p.shuf)
-    }
+    def noteBest(p: Probe): Unit = bestShuf = math.min(bestShuf, p.shuf)
     def degradedVsBest(p: Probe, factor: Double): Boolean =
-      p.cpu > factor * bestCpu || p.shuf > factor * bestShuf
+      p.shuf > factor * bestShuf
 
     val warms: Map[String, (SparkSession, String) => Unit] = Map(
       "dedup" -> graft.queries.DedupQueries.warmIndexes,
@@ -332,7 +334,9 @@ object Bench {
           val m = medianOf(times)
           m > 0 && (times.last - times.head) / m > 0.5 && times.last - times.head > 0.25
         }) {
-          if (shufOnce() > 1.5 * bestShuf) probeDegraded = true
+          // single-shot probe → wider 1.8× threshold than the
+          // median-of-3 window gate's 1.6×
+          if (shufOnce() > 1.8 * bestShuf) probeDegraded = true
           else { times = (times :+ timeOne()).sorted; extra += 1 }
         }
         val storageHw = storageMb()
@@ -349,13 +353,13 @@ object Bench {
       // interference is still live, the rows keep env_degraded=true —
       // the artifact carries the flag instead of a silent 10× lie.
       val post = probeQuick(); noteBest(post)
-      val windowDegraded = degradedVsBest(pre, 1.5) || degradedVsBest(post, 1.5)
+      val windowDegraded = degradedVsBest(pre, 1.6) || degradedVsBest(post, 1.6)
       if (windowDegraded) rows.foreach(_.envDegraded = true)
       var requeue = "none"
       if (rows.exists(_.envDegraded)) {
         Thread.sleep(2000)
         val rp = probeQuick(); noteBest(rp)
-        if (!degradedVsBest(rp, 1.2)) {
+        if (!degradedVsBest(rp, 1.3)) {
           requeue = "recovered"
           rows.filter(_.envDegraded).foreach { q =>
             val fn = qs.find(_._1 == q.name).get._2
