@@ -67,17 +67,58 @@ object MultimodalQueries {
     idx.select(col("media_id"), posexplode(array(
       col("b0"), col("b1"), col("b2"), col("b3"))).as(Seq("band", "val")))
 
-  /** Largest full-corpus band-bucket membership (Memo'd 1-row
-    * aggregate): the governor's size gate — when the hottest bucket
-    * already fits the cap, the count-window filter is a provable
-    * no-op and is skipped (the `maxBandBucket` pattern from
-    * TextQueries, VERDICT r11 item 6). */
-  private def maxDhashBucket(s: SparkSession, dir: String): Long =
-    graft.core.Memo.cached(s, s"mm_dhash_maxbucket:$dir") {
+  /** One Memo'd scan of the band-bucket histogram yields both
+    * governor inputs (the AnnQueries.bucketStats pattern): the
+    * hottest bucket's size (drives the size gate — when it fits the
+    * cap, the count-window filter is a provable no-op and is
+    * skipped) and the candidate-pair upper bound of the governed
+    * plan (Σ C(bn,2) over KEPT buckets; dropped buckets contribute
+    * nothing) — the CC small-graph gate's edge-count hint. Each
+    * distinct pair can be proposed by up to 4 bands, so the sum
+    * overcounts: valid as an upper bound, which is all the hint
+    * needs. */
+  private final case class DhashStats(maxBucket: Long, pairBound: Long)
+  private def dhashBucketStats(s: SparkSession, dir: String): DhashStats = {
+    val row = graft.core.Memo.cached(s, s"mm_dhash_bstats:$dir") {
+      val tri = (col("n") * (col("n") - 1) / 2).cast("long")
       dhashBandRows(dhashIndex(s, dir))
         .groupBy("band", "val").agg(count(lit(1)).as("n"))
-        .agg(coalesce(max(col("n")), lit(0L)).as("max_bucket"))
-    }.head().getLong(0)
+        .agg(coalesce(max(col("n")), lit(0L)).as("max_bucket"),
+          coalesce(sum(when(col("n") <= DhashBucketCap, tri).otherwise(lit(0L))),
+            lit(0L)).as("pair_bound"))
+    }.head()
+    DhashStats(row.getLong(0), row.getLong(1))
+  }
+
+  /** Verified perceptual near-dup pairs (a_id, b_id, hamming),
+    * unordered — the shared core of `mm_neardup` (pair surface) and
+    * `mm_neardup_clusters` (edge set): size-gated hot-bucket cap,
+    * band-key candidate equi-join, exact XOR-popcount verify. */
+  private def dhashPairs(s: SparkSession, dir: String): DataFrame = {
+    val idx = dhashIndex(s, dir)
+    val br0 = dhashBandRows(idx)
+    val br = if (dhashBucketStats(s, dir).maxBucket > DhashBucketCap)
+      br0.withColumn("bn", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("band", "val")))
+        .filter(col("bn") <= DhashBucketCap).drop("bn")
+      else br0
+    val cand = br.as("a")
+      .join(br.as("b"),
+        col("a.band") === col("b.band") && col("a.val") === col("b.val") &&
+          col("a.media_id") < col("b.media_id"))
+      .select(col("a.media_id").as("a_id"), col("b.media_id").as("b_id"))
+      .distinct()
+    val ham = (0 until 4).map(i =>
+      expr(s"bit_count(a$i ^ x$i)")).reduce(_ + _)
+    cand
+      .join(idx.select(col("media_id").as("a_id"), col("b0").as("a0"),
+        col("b1").as("a1"), col("b2").as("a2"), col("b3").as("a3")), Seq("a_id"))
+      .join(idx.select(col("media_id").as("b_id"), col("b0").as("x0"),
+        col("b1").as("x1"), col("b2").as("x2"), col("b3").as("x3")), Seq("b_id"))
+      .withColumn("hamming", ham.cast("long"))
+      .filter(col("hamming") <= HammingMax)
+      .select("a_id", "b_id", "hamming")
+  }
 
   /** Materialize the Memo'd decode stages (Bench warm-up hook — see
     * TextQueries.warmIndexes). */
@@ -165,31 +206,32 @@ object MultimodalQueries {
     // gated — a no-op when the corpus's hottest bucket fits), and the
     // verify join touches only proposed pairs. The decode cost lives
     // in the Memo'd index, built once per corpus.
-    "mm_neardup" -> ((s, dir) => {
-      val idx = dhashIndex(s, dir)
-      val br0 = dhashBandRows(idx)
-      val br = if (maxDhashBucket(s, dir) > DhashBucketCap)
-        br0.withColumn("bn", count(lit(1)).over(
-            org.apache.spark.sql.expressions.Window.partitionBy("band", "val")))
-          .filter(col("bn") <= DhashBucketCap).drop("bn")
-        else br0
-      val cand = br.as("a")
-        .join(br.as("b"),
-          col("a.band") === col("b.band") && col("a.val") === col("b.val") &&
-            col("a.media_id") < col("b.media_id"))
-        .select(col("a.media_id").as("a_id"), col("b.media_id").as("b_id"))
-        .distinct()
-      val ham = (0 until 4).map(i =>
-        expr(s"bit_count(a$i ^ x$i)")).reduce(_ + _)
-      cand
-        .join(idx.select(col("media_id").as("a_id"), col("b0").as("a0"),
-          col("b1").as("a1"), col("b2").as("a2"), col("b3").as("a3")), Seq("a_id"))
-        .join(idx.select(col("media_id").as("b_id"), col("b0").as("x0"),
-          col("b1").as("x1"), col("b2").as("x2"), col("b3").as("x3")), Seq("b_id"))
-        .withColumn("hamming", ham.cast("long"))
-        .filter(col("hamming") <= HammingMax)
-        .select("a_id", "b_id", "hamming")
-        .orderBy("a_id", "b_id")
+    "mm_neardup" -> ((s, dir) =>
+      dhashPairs(s, dir).orderBy("a_id", "b_id")),
+
+    // image near-dup DEDUP — the composition a training pipeline
+    // consumes: verified hamming pairs become edges, connected
+    // components merge transitive near-dup families (a re-encode of a
+    // resize chains to the original through the intermediate), min
+    // media_id elects the canonical image, non-edge images stay
+    // singletons. The ann_dedup_clusters shape applied to perceptual
+    // hashes: candidates stay bucket-local, CC runs on the tiny
+    // verified-pair set with the Memo'd histogram's pair bound as its
+    // small-graph gate hint, and the id join back broadcasts.
+    "mm_neardup_clusters" -> ((s, dir) => {
+      val pairs = dhashPairs(s, dir)
+      val comps = graft.dedup.Cluster.connectedComponents(
+        pairs.select(col("a_id").as("src"), col("b_id").as("dst")),
+        edgeCountHint = dhashBucketStats(s, dir).pairBound)
+        .withColumnRenamed("id", "media_id")
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("cluster_id")
+      dhashIndex(s, dir).select(col("media_id"))
+        .join(comps, Seq("media_id"), "left")
+        .select(col("media_id"),
+          coalesce(col("component"), col("media_id")).as("cluster_id"))
+        .withColumn("cluster_size", count(lit(1)).over(w))
+        .withColumn("is_canonical", col("media_id") === col("cluster_id"))
+        .orderBy("media_id")
     })
   )
 
@@ -259,46 +301,80 @@ object MultimodalQueries {
     // above it (sf10's 500k images put 5 collision buckets over the
     // cap; without the mirror the twin finds 5 extra pairs).
     "mm_neardup" ->
-      """WITH gc AS (SELECT unnest(generate_series(0, 8)) AS cx),
-        |gr AS (SELECT unnest(generate_series(0, 7)) AS cy),
-        |cells AS (
-        |  SELECT d.doc_id, gc.cx, gr.cy,
-        |    28 + CAST(concat('0x', substr(md5('b_' || (d.doc_id // 4) || '_' || gc.cx || '_' || gr.cy), 1, 8)) AS BIGINT) % 200
-        |       + CAST(concat('0x', substr(md5('j_' || d.doc_id || '_' || gc.cx || '_' || gr.cy), 1, 8)) AS BIGINT) % 5 - 2 AS g
-        |  FROM documents d CROSS JOIN gc CROSS JOIN gr),
-        |bands AS (
-        |  SELECT l.doc_id, (l.cy * 8 + l.cx) // 16 AS band,
-        |         sum(CASE WHEN r.g > l.g
-        |             THEN 1 << ((l.cy * 8 + l.cx) % 16) ELSE 0 END) AS val
-        |  FROM cells l JOIN cells r
-        |    ON r.doc_id = l.doc_id AND r.cy = l.cy AND r.cx = l.cx + 1
-        |  WHERE l.cx < 8
-        |  GROUP BY l.doc_id, (l.cy * 8 + l.cx) // 16),
-        |idx AS (
-        |  SELECT doc_id AS media_id,
-        |    max(CASE WHEN band = 0 THEN val END) AS b0,
-        |    max(CASE WHEN band = 1 THEN val END) AS b1,
-        |    max(CASE WHEN band = 2 THEN val END) AS b2,
-        |    max(CASE WHEN band = 3 THEN val END) AS b3
-        |  FROM bands GROUP BY doc_id),
-        |bcnt AS (
-        |  SELECT band, val, count(*) AS n FROM bands GROUP BY band, val),
-        |kept AS (
-        |  SELECT b.doc_id, b.band, b.val
-        |  FROM bands b JOIN bcnt c ON b.band = c.band AND b.val = c.val
-        |  WHERE c.n <= 256),
-        |cand AS (
-        |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
-        |  FROM kept a JOIN kept b
-        |    ON a.band = b.band AND a.val = b.val AND a.doc_id < b.doc_id)
-        |SELECT c.a_id, c.b_id,
-        |  CAST(bit_count(xor(x.b0, y.b0)) + bit_count(xor(x.b1, y.b1))
-        |     + bit_count(xor(x.b2, y.b2)) + bit_count(xor(x.b3, y.b3)) AS BIGINT) AS hamming
-        |FROM cand c
-        |JOIN idx x ON x.media_id = c.a_id
-        |JOIN idx y ON y.media_id = c.b_id
-        |WHERE bit_count(xor(x.b0, y.b0)) + bit_count(xor(x.b1, y.b1))
-        |    + bit_count(xor(x.b2, y.b2)) + bit_count(xor(x.b3, y.b3)) <= 3
-        |ORDER BY a_id, b_id""".stripMargin
+      s"""WITH $dhashCtes,
+        |$dhashPairCte
+        |SELECT a_id, b_id, hamming FROM pairs
+        |ORDER BY a_id, b_id""".stripMargin,
+
+    // the composition twin: the same pair relation feeds a recursive
+    // min-label reachability closure (pairs/edges AS MATERIALIZED —
+    // the r16 DuckDB CTE-inlining lesson: without it the closure
+    // re-evaluates the band join every recursion step).
+    "mm_neardup_clusters" ->
+      s"""WITH RECURSIVE $dhashCtes,
+        |$dhashPairCte,
+        |edges AS MATERIALIZED (
+        |  SELECT a_id AS src, b_id AS dst FROM pairs
+        |  UNION ALL SELECT b_id, a_id FROM pairs
+        |), reach(id, lbl) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT e2.dst, r.lbl FROM reach r JOIN edges e2 ON e2.src = r.id
+        |), cc AS (
+        |  SELECT id AS media_id, min(lbl) AS cluster_id FROM reach GROUP BY id
+        |)
+        |SELECT media_id, cluster_id,
+        |       count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+        |       media_id = cluster_id AS is_canonical
+        |FROM cc ORDER BY media_id""".stripMargin
   )
+
+  /** The shared dHash CTE chain (cells → bands → idx → capped kept
+    * rows) of the two mm_neardup twins. */
+  private lazy val dhashCtes: String =
+    s"""gc AS (SELECT unnest(generate_series(0, 8)) AS cx),
+      |gr AS (SELECT unnest(generate_series(0, 7)) AS cy),
+      |cells AS (
+      |  SELECT d.doc_id, gc.cx, gr.cy,
+      |    28 + CAST(concat('0x', substr(md5('b_' || (d.doc_id // 4) || '_' || gc.cx || '_' || gr.cy), 1, 8)) AS BIGINT) % 200
+      |       + CAST(concat('0x', substr(md5('j_' || d.doc_id || '_' || gc.cx || '_' || gr.cy), 1, 8)) AS BIGINT) % 5 - 2 AS g
+      |  FROM documents d CROSS JOIN gc CROSS JOIN gr),
+      |bands AS (
+      |  SELECT l.doc_id, (l.cy * 8 + l.cx) // 16 AS band,
+      |         sum(CASE WHEN r.g > l.g
+      |             THEN 1 << ((l.cy * 8 + l.cx) % 16) ELSE 0 END) AS val
+      |  FROM cells l JOIN cells r
+      |    ON r.doc_id = l.doc_id AND r.cy = l.cy AND r.cx = l.cx + 1
+      |  WHERE l.cx < 8
+      |  GROUP BY l.doc_id, (l.cy * 8 + l.cx) // 16),
+      |idx AS (
+      |  SELECT doc_id AS media_id,
+      |    max(CASE WHEN band = 0 THEN val END) AS b0,
+      |    max(CASE WHEN band = 1 THEN val END) AS b1,
+      |    max(CASE WHEN band = 2 THEN val END) AS b2,
+      |    max(CASE WHEN band = 3 THEN val END) AS b3
+      |  FROM bands GROUP BY doc_id),
+      |bcnt AS (
+      |  SELECT band, val, count(*) AS n FROM bands GROUP BY band, val),
+      |kept AS (
+      |  SELECT b.doc_id, b.band, b.val
+      |  FROM bands b JOIN bcnt c ON b.band = c.band AND b.val = c.val
+      |  WHERE c.n <= $DhashBucketCap)""".stripMargin
+
+  /** Verified pairs CTE (candidates → hamming filter), MATERIALIZED so
+    * the recursive closure in the clusters twin evaluates it once. */
+  private lazy val dhashPairCte: String =
+    s"""cand AS (
+      |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+      |  FROM kept a JOIN kept b
+      |    ON a.band = b.band AND a.val = b.val AND a.doc_id < b.doc_id),
+      |pairs AS MATERIALIZED (
+      |  SELECT c.a_id, c.b_id,
+      |    CAST(bit_count(xor(x.b0, y.b0)) + bit_count(xor(x.b1, y.b1))
+      |       + bit_count(xor(x.b2, y.b2)) + bit_count(xor(x.b3, y.b3)) AS BIGINT) AS hamming
+      |  FROM cand c
+      |  JOIN idx x ON x.media_id = c.a_id
+      |  JOIN idx y ON y.media_id = c.b_id
+      |  WHERE bit_count(xor(x.b0, y.b0)) + bit_count(xor(x.b1, y.b1))
+      |      + bit_count(xor(x.b2, y.b2)) + bit_count(xor(x.b3, y.b3)) <= $HammingMax)""".stripMargin
 }
