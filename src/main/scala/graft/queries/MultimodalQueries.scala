@@ -51,7 +51,7 @@ object MultimodalQueries {
     * gradient hash (every solid image dHashes to zero), so this stage
     * decodes the patterned variant; see
     * [[graft.ext.Multimodal.syntheticPatternPng]]. */
-  private def dhashIndex(s: SparkSession, dir: String): DataFrame =
+  private[queries] def dhashIndex(s: SparkSession, dir: String): DataFrame =
     graft.core.Memo.cached(s, s"mm_dhash:$dir") {
       import s.implicits._
       Tables.documents(s, dir)

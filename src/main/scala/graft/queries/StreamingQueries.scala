@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.core.Tables
-import graft.streaming.{EventStreams, StreamAnnDedup, StreamDedup, StreamNearDup}
+import graft.streaming.{EventStreams, StreamAnnDedup, StreamDedup, StreamMmDedup, StreamNearDup}
 import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
@@ -351,6 +351,59 @@ object StreamingQueries {
       }
     }),
 
+    // Streaming image near-dup — the modality symmetry completed:
+    // text streams through MinHash state, embeddings through sign-LSH
+    // cosine state, images through dHash band buckets with exact
+    // XOR-popcount verification in keyed state. The stream reads the
+    // PRE-computed dHash index (decode runs upstream at ingest, as in
+    // production; the state path is what's under audit) across two
+    // checkpoint-resumed runs split at the id midpoint — run 2's
+    // images match run 1's in-state reps. Audit mode retains every
+    // image as a rep in each of its 4 band buckets; hamming is the
+    // identical integer computation the batch join codegens, so the
+    // distinct readout equals the batch mm_neardup relation and is
+    // graded by its twin VERBATIM (the cap is a no-op at the graded
+    // scales — the gate's corpus keeps every bucket under the cap;
+    // sf10's over-cap buckets are a bench-only regime here, as for
+    // the other stream audits).
+    "stream_incremental_mmdedup" -> ((s, dir) => {
+      val idx = MultimodalQueries.dhashIndex(s, dir)
+        .withColumn("ts", lit("2024-01-01 00:00:00").cast("timestamp"))
+        .localCheckpoint(true) // pin: the Memo'd decode must not rerun per stream batch
+      val mid = idx.agg(max(col("media_id"))).head().getLong(0) / 2
+      implicit val ss: SparkSession =
+        harnessSession(s, idx, QuadraticStateTarget)
+      withScratch("graft_stream_mm") { tmp =>
+        val in = s"$tmp/in"
+        val ck = s"$tmp/ck"
+        val out = s"$tmp/out"
+        def runOnce(batch: DataFrame): Unit = {
+          batch.repartition(writeParts(s, batch)).write.mode("append").parquet(in)
+          val stream = ss.readStream.schema(batch.schema).parquet(in)
+          StreamMmDedup.candidatePairs(stream, "media_id",
+            tsCol = "ts", delay = "1 hour", maxHamming = 3,
+            maxReps = Int.MaxValue, addMatchedReps = true)
+            .toDF().writeStream
+            .option("checkpointLocation", ck)
+            .trigger(Trigger.AvailableNow())
+            .foreachBatch { (b: DataFrame, _: Long) =>
+              b.write.mode("append").parquet(out)
+            }
+            .start().awaitTermination()
+        }
+        runOnce(idx.filter(col("media_id") <= mid))
+        runOnce(idx.filter(col("media_id") > mid))
+        s.read
+          .schema(Encoders.product[StreamMmDedup.Candidate].schema)
+          .parquet(out)
+          // a pair sharing k bands emits in k buckets → distinct
+          .select(col("a_id"), col("b_id"), col("hamming").cast("long").as("hamming"))
+          .distinct()
+          .orderBy("a_id", "b_id")
+          .localCheckpoint(true)
+      }
+    }),
+
     // Cross-RUN stream-stream interval join — the last stateful
     // streaming primitive under the gate: clicks and views are two
     // watermarked branches of the same file source, joined on
@@ -501,6 +554,12 @@ object StreamingQueries {
     "stream_incremental_ann" -> AnnQueries.oracle("ann_lsh_pairs_fixed")
       .replace("FROM embeddings",
         "FROM embeddings WHERE substring(md5(CAST(vec_id AS VARCHAR)), 1, 1) IN ('0','1','2','3')"),
+
+    // audit-mode streaming dHash banding == the batch hamming-LSH
+    // join: the distinct readout over band buckets is exactly the
+    // mm_neardup relation (integer hamming — no rounding contract to
+    // worry about), so the twin is the mm_neardup oracle VERBATIM
+    "stream_incremental_mmdedup" -> MultimodalQueries.oracle("mm_neardup"),
 
     // the complete stream-stream join match set aggregates to the
     // batch range join — same twin, verbatim

@@ -131,6 +131,49 @@ class MultimodalSpec extends AnyFunSuite {
       assert(ha.zip(hb).exists { case (x, y) => x == y }, s"pair $ia-$ib")
   }
 
+  test("dHash is perceptual: re-encode invariant, noise-local, content-sensitive") {
+    def png(img: java.awt.image.BufferedImage): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    def hamming(a: Array[Int], b: Array[Int]): Int =
+      a.zip(b).map { case (x, y) => Integer.bitCount(x ^ y) }.sum
+    // a deterministic 36x32 gradient-ish "photo"
+    def photo(perturb: (Int, Int) => Int): java.awt.image.BufferedImage = {
+      val img = new java.awt.image.BufferedImage(
+        36, 32, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 32; x <- 0 until 36) {
+        val g0 = (x * 5 + (y / 4) * 23 + ((x * 7 + y * 3) % 13) * 6) % 200 + 20
+        val g = math.max(0, math.min(255, g0 + perturb(x, y)))
+        img.setRGB(x, y, (g << 16) | (g << 8) | g)
+      }
+      img
+    }
+    val base = Multimodal.dhashBands(png(photo((_, _) => 0)))
+    // (1) losslessly re-encoding identical pixels cannot move the hash
+    // (PNG bytes differ run to run of an encoder, pixels don't)
+    val reEncoded = {
+      val decoded = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(png(photo((_, _) => 0))))
+      Multimodal.dhashBands(png(decoded))
+    }
+    assert(hamming(base, reEncoded) == 0)
+    // (2) small per-pixel noise moves the hash a little, not a lot
+    val noisy = Multimodal.dhashBands(png(photo((x, y) => ((x * 31 + y * 17) % 3) - 1)))
+    assert(hamming(base, noisy) <= 8, s"noise moved ${hamming(base, noisy)} bits")
+    // (3) genuinely different content (independent pattern, not a
+    // perturbation of the same gradient) is far away
+    val otherImg = new java.awt.image.BufferedImage(
+      36, 32, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 32; x <- 0 until 36) {
+      val g = (x * 37 + y * 53 + (x * y) % 41 * 7) % 256
+      otherImg.setRGB(x, y, (g << 16) | (g << 8) | g)
+    }
+    val other = Multimodal.dhashBands(png(otherImg))
+    assert(hamming(base, other) >= 16, s"only ${hamming(base, other)} bits apart")
+  }
+
   test("dHash cell means use cross-multiplied integer comparison (unequal cells)") {
     // a 5x4 image: 9-column grid cells have unequal pixel counts, so
     // a sum-vs-sum comparison would be wrong — build an image where
