@@ -167,12 +167,15 @@ object Multimodal {
     * qualifying candidate without an all-pairs comparison (the text
     * MinHash-LSH banding argument, applied to hamming space).
     *
-    * Grid: 9 columns × 8 rows of cell means over the red channel
-    * (grayscale inputs); bit (cx, cy) = 1 iff mean(cx+1, cy) >
-    * mean(cx, cy); bit index i = cy*8+cx; band k carries bits
-    * [16k, 16k+16) as `Σ bit << (i mod 16)`. Cell means compare via
-    * integer cross-multiplication — exact at any image size, no
-    * float rounding in the hash. */
+    * Grid: 9 columns × 8 rows of cell means over the r+g+b channel
+    * sum (∝ the mean-gray a float luma would approximate, but exact:
+    * integer sums, and on grayscale inputs identical bit-for-bit to
+    * a single-channel hash since the comparison is scale-invariant);
+    * bit (cx, cy) = 1 iff mean(cx+1, cy) > mean(cx, cy); bit index
+    * i = cy*8+cx; band k carries bits [16k, 16k+16) as
+    * `Σ bit << (i mod 16)`. Cell means compare via integer
+    * cross-multiplication — exact at any image size, no float
+    * rounding in the hash. */
   def dhashBands(payload: Array[Byte]): Array[Int] = {
     val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
     require(img != null, s"undecodable image payload (${payload.length} bytes)")
@@ -188,7 +191,8 @@ object Multimodal {
       var x = 0
       while (x < w) {
         val cx = x * 9 / w
-        sums(cx)(cy) += (row(x) >> 16) & 0xff
+        val rgb = row(x)
+        sums(cx)(cy) += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
         counts(cx)(cy) += 1
         x += 1
       }
