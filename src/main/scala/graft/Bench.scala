@@ -173,7 +173,9 @@ object Bench {
     // ramp, so median-of-3 with no extra warms is representative)
     // bracket every family; each query row is judged against the
     // RUN'S BEST window and flagged env_degraded when its window's
-    // SHUFFLE probe reads >1.6× best. Shuffle-axis ONLY for gating:
+    // SHUFFLE probe reads >1.6× best — or exceeds the ABSOLUTE
+    // healthy band below (round 18), so a fully-degraded run can
+    // still flag its own rows. Shuffle-axis ONLY for gating:
     // it is the axis that predicts query inflation on this box (r16
     // forensics — interference lands on the exchange path), its
     // healthy spread is ~1.35× over a full run, and the r16 incident
@@ -186,8 +188,22 @@ object Bench {
     def probeQuick(): Probe = Probe(med3(() => calOnce()), med3(() => shufOnce()))
     var bestShuf = shufStart
     def noteBest(p: Probe): Unit = bestShuf = math.min(bestShuf, p.shuf)
+    // Absolute healthy band (VERDICT r17 item 1): the run-relative
+    // gate alone cannot flag a FULLY-degraded run — when every window
+    // is inflated, the run's best probe is inflated too, and the r17
+    // sf1 artifact shipped a 36 s median for an 11.6 s query unflagged
+    // because bestShuf never saw a healthy window. The committed
+    // calibration (SCALE.md: r13-r17 healthy windows on the 32-thread
+    // driver box) puts the med-of-3 shuffle probe at 0.56-0.76 s; any
+    // window whose probe exceeds that band is degraded in absolute
+    // terms even when it IS the run's best. The band is calibrated
+    // for this box's 32-thread probe — on any other cpu count the
+    // absolute gate disarms (stamped) and only the relative gate runs.
+    val AbsHealthyShufMax = 0.76
+    val absBandActive = cpus.toInt == 32
     def degradedVsBest(p: Probe, factor: Double): Boolean =
-      p.shuf > factor * bestShuf
+      p.shuf > factor * bestShuf ||
+        (absBandActive && p.shuf > AbsHealthyShufMax)
 
     val warms: Map[String, (SparkSession, String) => Unit] = Map(
       "dedup" -> graft.queries.DedupQueries.warmIndexes,
@@ -253,7 +269,8 @@ object Bench {
       val ccStats: Option[graft.dedup.Cluster.CcStats],
       var envDegraded: Boolean = false, var remeasured: Boolean = false)
     final case class FamProbes(pre: Probe, post: Probe, degraded: Boolean,
-      requeue: String)
+      requeue: String, recPre: Option[Probe] = None,
+      recPost: Option[Probe] = None, var degradedRetro: Boolean = false)
     val famProbes = scala.collection.mutable.LinkedHashMap.empty[String, FamProbes]
     val detail: Seq[QRow] = families.flatMap { case (fam, qs) =>
       val pre = probeQuick(); noteBest(pre)
@@ -335,8 +352,13 @@ object Bench {
           m > 0 && (times.last - times.head) / m > 0.5 && times.last - times.head > 0.25
         }) {
           // single-shot probe → wider 1.8× threshold than the
-          // median-of-3 window gate's 1.6×
-          if (shufOnce() > 1.8 * bestShuf) probeDegraded = true
+          // median-of-3 window gate's 1.6×; the absolute band widens
+          // by the same 1.8/1.6 ratio (single shots spread more than
+          // med-of-3 on a healthy box)
+          val so = shufOnce()
+          if (so > 1.8 * bestShuf ||
+              (absBandActive && so > AbsHealthyShufMax * 1.8 / 1.6))
+            probeDegraded = true
           else { times = (times :+ timeOne()).sorted; extra += 1 }
         }
         val storageHw = storageMb()
@@ -345,23 +367,32 @@ object Bench {
       }
       // Post-window probe + recovery pass — BEFORE this family's Memo
       // indexes are released, so a re-measure costs only timed reps.
-      // A window is degraded when either bracketing probe reads >1.5×
-      // the run's best on either axis. Affected rows get ONE recovery
-      // attempt: if a fresh probe (after a short back-off) is healthy
-      // (≤1.2× best), their medians are replaced with probe-certified
-      // fresh reps (all reps stay in the artifact); if the
-      // interference is still live, the rows keep env_degraded=true —
+      // A window is degraded when either bracketing probe's SHUFFLE
+      // median reads >1.6× the run's best (or exceeds the absolute
+      // healthy band). Affected rows get ONE recovery attempt: if a
+      // fresh probe (after a short back-off) is healthy (≤1.3× best
+      // AND inside the absolute band), their medians are replaced
+      // with fresh reps (all reps stay in the artifact) — and the
+      // re-measure is only CERTIFIED if a second probe taken AFTER
+      // the fresh reps is also healthy (ADVICE r17: interference
+      // resuming mid-re-measure used to record inflated medians as
+      // remeasured+unflagged, the silent-inflation failure mode
+      // reintroduced on the recovery path). If the interference is
+      // still live at either probe, the rows keep env_degraded=true —
       // the artifact carries the flag instead of a silent 10× lie.
       val post = probeQuick(); noteBest(post)
       val windowDegraded = degradedVsBest(pre, 1.6) || degradedVsBest(post, 1.6)
       if (windowDegraded) rows.foreach(_.envDegraded = true)
       var requeue = "none"
+      var recPre: Option[Probe] = None
+      var recPost: Option[Probe] = None
       if (rows.exists(_.envDegraded)) {
         Thread.sleep(2000)
         val rp = probeQuick(); noteBest(rp)
+        recPre = Some(rp)
         if (!degradedVsBest(rp, 1.3)) {
-          requeue = "recovered"
-          rows.filter(_.envDegraded).foreach { q =>
+          val affected = rows.filter(_.envDegraded)
+          affected.foreach { q =>
             val fn = qs.find(_._1 == q.name).get._2
             def timeOne(): Double = {
               val t0 = System.nanoTime()
@@ -372,12 +403,17 @@ object Bench {
             q.median = if (fresh.size % 2 == 1) fresh(fresh.size / 2)
               else (fresh(fresh.size / 2 - 1) + fresh(fresh.size / 2)) / 2
             q.times = (q.times ++ fresh).sorted
-            q.envDegraded = false
             q.remeasured = true
           }
+          val rpp = probeQuick(); noteBest(rpp)
+          recPost = Some(rpp)
+          if (!degradedVsBest(rpp, 1.3)) {
+            requeue = "recovered"
+            affected.foreach(_.envDegraded = false)
+          } else requeue = "recovery_interrupted" // fresh medians kept, flag kept
         } else requeue = "still_degraded"
       }
-      famProbes(fam) = FamProbes(pre, post, windowDegraded, requeue)
+      famProbes(fam) = FamProbes(pre, post, windowDegraded, requeue, recPre, recPost)
       // release this family's Memo indexes before the next family
       // runs, then take the GC hit HERE, between families, instead of
       // letting a full collection land mid-rep and show up as a 3×
@@ -388,7 +424,45 @@ object Bench {
     }
     val (calEnd, calEndReps) = calMedian()
     val shufEnd = shufMedian()
+    // Retroactive re-judging vs the FINAL best probe (ADVICE r17,
+    // medium): bestShuf starts at the run's start probe and only
+    // shrinks — if interference is already live at run start (the
+    // sustained-stall scenario this machinery exists for), the early
+    // families' windows are judged against an INFLATED baseline and
+    // ship unflagged. After the loop, every window's bracketing
+    // probes are re-judged against the final bestShuf (which the end
+    // probe may have lowered further): a retro-degraded family's rows
+    // are flagged env_degraded (flag-only — the family's Memo indexes
+    // are gone, no re-measure is possible), and a remeasured row
+    // stays certified only if BOTH its recovery probes also pass
+    // retro judgment.
+    bestShuf = math.min(bestShuf, shufEnd)
+    locally {
+      val byFam = detail.groupBy(q => familyOf(q.name))
+      famProbes.foreach { case (fam, p) =>
+        val retro = degradedVsBest(p.pre, 1.6) || degradedVsBest(p.post, 1.6)
+        if (retro) {
+          p.degradedRetro = true
+          val recHealthy = p.recPre.exists(!degradedVsBest(_, 1.3)) &&
+            p.recPost.exists(!degradedVsBest(_, 1.3))
+          byFam.getOrElse(fam, Nil).foreach { q =>
+            if (!(q.remeasured && recHealthy)) q.envDegraded = true
+          }
+        }
+      }
+    }
     val total = indexBuild + detail.map(_.median).sum
+    // The defensible headline (VERDICT r17 item 2): `total` sums every
+    // median including flagged ones, so on an interference day the
+    // tail-parsed number is mostly noise (r17's committed 135.5 s
+    // sf0.1 record was ~75% interference). total_certified sums
+    // index_build + only the medians measured (or re-measured) under
+    // probe-certified-healthy windows; n_certified says how much of
+    // the surface that covers. A clean run has total_certified ==
+    // total and n_certified == the full query count.
+    val certifiedRows = detail.filter(!_.envDegraded)
+    val totalCertified = indexBuild + certifiedRows.map(_.median).sum
+    val nCertified = certifiedRows.size
     val maxSpread = detail.map { q =>
       if (q.median > 0) (q.times.last - q.times.head) / q.median else 0.0
     }.foldLeft(0.0)(math.max)
@@ -428,13 +502,28 @@ object Bench {
     }.mkString("{", ",", "}")
     val warmJson = warmDetail.map { case (f, s) => s""""$f":${fmt(s)}""" }
       .mkString("{", ",", "}")
+    // full JSON string escape (ADVICE r17): Spark exception toStrings
+    // carry newlines (AnalysisException embeds the plan) — an escaped
+    // backslash/quote alone still emits literal control characters
+    // and invalidates the whole artifact
+    def jstr(s: String): String = s.flatMap {
+      case '\\' => "\\\\"
+      case '"' => "\\\""
+      case c if c < ' ' => "\\u%04x".format(c.toInt)
+      case c => c.toString
+    }
     val warmFailedJson = if (warmFailed.isEmpty) "" else
-      warmFailed.map { case (f, m) => s""""$f":"${m.replace("\\", "\\\\").replace("\"", "\\\"")}"""" }
+      warmFailed.map { case (f, m) => s""""$f":"${jstr(m)}"""" }
         .mkString(""","warm_failed":{""", ",", "}")
     val famProbesJson = famProbes.map { case (f, p) =>
+      val rec = (p.recPre.map(r =>
+        s""","rec_pre":[${fmt(r.cpu)},${fmt(r.shuf)}]""") ++
+        p.recPost.map(r =>
+          s""","rec_post":[${fmt(r.cpu)},${fmt(r.shuf)}]""")).mkString
+      val retro = if (p.degradedRetro && !p.degraded) ""","degraded_retro":true""" else ""
       s""""$f":{"pre":[${fmt(p.pre.cpu)},${fmt(p.pre.shuf)}],""" +
         s""""post":[${fmt(p.post.cpu)},${fmt(p.post.shuf)}],""" +
-        s""""degraded":${p.degraded},"requeue":"${p.requeue}"}"""
+        s""""degraded":${p.degraded},"requeue":"${p.requeue}"$rec$retro}"""
     }.mkString("{", ",", "}")
     // "method" distinguishes this metric from rounds 1-5's single cold
     // run AND rounds 6-8's median-of-3-with-cold-rep AND rounds 9-15's
@@ -444,7 +533,7 @@ object Bench {
     // windows with probe-gated re-measure — envprobe): same "total"
     // name, different measurement semantics — downstream trend tooling
     // must not compare them silently.
-    val method = s"warm+median-of-$reps+adaptive+memo-truth+envprobe"
+    val method = s"warm+median-of-$reps+adaptive+memo-truth+envprobe+absband"
     val skippedJson = skip.toSeq.sorted.map(n => s""""$n"""").mkString("[", ",", "]")
     // Structural-completeness stamp (VERDICT r12 item 3): three
     // consecutive rounds shipped a scale artifact silently missing the
@@ -470,10 +559,13 @@ object Bench {
     val calJson =
       s"""{"divisor":"end","end":${fmt(calEnd)},"start":${fmt(calStart)},""" +
         s""""shuffle_end":${fmt(shufEnd)},"shuffle_start":${fmt(shufStart)},""" +
+        s""""abs_band":{"active":$absBandActive,"shuf_max":${fmt(AbsHealthyShufMax)}},""" +
         s""""start_reps":[${calStartReps.map(fmt).mkString(",")}],""" +
         s""""end_reps":[${calEndReps.map(fmt).mkString(",")}]}"""
     val artifact =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","method":"$method","index_build":${fmt(indexBuild)},""" +
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","total_certified":${fmt(totalCertified)},""" +
+        s""""n_certified":$nCertified,"n_rows":${detail.size},""" +
+        s""""method":"$method","index_build":${fmt(indexBuild)},""" +
         s""""warm":$warmJson$warmFailedJson,"max_spread":${fmt(maxSpread)},"max_iqr_spread":${fmt(maxIqrSpread)},""" +
         s""""n_reps":$reps,"cpus":$cpus,"sf":"$sfDir","complete":$complete,"missing":$missingJson,""" +
         s""""calibration":$calJson,"family_probes":$famProbesJson,""" +
@@ -515,7 +607,7 @@ object Bench {
     // driver's tail-parse is the first thing a judge sees, so both
     // calibration axes ride the stdout line (start, end each).
     def stdoutLine(qs: String, qsNote: String): String =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","method":"$method","index_build":${fmt(indexBuild)},"cal":[${fmt(calStart)},${fmt(calEnd)}],"shuf":[${fmt(shufStart)},${fmt(shufEnd)}],"queries":$qs$qsNote,"sf":"$sfDir"$skipStdout$degStdout$missStdout}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","total_certified":${fmt(totalCertified)},"n_certified":$nCertified,"method":"$method","index_build":${fmt(indexBuild)},"cal":[${fmt(calStart)},${fmt(calEnd)}],"shuf":[${fmt(shufStart)},${fmt(shufEnd)}],"queries":$qs$qsNote,"sf":"$sfDir"$skipStdout$degStdout$missStdout}"""
     // the 2KB budget applies to the ASSEMBLED line — prefix, cal,
     // skipped and missing lists included — not just the query map
     // (ADVICE r14: a long SKIP list next to a just-under-threshold
