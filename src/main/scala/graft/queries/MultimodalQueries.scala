@@ -42,6 +42,16 @@ object MultimodalQueries {
     * so over-cap buckets are dropped before the self-join. */
   private val DhashBucketCap = 256
 
+  /** Bound for the recall AUDIT's uncapped counterfactual
+    * (`mm_neardup_recall`): over-cap buckets up to this size are
+    * fully enumerated to measure what the cap dropped; buckets beyond
+    * it are counted (n_unaudited_buckets) instead of enumerated, so
+    * the audit itself can never go quadratic on an adversarial
+    * corpus. 8192² / 2 ≈ 33M candidate pairs per worst-case audited
+    * bucket — bounded, and zero at every graded scale so far (sf10's
+    * hottest bucket is well under it). */
+  private val AuditBucketMax = 8192
+
   /** The perceptual-hash index: one REAL encode→ImageIO-decode→dHash
     * pass per image (patterned synthetic corpus keyed by doc_id),
     * Memo-cached per (session, sf dir) like the [[decodedFeatures]]
@@ -90,6 +100,47 @@ object MultimodalQueries {
     DhashStats(row.getLong(0), row.getLong(1))
   }
 
+  /** Band-bucket keys (band·2^16 + val — the [[graft.streaming.StreamMmDedup]]
+    * state key) currently OVER the hot-bucket cap; None when the
+    * corpus's hottest bucket fits the cap (the size gate, and the
+    * common case). The streaming readout anti-joins these so its
+    * distinct pair set equals the batch CAPPED relation at every
+    * scale (ADVICE r17: the stream ran uncapped but is graded by the
+    * cap-mirroring twin — at sf10 five over-cap buckets would emit
+    * pairs the twin drops). */
+  private[queries] def overCapBucketKeys(s: SparkSession, dir: String): Option[DataFrame] =
+    if (dhashBucketStats(s, dir).maxBucket <= DhashBucketCap) None
+    else Some(dhashBandRows(dhashIndex(s, dir))
+      .groupBy("band", "val").agg(count(lit(1)).as("n"))
+      .filter(col("n") > DhashBucketCap)
+      .select((col("band").cast("long") * 65536L + col("val")).as("bkey")))
+
+  /** Exact XOR-popcount verification of proposed (a_id, b_id)
+    * candidates against the dHash index: joins back both sides' four
+    * band ints and keeps pairs within [[HammingMax]]. */
+  private def verifyHamming(cand: DataFrame, idx: DataFrame): DataFrame = {
+    val ham = (0 until 4).map(i =>
+      expr(s"bit_count(a$i ^ x$i)")).reduce(_ + _)
+    cand
+      .join(idx.select(col("media_id").as("a_id"), col("b0").as("a0"),
+        col("b1").as("a1"), col("b2").as("a2"), col("b3").as("a3")), Seq("a_id"))
+      .join(idx.select(col("media_id").as("b_id"), col("b0").as("x0"),
+        col("b1").as("x1"), col("b2").as("x2"), col("b3").as("x3")), Seq("b_id"))
+      .withColumn("hamming", ham.cast("long"))
+      .filter(col("hamming") <= HammingMax)
+      .select("a_id", "b_id", "hamming")
+  }
+
+  /** Unordered candidate pairs from a (media_id, band, val) relation:
+    * band-key self-equi-join + distinct. */
+  private def bandCandidates(br: DataFrame): DataFrame =
+    br.as("a")
+      .join(br.as("b"),
+        col("a.band") === col("b.band") && col("a.val") === col("b.val") &&
+          col("a.media_id") < col("b.media_id"))
+      .select(col("a.media_id").as("a_id"), col("b.media_id").as("b_id"))
+      .distinct()
+
   /** Verified perceptual near-dup pairs (a_id, b_id, hamming),
     * unordered — the shared core of `mm_neardup` (pair surface) and
     * `mm_neardup_clusters` (edge set): size-gated hot-bucket cap,
@@ -102,22 +153,7 @@ object MultimodalQueries {
           org.apache.spark.sql.expressions.Window.partitionBy("band", "val")))
         .filter(col("bn") <= DhashBucketCap).drop("bn")
       else br0
-    val cand = br.as("a")
-      .join(br.as("b"),
-        col("a.band") === col("b.band") && col("a.val") === col("b.val") &&
-          col("a.media_id") < col("b.media_id"))
-      .select(col("a.media_id").as("a_id"), col("b.media_id").as("b_id"))
-      .distinct()
-    val ham = (0 until 4).map(i =>
-      expr(s"bit_count(a$i ^ x$i)")).reduce(_ + _)
-    cand
-      .join(idx.select(col("media_id").as("a_id"), col("b0").as("a0"),
-        col("b1").as("a1"), col("b2").as("a2"), col("b3").as("a3")), Seq("a_id"))
-      .join(idx.select(col("media_id").as("b_id"), col("b0").as("x0"),
-        col("b1").as("x1"), col("b2").as("x2"), col("b3").as("x3")), Seq("b_id"))
-      .withColumn("hamming", ham.cast("long"))
-      .filter(col("hamming") <= HammingMax)
-      .select("a_id", "b_id", "hamming")
+    verifyHamming(bandCandidates(br), idx)
   }
 
   /** Materialize the Memo'd decode stages (Bench warm-up hook — see
@@ -208,6 +244,75 @@ object MultimodalQueries {
     // in the Memo'd index, built once per corpus.
     "mm_neardup" -> ((s, dir) =>
       dhashPairs(s, dir).orderBy("a_id", "b_id")),
+
+    // the hot-bucket cap's recall audit (VERDICT r17 item 4 — the
+    // ann_recall pattern applied to hamming space): the capped pair
+    // relation vs the bounded-uncapped counterfactual. The dHash
+    // banding is lossless for hamming <= 3, so the ONLY pairs the
+    // governed plan can lose are those proposed exclusively by
+    // over-cap buckets; this query enumerates those buckets (up to
+    // AuditBucketMax — beyond that they are counted, not enumerated,
+    // so the audit stays bounded), verifies their pairs exactly, and
+    // reports the dropped-pair rate as a measured number instead of
+    // an asserted one. One row: n_kept / n_dropped / bucket tallies /
+    // recall = kept / (kept + dropped).
+    "mm_neardup_recall" -> ((s, dir) => {
+      val idx = dhashIndex(s, dir)
+      val br = dhashBandRows(idx)
+      val bc = br.groupBy("band", "val").agg(count(lit(1)).as("n"))
+      val audited = br.join(bc.filter(col("n") <= AuditBucketMax), Seq("band", "val"))
+        .select("media_id", "band", "val")
+      val allPairs = verifyHamming(bandCandidates(audited), idx)
+        .select("a_id", "b_id")
+      val keptPairs = dhashPairs(s, dir).select("a_id", "b_id")
+      val aggKept = keptPairs.agg(count(lit(1)).as("n_kept"))
+      val aggDropped = allPairs.join(keptPairs, Seq("a_id", "b_id"), "left_anti")
+        .agg(count(lit(1)).as("n_dropped"))
+      val aggBuckets = bc.agg(
+        sum(when(col("n") > DhashBucketCap, 1L).otherwise(0L))
+          .cast("long").as("n_over_cap_buckets"),
+        sum(when(col("n") > AuditBucketMax, 1L).otherwise(0L))
+          .cast("long").as("n_unaudited_buckets"))
+      aggKept.crossJoin(aggDropped).crossJoin(aggBuckets)
+        .select(col("n_kept"), col("n_dropped"),
+          col("n_over_cap_buckets"), col("n_unaudited_buckets"),
+          round(col("n_kept") / (col("n_kept") + col("n_dropped")), 6).as("recall"))
+    }),
+
+    // frame sampling with REAL decoded content (VERDICT r17 item 6):
+    // deterministic multi-frame animated GIFs (4 solid frames, color
+    // arithmetic per (doc_id, frame)) decoded frame-by-frame through
+    // ImageIO's multi-image reader — one output row per genuinely
+    // decoded frame with its pixel means. The flatMap-per-record
+    // shape is what a JNI video codec slots into; GIF is the codec
+    // this container natively has. The byte-slice mm_frames stays as
+    // the codec-free plumbing variant.
+    "mm_frames_decoded" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      import s.implicits._
+      val media = Tables.documents(s, dir)
+        .select(col("doc_id").cast("long")).as[Long]
+        .mapPartitions(_.map(id =>
+          Multimodal.MediaRecord(id, "image/gif", Multimodal.syntheticAnimatedGif(id))))
+      Multimodal.extractFrameContent(media).toDF()
+        .orderBy("media_id", "frame_idx")
+    }),
+
+    // REAL decoded-content resize: decode -> exact integer
+    // nearest-neighbor downscale to 4x4 -> thumbnail pixel means.
+    // Solid-color sources make the thumbnail means recomputable from
+    // doc_id arithmetic, so the twin grades the decode+scale path
+    // without touching pixels.
+    "mm_resize" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      import s.implicits._
+      val media = Tables.documents(s, dir)
+        .select(col("doc_id").cast("long")).as[Long]
+        .mapPartitions(_.map(id =>
+          Multimodal.MediaRecord(id, "image/png", Multimodal.syntheticPng(id))))
+      Multimodal.resizeDecoded(media, 4, 4).toDF()
+        .orderBy("media_id")
+    }),
 
     // image near-dup DEDUP — the composition a training pipeline
     // consumes: verified hamming pairs become edges, connected
@@ -305,6 +410,63 @@ object MultimodalQueries {
         |$dhashPairCte
         |SELECT a_id, b_id, hamming FROM pairs
         |ORDER BY a_id, b_id""".stripMargin,
+
+    // the recall-audit twin: same dHash/pair CTEs; the uncapped
+    // counterfactual enumerates ALL buckets up to the audit bound
+    // (from `bands`, not `kept`), EXCEPT away the capped relation,
+    // and tallies. At scales where no bucket exceeds the cap the
+    // audit provably reads (n_dropped=0, recall=1) in both engines.
+    "mm_neardup_recall" ->
+      s"""WITH $dhashCtes,
+        |$dhashPairCte,
+        |audited AS (
+        |  SELECT b.doc_id, b.band, b.val
+        |  FROM bands b JOIN bcnt c ON b.band = c.band AND b.val = c.val
+        |  WHERE c.n <= $AuditBucketMax),
+        |cand_all AS (
+        |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+        |  FROM audited a JOIN audited b
+        |    ON a.band = b.band AND a.val = b.val AND a.doc_id < b.doc_id),
+        |pairs_all AS (
+        |  SELECT c.a_id, c.b_id
+        |  FROM cand_all c
+        |  JOIN idx x ON x.media_id = c.a_id
+        |  JOIN idx y ON y.media_id = c.b_id
+        |  WHERE bit_count(xor(x.b0, y.b0)) + bit_count(xor(x.b1, y.b1))
+        |      + bit_count(xor(x.b2, y.b2)) + bit_count(xor(x.b3, y.b3)) <= $HammingMax),
+        |dropped AS (
+        |  SELECT a_id, b_id FROM pairs_all
+        |  EXCEPT SELECT a_id, b_id FROM pairs)
+        |SELECT k.n_kept, d.n_dropped, bo.n_over_cap_buckets,
+        |       bu.n_unaudited_buckets,
+        |       round(k.n_kept / (k.n_kept + d.n_dropped), 6) AS recall
+        |FROM (SELECT count(*) AS n_kept FROM pairs) k,
+        |     (SELECT count(*) AS n_dropped FROM dropped) d,
+        |     (SELECT count(*) AS n_over_cap_buckets FROM bcnt WHERE n > $DhashBucketCap) bo,
+        |     (SELECT count(*) AS n_unaudited_buckets FROM bcnt WHERE n > $AuditBucketMax) bu""".stripMargin,
+
+    // the decoded-frame twin: solid-frame construction makes every
+    // decoded per-frame statistic pure (doc_id, frame) arithmetic.
+    "mm_frames_decoded" ->
+      """SELECT d.doc_id AS media_id, CAST(k.k AS BIGINT) AS frame_idx,
+        |  CAST(10 + d.doc_id % 6 AS BIGINT) AS width,
+        |  CAST(8 AS BIGINT) AS height,
+        |  CAST((d.doc_id * 3 + k.k * 11) % 256 AS BIGINT) AS mean_r,
+        |  CAST((d.doc_id * 5 + k.k * 17) % 256 AS BIGINT) AS mean_g,
+        |  CAST((d.doc_id * 7 + k.k * 23) % 256 AS BIGINT) AS mean_b
+        |FROM documents d
+        |CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS k) k
+        |ORDER BY media_id, frame_idx""".stripMargin,
+
+    // the resize twin: a nearest-neighbor downscale of a solid image
+    // is the same solid color at thumbnail size.
+    "mm_resize" ->
+      """SELECT doc_id AS media_id,
+        |  CAST(4 AS BIGINT) AS thumb_w, CAST(4 AS BIGINT) AS thumb_h,
+        |  CAST(doc_id % 256 AS BIGINT) AS mean_r,
+        |  CAST((doc_id * 7) % 256 AS BIGINT) AS mean_g,
+        |  CAST((doc_id * 13) % 256 AS BIGINT) AS mean_b
+        |FROM documents ORDER BY media_id""".stripMargin,
 
     // the composition twin: the same pair relation feeds a recursive
     // min-label reachability closure (pairs/edges AS MATERIALIZED —

@@ -362,10 +362,12 @@ object StreamingQueries {
     // image as a rep in each of its 4 band buckets; hamming is the
     // identical integer computation the batch join codegens, so the
     // distinct readout equals the batch mm_neardup relation and is
-    // graded by its twin VERBATIM (the cap is a no-op at the graded
-    // scales — the gate's corpus keeps every bucket under the cap;
-    // sf10's over-cap buckets are a bench-only regime here, as for
-    // the other stream audits).
+    // graded by its twin VERBATIM. The twin mirrors the batch
+    // hot-bucket cap unconditionally, so the readout ENFORCES it too
+    // (ADVICE r17): candidates emitted in over-cap band buckets are
+    // anti-joined away — a no-op whenever the corpus's hottest bucket
+    // fits the cap (every bucket under it at sf<=1; sf10 has 5 over),
+    // and exactly the batch governor's dropped-bucket set otherwise.
     "stream_incremental_mmdedup" -> ((s, dir) => {
       val idx = MultimodalQueries.dhashIndex(s, dir)
         .withColumn("ts", lit("2024-01-01 00:00:00").cast("timestamp"))
@@ -393,9 +395,17 @@ object StreamingQueries {
         }
         runOnce(idx.filter(col("media_id") <= mid))
         runOnce(idx.filter(col("media_id") > mid))
-        s.read
+        val emitted = s.read
           .schema(Encoders.product[StreamMmDedup.Candidate].schema)
           .parquet(out)
+        // over-cap band buckets mirror the batch governor (see the
+        // query comment above); bucket keys broadcast — the over-cap
+        // set is bounded by |bands|/cap
+        val capped = MultimodalQueries.overCapBucketKeys(s, dir) match {
+          case Some(over) => emitted.join(broadcast(over), Seq("bkey"), "left_anti")
+          case None => emitted
+        }
+        capped
           // a pair sharing k bands emits in k buckets → distinct
           .select(col("a_id"), col("b_id"), col("hamming").cast("long").as("hamming"))
           .distinct()
