@@ -231,6 +231,146 @@ object Multimodal {
     }
   }
 
+  /** Deterministic synthetic MULTI-FRAME payload (animated GIF) for
+    * id `id`: `nFrames` solid-color frames, each frame's RGB derived
+    * arithmetically from (id, frame index) — (id·3+f·11, id·5+f·17,
+    * id·7+f·23) mod 256 — at (10+id%6)×8 pixels. Frames are written
+    * as TYPE_BYTE_INDEXED with an explicit one-entry palette, so the
+    * GIF encoder stores the exact color (no quantization/dither):
+    * decoding frame f with [[extractFrameContent]] recovers the
+    * construction arithmetic bit-exactly, which a SQL oracle computes
+    * from (id, f) without decoding anything. */
+  def syntheticAnimatedGif(id: Long, nFrames: Int = 4): Array[Byte] = {
+    require(id >= 0, s"syntheticAnimatedGif requires a non-negative id, got $id")
+    val bos = new java.io.ByteArrayOutputStream()
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      val w = 10 + (id % 6).toInt
+      val h = 8
+      var f = 0
+      while (f < nFrames) {
+        val r = ((id * 3 + f * 11) % 256).toInt
+        val g = ((id * 5 + f * 17) % 256).toInt
+        val b = ((id * 7 + f * 23) % 256).toInt
+        val cm = new java.awt.image.IndexColorModel(8, 1,
+          Array(r.toByte), Array(g.toByte), Array(b.toByte))
+        // every pixel defaults to palette index 0 = the frame color
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, cm)
+        writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+        f += 1
+      }
+      writer.endWriteSequence()
+    } finally {
+      writer.dispose()
+      ios.close()
+    }
+    bos.toByteArray
+  }
+
+  /** One DECODED frame of a multi-frame payload: dimensions +
+    * per-channel pixel means over genuinely decoded pixels. */
+  case class FrameContent(media_id: Long, frame_idx: Long, width: Long,
+      height: Long, mean_r: Long, mean_g: Long, mean_b: Long)
+
+  /** Real multi-frame decode via `javax.imageio` (GIF is the
+    * JDK-native multi-frame format; production swaps in a video
+    * codec behind the same record-per-frame shape): each payload
+    * fans out to one row per decoded frame with per-channel means
+    * over the frame's actual pixels. The codec boundary of this
+    * container is images — see README; for video formats the
+    * flatMap-per-record plumbing here is exactly what a JNI-backed
+    * decoder would slot into. Means are rounded to the nearest
+    * integer (exact for the solid-frame synthetic corpus). */
+  def extractFrameContent(media: Dataset[MediaRecord])(
+      implicit spark: SparkSession): Dataset[FrameContent] = {
+    import spark.implicits._
+    media.flatMap { rec =>
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(rec.payload))
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      require(readers.hasNext,
+        s"undecodable multi-frame payload (${rec.modality}, ${rec.payload.length} bytes)")
+      val reader = readers.next()
+      try {
+        reader.setInput(iis, false, false)
+        val n = reader.getNumImages(true)
+        (0 until n).map { i =>
+          val img = reader.read(i)
+          val w = img.getWidth
+          val h = img.getHeight
+          var sr = 0L; var sg = 0L; var sb = 0L
+          val row = new Array[Int](w)
+          var y = 0
+          while (y < h) {
+            img.getRGB(0, y, w, 1, row, 0, w)
+            var x = 0
+            while (x < w) {
+              val rgb = row(x)
+              sr += (rgb >> 16) & 0xff; sg += (rgb >> 8) & 0xff; sb += rgb & 0xff
+              x += 1
+            }
+            y += 1
+          }
+          val np = w.toLong * h
+          FrameContent(rec.media_id, i.toLong, w.toLong, h.toLong,
+            math.round(sr.toDouble / np), math.round(sg.toDouble / np),
+            math.round(sb.toDouble / np))
+        }
+      } finally {
+        reader.dispose()
+        iis.close()
+      }
+    }
+  }
+
+  /** A genuinely RESIZED thumbnail: decoded, nearest-neighbor scaled
+    * to (thumb_w, thumb_h), summarized by per-channel means of the
+    * thumbnail's pixels. */
+  case class ThumbContent(media_id: Long, thumb_w: Long, thumb_h: Long,
+      mean_r: Long, mean_g: Long, mean_b: Long)
+
+  /** Real decoded-content resize: decode via ImageIO, sample the
+    * source with exact integer nearest-neighbor mapping (thumbnail
+    * pixel (x,y) reads source pixel (x·srcW/tw, y·srcH/th), floor
+    * division — deterministic, no Graphics2D filtering variance),
+    * and emit the thumbnail's per-channel means. Partition-wise like
+    * [[extractFeatures]]. */
+  def resizeDecoded(media: Dataset[MediaRecord], tw: Int, th: Int)(
+      implicit spark: SparkSession): Dataset[ThumbContent] = {
+    import spark.implicits._
+    require(tw > 0 && th > 0, s"thumbnail dims must be positive, got ${tw}x$th")
+    media.mapPartitions { it =>
+      it.map { rec =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(rec.payload))
+        require(img != null,
+          s"undecodable image payload (${rec.modality}, ${rec.payload.length} bytes)")
+        val w = img.getWidth
+        val h = img.getHeight
+        var sr = 0L; var sg = 0L; var sb = 0L
+        var y = 0
+        while (y < th) {
+          val sy = y * h / th
+          var x = 0
+          while (x < tw) {
+            val rgb = img.getRGB(x * w / tw, sy)
+            sr += (rgb >> 16) & 0xff; sg += (rgb >> 8) & 0xff; sb += rgb & 0xff
+            x += 1
+          }
+          y += 1
+        }
+        val np = tw.toLong * th
+        ThumbContent(rec.media_id, tw.toLong, th.toLong,
+          math.round(sr.toDouble / np), math.round(sg.toDouble / np),
+          math.round(sb.toDouble / np))
+      }
+    }
+  }
+
   /** One sampled "frame": byte range + content hash + stub features.
     * For real video this is decoder output; the slicing/batching
     * plumbing is identical. */

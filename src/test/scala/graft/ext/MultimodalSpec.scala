@@ -194,4 +194,53 @@ class MultimodalSpec extends AnyFunSuite {
     assert(bands.toSeq == Multimodal.dhashBands(bos.toByteArray).toSeq)
     assert(bands.exists(_ != 0), bands.toSeq.toString)
   }
+
+  test("syntheticAnimatedGif round-trips: decoded frames recover the (id, frame) arithmetic") {
+    import spark.implicits._
+    implicit val sp = spark
+    val ids = Seq(0L, 5L, 37L, 255L, 9999L)
+    val media = ids.toDS().repartition(2).map(id =>
+      Multimodal.MediaRecord(id, "image/gif", Multimodal.syntheticAnimatedGif(id)))
+    val out = Multimodal.extractFrameContent(media).collect()
+      .sortBy(f => (f.media_id, f.frame_idx))
+    assert(out.length == ids.length * 4)
+    for (f <- out) {
+      val (id, k) = (f.media_id, f.frame_idx)
+      assert(f.width == 10 + id % 6 && f.height == 8, s"$id/$k dims")
+      assert(f.mean_r == (id * 3 + k * 11) % 256, s"$id/$k r")
+      assert(f.mean_g == (id * 5 + k * 17) % 256, s"$id/$k g")
+      assert(f.mean_b == (id * 7 + k * 23) % 256, s"$id/$k b")
+    }
+    // frames genuinely differ: decode reads per-frame pixels, not
+    // payload-level metadata
+    val byId = out.groupBy(_.media_id)
+    assert(byId.values.forall(fs => fs.map(f => (f.mean_r, f.mean_g, f.mean_b)).distinct.length == 4))
+  }
+
+  test("resizeDecoded: exact nearest-neighbor downscale of a gradient image") {
+    import spark.implicits._
+    implicit val sp = spark
+    // 4x2 gradient: thumbnail (2x1) must read source pixels (0,0) and
+    // (2,0) by floor mapping — means not representable by metadata
+    val img = new java.awt.image.BufferedImage(
+      4, 2, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 2; x <- 0 until 4)
+      img.setRGB(x, y, ((x * 60) << 16) | ((y * 100) << 8) | (x * 10 + y))
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val payload = bos.toByteArray
+    val media = Seq(1L).toDS().map(id =>
+      Multimodal.MediaRecord(id, "image/png", payload))
+    val t = Multimodal.resizeDecoded(media, 2, 1).collect().head
+    assert(t.thumb_w == 2 && t.thumb_h == 1)
+    assert(t.mean_r == 60)  // (0 + 120) / 2
+    assert(t.mean_g == 0)   // both sampled pixels are row y=0
+    assert(t.mean_b == 10)  // (0 + 20) / 2
+    // solid source: thumbnail means equal the source color exactly
+    val solid = Seq(12345L).toDS().map(id =>
+      Multimodal.MediaRecord(id, "image/png", Multimodal.syntheticPng(id)))
+    val st = Multimodal.resizeDecoded(solid, 4, 4).collect().head
+    assert(st.mean_r == 12345L % 256 && st.mean_g == (12345L * 7) % 256 &&
+      st.mean_b == (12345L * 13) % 256)
+  }
 }
