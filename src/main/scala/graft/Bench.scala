@@ -171,11 +171,11 @@ object Bench {
     // the degraded window to the specific rows it inflated. These
     // cheap probes (the start probes above already paid the warm
     // ramp, so median-of-3 with no extra warms is representative)
-    // bracket every family; each query row is judged against the
-    // RUN'S BEST window and flagged env_degraded when its window's
-    // SHUFFLE probe reads >1.6× best — or exceeds the ABSOLUTE
-    // healthy band below (round 18), so a fully-degraded run can
-    // still flag its own rows. Shuffle-axis ONLY for gating:
+    // bracket every family; each query row is flagged env_degraded
+    // when its window's SHUFFLE probe exceeds the ABSOLUTE healthy
+    // band below (round 18 — so a fully-degraded run still flags its
+    // own rows), falling back to >1.6× the run's best on boxes where
+    // the band is uncalibrated. Shuffle-axis ONLY for gating:
     // it is the axis that predicts query inflation on this box (r16
     // forensics — interference lands on the exchange path), its
     // healthy spread is ~1.35× over a full run, and the r16 incident
@@ -194,16 +194,21 @@ object Bench {
     // sf1 artifact shipped a 36 s median for an 11.6 s query unflagged
     // because bestShuf never saw a healthy window. The committed
     // calibration (SCALE.md: r13-r17 healthy windows on the 32-thread
-    // driver box) puts the med-of-3 shuffle probe at 0.56-0.76 s; any
-    // window whose probe exceeds that band is degraded in absolute
-    // terms even when it IS the run's best. The band is calibrated
-    // for this box's 32-thread probe — on any other cpu count the
-    // absolute gate disarms (stamped) and only the relative gate runs.
+    // driver box) puts the med-of-3 shuffle probe at 0.56-0.76 s, and
+    // every recorded real incident read ≥ 0.82. When the band is
+    // calibrated for this box (32-thread probe), it IS the gate: a
+    // window is degraded iff its probe exceeds the band — run-best is
+    // a proxy for "healthy" that fails in BOTH directions (a
+    // fully-degraded run's best is degraded → under-flagging, r17; a
+    // lucky 0.51 s best makes 1.6×best flag probes the calibration
+    // itself certifies healthy → over-flagging, observed the first
+    // round-18 record attempt). On any other cpu count the band is
+    // uncalibrated (stamped inactive) and the relative gates run.
     val AbsHealthyShufMax = 0.76
     val absBandActive = cpus.toInt == 32
     def degradedVsBest(p: Probe, factor: Double): Boolean =
-      p.shuf > factor * bestShuf ||
-        (absBandActive && p.shuf > AbsHealthyShufMax)
+      if (absBandActive) p.shuf > AbsHealthyShufMax
+      else p.shuf > factor * bestShuf
 
     val warms: Map[String, (SparkSession, String) => Unit] = Map(
       "dedup" -> graft.queries.DedupQueries.warmIndexes,
@@ -351,13 +356,12 @@ object Bench {
           val m = medianOf(times)
           m > 0 && (times.last - times.head) / m > 0.5 && times.last - times.head > 0.25
         }) {
-          // single-shot probe → wider 1.8× threshold than the
-          // median-of-3 window gate's 1.6×; the absolute band widens
-          // by the same 1.8/1.6 ratio (single shots spread more than
-          // med-of-3 on a healthy box)
+          // single-shot probe → wider threshold than the median-of-3
+          // window gate (single shots spread more on a healthy box):
+          // band × 1.8/1.6 when calibrated, 1.8× run-best otherwise
           val so = shufOnce()
-          if (so > 1.8 * bestShuf ||
-              (absBandActive && so > AbsHealthyShufMax * 1.8 / 1.6))
+          if (if (absBandActive) so > AbsHealthyShufMax * 1.8 / 1.6
+              else so > 1.8 * bestShuf)
             probeDegraded = true
           else { times = (times :+ timeOne()).sorted; extra += 1 }
         }
@@ -435,7 +439,9 @@ object Bench {
     // are flagged env_degraded (flag-only — the family's Memo indexes
     // are gone, no re-measure is possible), and a remeasured row
     // stays certified only if BOTH its recovery probes also pass
-    // retro judgment.
+    // retro judgment. With the absolute band active this pass is a
+    // provable no-op (the gate ignores bestShuf); it exists for the
+    // relative mode on uncalibrated boxes.
     bestShuf = math.min(bestShuf, shufEnd)
     locally {
       val byFam = detail.groupBy(q => familyOf(q.name))
