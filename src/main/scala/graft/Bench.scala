@@ -404,8 +404,19 @@ object Bench {
               (System.nanoTime() - t0) / 1e9
             }
             val fresh = (1 to reps).map(_ => timeOne()).sorted
-            q.median = if (fresh.size % 2 == 1) fresh(fresh.size / 2)
+            val freshMedian = if (fresh.size % 2 == 1) fresh(fresh.size / 2)
               else (fresh(fresh.size / 2 - 1) + fresh(fresh.size / 2)) / 2
+            // MIN of the original and fresh medians: external
+            // interference is strictly additive, so between two
+            // median-of-reps windows over the same binary+data the
+            // smaller one is closer to truth. A first sf1 record
+            // under this machinery re-measured an 11.2 s original
+            // median into a 18.8 s "certified" one — the stall
+            // resumed DURING the fresh reps and missed both recovery
+            // probes (instant samples can't see a stall that lands
+            // mid-rep). An original median bounded above by a
+            // probe-certified measurement is itself certifiable.
+            q.median = math.min(q.median, freshMedian)
             q.times = (q.times ++ fresh).sorted
             q.remeasured = true
           }
