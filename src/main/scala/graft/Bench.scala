@@ -185,30 +185,57 @@ object Bench {
     // stamped DIAGNOSTIC, never a gate.
     final case class Probe(cpu: Double, shuf: Double)
     def med3(f: () => Double): Double = { val ts = (1 to 3).map(_ => f()).sorted; ts(1) }
-    def probeQuick(): Probe = Probe(med3(() => calOnce()), med3(() => shufOnce()))
+    // every med-of-3 probe feeds the per-box calibration store (and
+    // this run's final judgment band) — see the band block below
+    val runSamples = scala.collection.mutable.ArrayBuffer.empty[Double]
+    def probeQuick(): Probe = {
+      val p = Probe(med3(() => calOnce()), med3(() => shufOnce()))
+      runSamples += p.shuf
+      p
+    }
     var bestShuf = shufStart
     def noteBest(p: Probe): Unit = bestShuf = math.min(bestShuf, p.shuf)
-    // Absolute healthy band (VERDICT r17 item 1): the run-relative
-    // gate alone cannot flag a FULLY-degraded run — when every window
-    // is inflated, the run's best probe is inflated too, and the r17
-    // sf1 artifact shipped a 36 s median for an 11.6 s query unflagged
-    // because bestShuf never saw a healthy window. The committed
-    // calibration (SCALE.md: r13-r17 healthy windows on the 32-thread
-    // driver box) puts the med-of-3 shuffle probe at 0.56-0.76 s, and
-    // every recorded real incident read ≥ 0.82. When the band is
-    // calibrated for this box (32-thread probe), it IS the gate: a
-    // window is degraded iff its probe exceeds the band — run-best is
-    // a proxy for "healthy" that fails in BOTH directions (a
-    // fully-degraded run's best is degraded → under-flagging, r17; a
-    // lucky 0.51 s best makes 1.6×best flag probes the calibration
-    // itself certifies healthy → over-flagging, observed the first
-    // round-18 record attempt). On any other cpu count the band is
-    // uncalibrated (stamped inactive) and the relative gates run.
-    val AbsHealthyShufMax = 0.76
-    val absBandActive = cpus.toInt == 32
+    // Absolute healthy band (VERDICT r17 item 1, made PORTABLE in
+    // round 19 per VERDICT r18 item 1): the run-relative gate alone
+    // cannot flag a FULLY-degraded run — when every window is
+    // inflated, the run's best probe is inflated too, and the r17 sf1
+    // artifact shipped a 36 s median for an 11.6 s query unflagged.
+    // Round 18 fixed that with a band COMPILED from one box's healthy
+    // windows (0.76 s), activated by a cpu-count proxy — and the
+    // driver's own r18 run (healthy probes 0.88-1.0 s on its box)
+    // shipped every row flagged with n_certified=0. The band is now
+    // derived per box from persisted probe history (BandStore: the
+    // all-time probe minimum anchors a healthy cluster; the band is
+    // the cluster max + headroom), activated only when that box has
+    // enough of ITS OWN samples, or forced explicitly via
+    // SPARK_GRAFT_SHUF_BAND (ADVICE r18: an explicit calibration
+    // stamp, never a cpu-count proxy). With no stored history the
+    // relative gates run during the loop, and the FINAL judgment pass
+    // below re-derives a band from this run's own probe distribution
+    // — so even a first run on a fresh box gets absolute-band
+    // judgment as long as most of its windows were healthy.
+    // When a band is active it IS the gate (window and recovery
+    // alike): run-best is a proxy for "healthy" that fails in both
+    // directions (a fully-degraded run's best is degraded →
+    // under-flagging, r17; a lucky 0.51 s best makes 1.6×/1.3×-best
+    // flag probes the calibration itself certifies healthy →
+    // over-flagging, first r18 record attempt). The band-only
+    // recovery gate is deliberate, not a missing conjunction
+    // (ADVICE r18 item 2): AND-ing 1.3×best back in would reintroduce
+    // exactly that over-flagging.
+    val bandStorePath = sys.env.getOrElse("SPARK_GRAFT_BAND_STORE",
+      graft.tools.BandStore.defaultPath)
+    val bandSig = graft.tools.BandStore.signature(cpus.toInt)
+    val storedSamples = graft.tools.BandStore.load(bandStorePath, bandSig)
+    val envBand = sys.env.get("SPARK_GRAFT_SHUF_BAND").map(_.toDouble)
+    val provisionalBand: Option[Double] =
+      envBand.orElse(graft.tools.BandStore.derive(storedSamples).map(_.value))
+    runSamples += shufStart
     def degradedVsBest(p: Probe, factor: Double): Boolean =
-      if (absBandActive) p.shuf > AbsHealthyShufMax
-      else p.shuf > factor * bestShuf
+      provisionalBand match {
+        case Some(b) => p.shuf > b
+        case None => p.shuf > factor * bestShuf
+      }
 
     val warms: Map[String, (SparkSession, String) => Unit] = Map(
       "dedup" -> graft.queries.DedupQueries.warmIndexes,
@@ -268,11 +295,22 @@ object Bench {
     val warmFailed = scala.collection.mutable.LinkedHashMap.empty[String, String]
     // mutable row: the probe-gated recovery pass below may replace the
     // median with probe-certified fresh reps before the family's Memo
-    // indexes are released
+    // indexes are released. Original and fresh (recovery) reps are kept
+    // in SEPARATE windows and the artifact says which window the kept
+    // median came from (ADVICE r18 item 5: merging them inflated the
+    // reported spread of remeasured rows, and a reader couldn't tell a
+    // certified median's provenance); spread/IQR are computed over the
+    // median's own window.
     final class QRow(val name: String, var times: IndexedSeq[Double],
       var median: Double, val nExchanges: Int, val storageHw: Long,
       val ccStats: Option[graft.dedup.Cluster.CcStats],
-      var envDegraded: Boolean = false, var remeasured: Boolean = false)
+      var envDegraded: Boolean = false, var remeasured: Boolean = false,
+      var inLoopDegraded: Boolean = false,
+      var freshTimes: IndexedSeq[Double] = IndexedSeq.empty,
+      var medianSource: String = "original") {
+      def statReps: IndexedSeq[Double] =
+        if (medianSource == "fresh") freshTimes else times
+    }
     final case class FamProbes(pre: Probe, post: Probe, degraded: Boolean,
       requeue: String, recPre: Option[Probe] = None,
       recPost: Option[Probe] = None, var degradedRetro: Boolean = false)
@@ -358,16 +396,15 @@ object Bench {
         }) {
           // single-shot probe → wider threshold than the median-of-3
           // window gate (single shots spread more on a healthy box):
-          // band × 1.8/1.6 when calibrated, 1.8× run-best otherwise
+          // band × 1.125 when calibrated, 1.8× run-best otherwise
           val so = shufOnce()
-          if (if (absBandActive) so > AbsHealthyShufMax * 1.8 / 1.6
-              else so > 1.8 * bestShuf)
+          if (provisionalBand.fold(so > 1.8 * bestShuf)(b => so > b * 1.125))
             probeDegraded = true
           else { times = (times :+ timeOne()).sorted; extra += 1 }
         }
         val storageHw = storageMb()
         new QRow(name, times, medianOf(times), nExchanges, storageHw, ccStats,
-          envDegraded = probeDegraded)
+          envDegraded = probeDegraded, inLoopDegraded = probeDegraded)
       }
       // Post-window probe + recovery pass — BEFORE this family's Memo
       // indexes are released, so a re-measure costs only timed reps.
@@ -416,8 +453,14 @@ object Bench {
             // probes (instant samples can't see a stall that lands
             // mid-rep). An original median bounded above by a
             // probe-certified measurement is itself certifiable.
-            q.median = math.min(q.median, freshMedian)
-            q.times = (q.times ++ fresh).sorted
+            // Fresh reps stay in their OWN window (q.freshTimes) and
+            // medianSource records which window won — never merged
+            // into q.times (ADVICE r18 item 5).
+            if (freshMedian < q.median) {
+              q.median = freshMedian
+              q.medianSource = "fresh"
+            }
+            q.freshTimes = fresh
             q.remeasured = true
           }
           val rpp = probeQuick(); noteBest(rpp)
@@ -439,35 +482,49 @@ object Bench {
     }
     val (calEnd, calEndReps) = calMedian()
     val shufEnd = shufMedian()
-    // Retroactive re-judging vs the FINAL best probe (ADVICE r17,
-    // medium): bestShuf starts at the run's start probe and only
-    // shrinks — if interference is already live at run start (the
-    // sustained-stall scenario this machinery exists for), the early
-    // families' windows are judged against an INFLATED baseline and
-    // ship unflagged. After the loop, every window's bracketing
-    // probes are re-judged against the final bestShuf (which the end
-    // probe may have lowered further): a retro-degraded family's rows
-    // are flagged env_degraded (flag-only — the family's Memo indexes
-    // are gone, no re-measure is possible), and a remeasured row
-    // stays certified only if BOTH its recovery probes also pass
-    // retro judgment. With the absolute band active this pass is a
-    // provable no-op (the gate ignores bestShuf); it exists for the
-    // relative mode on uncalibrated boxes.
+    runSamples += shufEnd
+    // FINAL judgment pass (generalizes the r17 retroactive re-judging,
+    // ADVICE r17 medium): during the loop the gate only had provisional
+    // information — a stored band from PAST runs, or the shrinking
+    // run-best. Now the run's complete probe distribution exists, so
+    // every window is re-judged, authoritatively, against the band
+    // derived from stored + this-run samples (min-anchored healthy
+    // cluster — BandStore.derive). This is what makes a FIRST run on a
+    // fresh box absolute-band-judged: its own ~16 probe medians are a
+    // calibration sample, as long as most windows were healthy (a
+    // fully-degraded first run stays undetectable until a healthy run
+    // stores a lower anchor — the store self-heals from there).
+    // Judgment per row: a remeasured row is certified iff BOTH its
+    // recovery probes pass the final gate (its median was measured in
+    // the recovery window, the family window's verdict is moot); any
+    // other row is certified iff its family window's bracketing probes
+    // pass AND its own in-loop single-shot probe never tripped.
+    // Flag-only in both directions — medians are never changed here.
     bestShuf = math.min(bestShuf, shufEnd)
+    val finalBand: Option[Double] = envBand.orElse(
+      graft.tools.BandStore.derive(storedSamples ++ runSamples).map(_.value))
     locally {
+      def degFinal(p: Probe, factor: Double): Boolean =
+        finalBand match {
+          case Some(b) => p.shuf > b
+          case None => p.shuf > factor * bestShuf
+        }
       val byFam = detail.groupBy(q => familyOf(q.name))
       famProbes.foreach { case (fam, p) =>
-        val retro = degradedVsBest(p.pre, 1.6) || degradedVsBest(p.post, 1.6)
-        if (retro) {
-          p.degradedRetro = true
-          val recHealthy = p.recPre.exists(!degradedVsBest(_, 1.3)) &&
-            p.recPost.exists(!degradedVsBest(_, 1.3))
-          byFam.getOrElse(fam, Nil).foreach { q =>
-            if (!(q.remeasured && recHealthy)) q.envDegraded = true
-          }
+        val winDeg = degFinal(p.pre, 1.6) || degFinal(p.post, 1.6)
+        if (winDeg && !p.degraded) p.degradedRetro = true
+        val recHealthy = p.recPre.exists(!degFinal(_, 1.3)) &&
+          p.recPost.exists(!degFinal(_, 1.3))
+        byFam.getOrElse(fam, Nil).foreach { q =>
+          q.envDegraded =
+            if (q.remeasured) !recHealthy
+            else winDeg || q.inLoopDegraded
         }
       }
     }
+    // persist this run's probe medians for future runs on this box —
+    // after judgment, so a crash mid-run costs nothing
+    graft.tools.BandStore.append(bandStorePath, bandSig, runSamples.toSeq)
     val total = indexBuild + detail.map(_.median).sum
     // The defensible headline (VERDICT r17 item 2): `total` sums every
     // median including flagged ones, so on an interference day the
@@ -480,8 +537,12 @@ object Bench {
     val certifiedRows = detail.filter(!_.envDegraded)
     val totalCertified = indexBuild + certifiedRows.map(_.median).sum
     val nCertified = certifiedRows.size
+    // spread/IQR are computed over the window the kept median came
+    // from (statReps): merging original+fresh reps inflated the
+    // dispersion headline of exactly the rows the recovery pass had
+    // just certified (ADVICE r18 item 5)
     val maxSpread = detail.map { q =>
-      if (q.median > 0) (q.times.last - q.times.head) / q.median else 0.0
+      if (q.median > 0) (q.statReps.last - q.statReps.head) / q.median else 0.0
     }.foldLeft(0.0)(math.max)
     // IQR-based dispersion: raw spread keeps every recorded stall rep
     // (by design — the artifact must show them), so one environmental
@@ -498,7 +559,7 @@ object Bench {
     def iqrSpread(ts: IndexedSeq[Double], median: Double): Double =
       if (median > 0) (quart(ts, 0.75) - quart(ts, 0.25)) / median else 0.0
     val maxIqrSpread = detail.map { q =>
-      iqrSpread(q.times, q.median)
+      iqrSpread(q.statReps, q.median)
     }.foldLeft(0.0)(math.max)
     // full artifact: one object per query with every repetition, a
     // relative-spread dispersion column, the shuffle count of the
@@ -506,15 +567,19 @@ object Bench {
     // query ran, and (when set) the env_degraded / remeasured flags
     // from the per-family probe windows
     val qDetail = detail.map { q =>
-      val spread = if (q.median > 0) (q.times.last - q.times.head) / q.median else 0.0
+      val sr = q.statReps
+      val spread = if (q.median > 0) (sr.last - sr.head) / q.median else 0.0
       val ccJson = q.ccStats.map(c =>
         s""","cc":{"regime":"${c.regime}","rounds":${c.rounds},""" +
           s""""contracted_edges":${c.contractedEdges}}""").getOrElse("")
       val flagJson = (if (q.envDegraded) ""","env_degraded":true""" else "") +
-        (if (q.remeasured) ""","remeasured":true""" else "")
+        (if (q.remeasured)
+          s""","remeasured":true,"median_source":"${q.medianSource}",""" +
+            s""""fresh_reps":[${q.freshTimes.map(fmt).mkString(",")}]"""
+         else "")
       s""""${q.name}":{"reps":[${q.times.map(fmt).mkString(",")}],"median":${fmt(q.median)},""" +
-        s""""min":${fmt(q.times.head)},"max":${fmt(q.times.last)},"spread":${fmt(spread)},""" +
-        s""""iqr_spread":${fmt(iqrSpread(q.times, q.median))},""" +
+        s""""min":${fmt(sr.head)},"max":${fmt(sr.last)},"spread":${fmt(spread)},""" +
+        s""""iqr_spread":${fmt(iqrSpread(sr, q.median))},""" +
         s""""n_exchanges":${q.nExchanges},"storage_mb":${q.storageHw}$ccJson$flagJson}"""
     }.mkString("{", ",", "}")
     val warmJson = warmDetail.map { case (f, s) => s""""$f":${fmt(s)}""" }
@@ -550,7 +615,10 @@ object Bench {
     // windows with probe-gated re-measure — envprobe): same "total"
     // name, different measurement semantics — downstream trend tooling
     // must not compare them silently.
-    val method = s"warm+median-of-$reps+adaptive+memo-truth+envprobe+absband"
+    // round 19: absband (a compiled constant activated by cpu count)
+    // became selfband — a per-box band persisted/derived by BandStore
+    // with an authoritative end-of-run judgment pass
+    val method = s"warm+median-of-$reps+adaptive+memo-truth+envprobe+selfband"
     val skippedJson = skip.toSeq.sorted.map(n => s""""$n"""").mkString("[", ",", "]")
     // Structural-completeness stamp (VERDICT r12 item 3): three
     // consecutive rounds shipped a scale artifact silently missing the
@@ -573,10 +641,25 @@ object Bench {
     // so normalizing on the start stamp would mis-attribute the ramp
     // as environment drift. The start stamp stays as a cold-ramp
     // diagnostic only.
+    // band stamp: provisional = what gated during the loop, final =
+    // what judged the rows; source names where the final band came
+    // from (explicit env stamp > persisted per-box store > this run's
+    // own probes > none = relative gating)
+    val bandSource =
+      if (envBand.isDefined) "env"
+      else if (provisionalBand.isDefined) "store"
+      else if (finalBand.isDefined) "run"
+      else "none"
+    val bandJson =
+      s"""{"active":${finalBand.isDefined},"source":"$bandSource",""" +
+        s""""value":${finalBand.map(fmt).getOrElse("null")},""" +
+        s""""provisional":${provisionalBand.map(fmt).getOrElse("null")},""" +
+        s""""n_run_samples":${runSamples.size},"n_stored_samples":${storedSamples.size},""" +
+        s""""sig":"$bandSig","store":"${jstr(bandStorePath)}"}"""
     val calJson =
       s"""{"divisor":"end","end":${fmt(calEnd)},"start":${fmt(calStart)},""" +
         s""""shuffle_end":${fmt(shufEnd)},"shuffle_start":${fmt(shufStart)},""" +
-        s""""abs_band":{"active":$absBandActive,"shuf_max":${fmt(AbsHealthyShufMax)}},""" +
+        s""""band":$bandJson,""" +
         s""""start_reps":[${calStartReps.map(fmt).mkString(",")}],""" +
         s""""end_reps":[${calEndReps.map(fmt).mkString(",")}]}"""
     val artifact =

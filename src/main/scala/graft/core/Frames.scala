@@ -6,6 +6,22 @@ import org.apache.spark.sql.DataFrame
   * iterative algorithms (connected components, Lloyd's k-means). */
 object Frames {
 
+  /** Eager materialization with a deployment toggle (VERDICT r18
+    * item 7): `reliable = false` (default) is the single-JVM shape —
+    * `localCheckpoint(true)` blocks on executors, free but with no
+    * recompute path, so a mid-query executor loss fails the job.
+    * `reliable = true` writes a real `checkpoint(true)` to the
+    * context's checkpoint directory (durable storage on a cluster):
+    * same plan shape, one extra write, survivable executor loss.
+    * The storage-level overload only affects the local flavor —
+    * reliable checkpoints are files, not block-manager entries. */
+  def materialize(df: DataFrame, reliable: Boolean): DataFrame =
+    if (reliable) df.checkpoint(true) else df.localCheckpoint(true)
+
+  def materialize(df: DataFrame, reliable: Boolean,
+      level: org.apache.spark.storage.StorageLevel): DataFrame =
+    if (reliable) df.checkpoint(true) else df.localCheckpoint(true, level)
+
   /** Drop the persisted blocks behind an eager `localCheckpoint` the
     * moment the frame is superseded. Left alone, checkpoint blocks
     * survive until the driver GCs the frame AND ContextCleaner runs

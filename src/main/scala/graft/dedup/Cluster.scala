@@ -107,7 +107,7 @@ object Cluster {
     * count (2× directed), now of the contracted set. */
   def connectedComponents(edges: DataFrame, maxIter: Int = 50,
       localThreshold: Long = 2000000, edgesMaterialized: Boolean = false,
-      edgeCountHint: Long = -1L): DataFrame = {
+      edgeCountHint: Long = -1L, reliable: Boolean = false): DataFrame = {
     val directed0 = edges.select(col("src"), col("dst"))
       .filter(col("src") =!= col("dst"))
     if (edgeCountHint >= 0 && 2L * edgeCountHint <= localThreshold) {
@@ -116,7 +116,8 @@ object Cluster {
       lastStatsTl.set(CcStats("local-union-find", 0))
       return localEdgeCC(directed0)
     }
-    var contracted = preContract(directed0).localCheckpoint(true, SerLevel)
+    var contracted = graft.core.Frames.materialize(
+      preContract(directed0), reliable, SerLevel)
     var cEdges = contracted.count()
     // The free pass contracts within the CALLER's partitioning — when
     // that scatters each component across partitions (an LSH pair
@@ -137,8 +138,8 @@ object Cluster {
     var pass = 0
     while (pass < 4 && 2L * cEdges > localThreshold) {
       val key = if (pass % 2 == 0) "dst" else "src"
-      val next = preContract(contracted.repartition(col(key)))
-        .localCheckpoint(true, SerLevel)
+      val next = graft.core.Frames.materialize(
+        preContract(contracted.repartition(col(key))), reliable, SerLevel)
       val n = next.count()
       val paying = n < (cEdges * 7) / 10
       if (n < cEdges) { release(contracted); contracted = next; cEdges = n }
@@ -153,8 +154,8 @@ object Cluster {
         val nodeCount = contracted
           .select(col("src").as("n")).union(contracted.select(col("dst").as("n")))
           .agg(approx_count_distinct(col("n"), 0.02)).head().getLong(0)
-        if (nodeCount <= localThreshold) minEdgeContractionCC(contracted, maxIter)
-        else labelPropagationCC(contracted, maxIter)
+        if (nodeCount <= localThreshold) minEdgeContractionCC(contracted, maxIter, reliable)
+        else labelPropagationCC(contracted, maxIter, reliable)
       }
     release(contracted)
     lastStatsTl.set(lastStatsTl.get.copy(contractedEdges = cEdges))
@@ -227,7 +228,8 @@ object Cluster {
     * partial aggregation collapses each to ≤ |nodes| rows map-side,
     * so the symmetric view costs a second scan, never a second
     * materialization. */
-  private def minEdgeContractionCC(directed: DataFrame, maxIter: Int): DataFrame = {
+  private def minEdgeContractionCC(directed: DataFrame, maxIter: Int,
+      reliable: Boolean = false): DataFrame = {
     val spark = directed.sparkSession
     import spark.implicits._
     var e = directed
@@ -262,13 +264,14 @@ object Cluster {
         // distinct's map-side partial agg shrinks the shuffle to the
         // contracted edge set
         val prev = e
-        e = e.join(mapDf, col("src") === col("_n"), "left")
-          .select(coalesce(col("_r"), col("src")).as("src"), col("dst"))
-          .join(mapDf, col("dst") === col("_n"), "left")
-          .select(col("src"), coalesce(col("_r"), col("dst")).as("dst"))
-          .filter(col("src") =!= col("dst"))
-          .distinct()
-          .localCheckpoint(true, SerLevel)
+        e = graft.core.Frames.materialize(
+          e.join(mapDf, col("src") === col("_n"), "left")
+            .select(coalesce(col("_r"), col("src")).as("src"), col("dst"))
+            .join(mapDf, col("dst") === col("_n"), "left")
+            .select(col("src"), coalesce(col("_r"), col("dst")).as("dst"))
+            .filter(col("src") =!= col("dst"))
+            .distinct(),
+          reliable, SerLevel)
         // the eager checkpoint above materialized the new edge set, so
         // the previous round's copy is dead — release it now (round
         // 0's value belongs to the caller and is skipped)
@@ -293,12 +296,14 @@ object Cluster {
     * directed set to symmetric form — as a lazy map-only view over
     * the materialized directed edges, re-read per round, never
     * materialized itself. */
-  private def labelPropagationCC(directed: DataFrame, maxIter: Int): DataFrame = {
+  private def labelPropagationCC(directed: DataFrame, maxIter: Int,
+      reliable: Boolean = false): DataFrame = {
     val sym = directed
       .union(directed.select(col("dst").as("src"), col("src").as("dst")))
-    var labels = sym.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id"))
-      .localCheckpoint(true)
+    var labels = graft.core.Frames.materialize(
+      sym.select(col("src").as("id")).distinct()
+        .withColumn("label", col("id")),
+      reliable)
 
     var iter = 0
     var converged = false
@@ -312,11 +317,12 @@ object Cluster {
         .select(col("id"),
           least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
       // (b) pointer jump: label := label(label)
-      val jumped = propagated.as("x")
-        .join(propagated.select(col("id").as("label"), col("label").as("label2")).as("y"),
-          Seq("label"), "left")
-        .select(col("id"), coalesce(col("label2"), col("label")).as("label"))
-        .localCheckpoint(true)
+      val jumped = graft.core.Frames.materialize(
+        propagated.as("x")
+          .join(propagated.select(col("id").as("label"), col("label").as("label2")).as("y"),
+            Seq("label"), "left")
+          .select(col("id"), coalesce(col("label2"), col("label")).as("label")),
+        reliable)
 
       val changed = jumped.as("n")
         .join(labels.withColumnRenamed("label", "old").as("o"), Seq("id"))

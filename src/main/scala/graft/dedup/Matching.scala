@@ -74,7 +74,9 @@ object Matching {
     // per pipeline invocation — ADVICE r2), local-checkpoint blocks
     // are released by the ContextCleaner when the frame becomes
     // unreferenced.
-    qualifyingPairsPrepared(stats0.localCheckpoint(true), settings, salt)
+    qualifyingPairsPrepared(
+      graft.core.Frames.materialize(stats0, settings.reliableCheckpoints),
+      settings, salt)
   }
 
   /** [[qualifyingPairs]] for a caller that has ALREADY materialized
@@ -266,11 +268,12 @@ object Matching {
         col("o.partner_max_row"), col("o.pair_conf"))
     // ≤ |confs| rows per name — tiny; checkpoint so the two readers
     // below don't re-run the JW join
-    val base = oriented
-      .groupBy(col("node"), col("name"), col("pair_conf"))
-      .agg(max(col("partner_max_row")).as("partner_max_row"),
-        min(col("peer")).as("min_peer"))
-      .localCheckpoint(true)
+    val base = graft.core.Frames.materialize(
+      oriented
+        .groupBy(col("node"), col("name"), col("pair_conf"))
+        .agg(max(col("partner_max_row")).as("partner_max_row"),
+          min(col("peer")).as("min_peer")),
+      settings.reliableCheckpoints)
     drainPins() // pass 1 fully consumed into the base checkpoint
 
     val crossCand = base.select(col("name").as("cand_name"),
@@ -524,13 +527,15 @@ object Matching {
     * O(names) checkpoint for the session lifetime (ADVICE r11: the
     * dense regime re-ranks per CC round, accreting one per pass). */
   private[dedup] def blockRanked(stats: DataFrame, parts: Int,
-      pinSink: DataFrame => Unit = _ => ()): DataFrame = {
+      pinSink: DataFrame => Unit = _ => (),
+      reliable: Boolean = false): DataFrame = {
     val spark = stats.sparkSession
     import spark.implicits._
-    val ranged = stats
-      .repartitionByRange(parts, col("block_key"), col("base_name"))
-      .withColumn("_pid", spark_partition_id())
-      .localCheckpoint(true)
+    val ranged = graft.core.Frames.materialize(
+      stats
+        .repartitionByRange(parts, col("block_key"), col("base_name"))
+        .withColumn("_pid", spark_partition_id()),
+      reliable)
     pinSink(ranged)
     val counts = ranged.groupBy("_pid", "block_key")
       .agg(count(lit(1)).as("_c")).collect()
@@ -555,7 +560,8 @@ object Matching {
     * two-pass distributed ranking above it. Identical values either
     * way — the gate is wall-clock only. */
   private def withBlockRank(stats: DataFrame,
-      pinSink: DataFrame => Unit = _ => ()): DataFrame = {
+      pinSink: DataFrame => Unit = _ => (),
+      reliable: Boolean = false): DataFrame = {
     val n = stats.count()
     if (n <= DistributedRankThreshold) {
       val byName = org.apache.spark.sql.expressions.Window
@@ -565,7 +571,7 @@ object Matching {
       val parts = stats.sparkSession.sparkContext.defaultParallelism
       log.info(s"sorted-neighborhood: distributed ranking over $n names " +
         s"($parts range partitions)")
-      blockRanked(stats, parts, pinSink)
+      blockRanked(stats, parts, pinSink, reliable)
     }
   }
 
@@ -581,7 +587,7 @@ object Matching {
   def sortedNeighborhoodPairs(stats: DataFrame, window: Int,
       settings: DedupSettings = DedupSettings(),
       pinSink: DataFrame => Unit = _ => ()): DataFrame = {
-    val ranked = withBlockRank(stats, pinSink)
+    val ranked = withBlockRank(stats, pinSink, settings.reliableCheckpoints)
     val a = ranked.select(
       col("block_key"),
       col("base_name").as("a_name"),

@@ -28,9 +28,10 @@ import org.apache.spark.sql.functions._
   * loss between materialization and consumption fails the job instead
   * of recomputing. On a single-JVM deployment (this harness) that is
   * free; on a multi-executor cluster where mid-query executor loss
-  * must be survivable, switch to reliable `checkpoint()` with
-  * `spark.sparkContext.setCheckpointDir` on durable storage — same
-  * plan shape, one extra write. */
+  * must be survivable, set `DedupSettings.checkpointDir` to durable
+  * storage — every materialization in the pipeline then uses reliable
+  * `checkpoint()` instead: same plan shape, one extra write, identical
+  * results (ReliableCheckpointSpec). */
 object Pipeline {
 
   /** Σ |block|·(|block|-1)/2 over the (materialized) name index —
@@ -76,9 +77,15 @@ object Pipeline {
       .select("row_order", "original_name", "normalized_name", "base_name", "block_key")
 
     val spark = df.sparkSession
+    // reliable-checkpoint toggle (VERDICT r18 item 7): a set
+    // checkpointDir switches every materialization below (and in
+    // Matching/Cluster) from executor-local blocks to durable
+    // checkpoint files — the multi-executor deployment path.
+    settings.checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
+    val reliable = settings.reliableCheckpoints
     // Name index materialized ONCE; every branch below (fast-path
     // sizing, pair join sides, row-level joins) reads the blocks.
-    val stats = Matching.nameStats(derived).localCheckpoint(true)
+    val stats = graft.core.Frames.materialize(Matching.nameStats(derived), reliable)
 
     // The pair join (the Jaro-Winkler work) has two consumers — the
     // CC edge set and the confidence candidates. Materializing the
@@ -118,9 +125,10 @@ object Pipeline {
           Matching.denseAggregatedStage(stats, settings)
         case None =>
           Matching.recordStage("materialize", 1)
-          val pairsCompact = Matching.qualifyingPairsPrepared(stats, settings)
-            .select(col("a_min_row"), col("b_min_row"), col("pair_conf"))
-            .localCheckpoint(true)
+          val pairsCompact = graft.core.Frames.materialize(
+            Matching.qualifyingPairsPrepared(stats, settings)
+              .select(col("a_min_row"), col("b_min_row"), col("pair_conf")),
+            reliable)
           // --- C1 (distributed): node id = the name's min_row, so a
           // component id IS min(row_order) in-cluster. The edge set is
           // a projection of the compact checkpoint — already
@@ -134,7 +142,8 @@ object Pipeline {
           // already fits the driver, CC skips the pre-contraction
           // constant outright (VERDICT r15 item 1)
           val compsDist = Cluster.connectedComponents(edges,
-            edgesMaterialized = true, edgeCountHint = impliedPairs)
+            edgesMaterialized = true, edgeCountHint = impliedPairs,
+            reliable = reliable)
           // name fields recovered from the compact checkpoint: AQE
           // turns both min_row joins into broadcasts (the name index
           // is tiny relative to pairs), so this costs two map-side

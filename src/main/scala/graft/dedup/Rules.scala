@@ -45,7 +45,20 @@ final case class DedupSettings(
       * here, the constant just separates "fits comfortably" from
       * "gigabytes" (sf1 supplier: 50M pairs ≈ 3 GB resident and the
       * GC pressure tripled every later phase — VERDICT r10 item 1). */
-    densePairEstimate: Long = 4000000L) {
+    densePairEstimate: Long = 4000000L,
+    /** Durable checkpoint directory for multi-executor deployments
+      * (execution knob, not semantics): when set, every eager
+      * materialization in the pipeline (name index, compact pairs,
+      * CC rounds, distributed ranking) uses reliable `checkpoint()`
+      * against this directory instead of executor-local checkpoint
+      * blocks, so a mid-query executor loss is survivable. None
+      * (default) = `localCheckpoint`, the single-JVM trade-off
+      * documented on [[Pipeline.run]]. Results are bit-identical
+      * either way (ReliableCheckpointSpec). */
+    checkpointDir: Option[String] = None) {
+
+  /** True when materializations should be reliable checkpoints. */
+  def reliableCheckpoints: Boolean = checkpointDir.isDefined
   // The governor sizing aggregate collects the over-cap key list into
   // one driver row, bounded by |distinct blocks| / cap — a degenerate
   // cap (e.g. 1) would degrade that bound to every block key in a
@@ -63,6 +76,31 @@ final case class DedupSettings(
 object DedupSettings {
   /** Smallest accepted [[DedupSettings.maxBlockNames]] cap. */
   val MinBlockNamesCap: Long = 8L
+
+  /** Parse the reference UI's custom-mapping text syntax
+    * (`"GE->GENERAL ELECTRIC; P&G->PROCTER & GAMBLE"`) into
+    * [[DedupSettings.addMap]], with the reference's exact
+    * malformed-entry semantics (app.py:44-52): entries split on `;`;
+    * an entry participates only if it contains `->` AND splitting on
+    * `->` yields exactly two parts (so `"A->B->C"` is silently
+    * skipped); both sides are trimmed and upper-cased; empty keys or
+    * values are KEPT (`"A->"` maps `"A" -> ""`); a later duplicate
+    * key overwrites an earlier one (dict semantics). */
+  def parseAddMap(s: String): Map[String, String] = {
+    if (s == null || s.isEmpty) Map.empty
+    else s.split(";", -1).iterator
+      .filter(_.contains("->"))
+      .flatMap { pair =>
+        // Python str.split("->") has no limit: 2 parts means exactly
+        // one arrow. split with a large limit keeps trailing empties
+        // so "A->" really yields ("A", "").
+        val parts = pair.split("->", -1)
+        if (parts.length == 2)
+          Some(parts(0).trim.toUpperCase(java.util.Locale.ROOT) ->
+            parts(1).trim.toUpperCase(java.util.Locale.ROOT))
+        else None
+      }.toMap
+  }
 }
 
 object Rules {

@@ -291,39 +291,42 @@ object Multimodal {
     media.flatMap { rec =>
       val iis = javax.imageio.ImageIO.createImageInputStream(
         new java.io.ByteArrayInputStream(rec.payload))
-      val readers = javax.imageio.ImageIO.getImageReaders(iis)
-      require(readers.hasNext,
-        s"undecodable multi-frame payload (${rec.modality}, ${rec.payload.length} bytes)")
-      val reader = readers.next()
+      // reader lookup happens INSIDE the try: a no-reader payload used
+      // to throw the require before the finally existed, leaking the
+      // ImageInputStream (and its temp cache file) per bad record
+      // (ADVICE r18 item 4)
       try {
-        reader.setInput(iis, false, false)
-        val n = reader.getNumImages(true)
-        (0 until n).map { i =>
-          val img = reader.read(i)
-          val w = img.getWidth
-          val h = img.getHeight
-          var sr = 0L; var sg = 0L; var sb = 0L
-          val row = new Array[Int](w)
-          var y = 0
-          while (y < h) {
-            img.getRGB(0, y, w, 1, row, 0, w)
-            var x = 0
-            while (x < w) {
-              val rgb = row(x)
-              sr += (rgb >> 16) & 0xff; sg += (rgb >> 8) & 0xff; sb += rgb & 0xff
-              x += 1
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        require(readers.hasNext,
+          s"undecodable multi-frame payload (${rec.modality}, ${rec.payload.length} bytes)")
+        val reader = readers.next()
+        try {
+          reader.setInput(iis, false, false)
+          val n = reader.getNumImages(true)
+          (0 until n).map { i =>
+            val img = reader.read(i)
+            val w = img.getWidth
+            val h = img.getHeight
+            var sr = 0L; var sg = 0L; var sb = 0L
+            val row = new Array[Int](w)
+            var y = 0
+            while (y < h) {
+              img.getRGB(0, y, w, 1, row, 0, w)
+              var x = 0
+              while (x < w) {
+                val rgb = row(x)
+                sr += (rgb >> 16) & 0xff; sg += (rgb >> 8) & 0xff; sb += rgb & 0xff
+                x += 1
+              }
+              y += 1
             }
-            y += 1
+            val np = w.toLong * h
+            FrameContent(rec.media_id, i.toLong, w.toLong, h.toLong,
+              math.round(sr.toDouble / np), math.round(sg.toDouble / np),
+              math.round(sb.toDouble / np))
           }
-          val np = w.toLong * h
-          FrameContent(rec.media_id, i.toLong, w.toLong, h.toLong,
-            math.round(sr.toDouble / np), math.round(sg.toDouble / np),
-            math.round(sb.toDouble / np))
-        }
-      } finally {
-        reader.dispose()
-        iis.close()
-      }
+        } finally reader.dispose()
+      } finally iis.close()
     }
   }
 

@@ -87,6 +87,14 @@ object DedupQueries {
     if (!errs.isEmpty) throw errs.peek() // preserve the sequential contract
   }
 
+  /** dedup_governed_recall geometry, shared verbatim by the twin:
+    * cap/window match dedup_pairs_capped's governed policy; blocks
+    * above the audit bound are counted, never enumerated (a 150k-name
+    * sf1 block would be 11G counterfactual pairs). */
+  private val GovRecallCap = 1000L
+  private val GovRecallWindow = 10
+  private val GovAuditBlockMax = 20000L
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // F1-F5 + K1: full derived-column contract, row-level.
     "dedup_normalize" -> ((s, dir) =>
@@ -194,6 +202,46 @@ object DedupQueries {
         .select("a_name", "b_name", "ratio", "token_match", "pair_conf")
         .orderBy("a_name", "b_name")),
 
+    // the governor's recall audit (VERDICT r18 item 4 — the
+    // mm_neardup_recall pattern applied to the name pipeline): how
+    // many qualifying pairs does the sorted-neighborhood hot-block
+    // policy LOSE against full reference pairing? Over-cap blocks up
+    // to GovAuditBlockMax names are enumerated exactly (full pairing
+    // = the bounded uncapped counterfactual); larger blocks are
+    // counted, not enumerated, and recall_audited goes NULL (an
+    // upper bound must not read as a measurement — the mm recall
+    // lesson, ADVICE r18 item 3). Under-cap blocks run identically
+    // under both policies, so the audit scopes to governed blocks
+    // only: the number IS the policy's loss, undiluted. No governed
+    // blocks at all -> vacuous recall 1.0.
+    "dedup_governed_recall" -> ((s, dir) => {
+      val stats = customerNameStats(s, dir)
+      val bn = org.apache.spark.sql.expressions.Window.partitionBy("block_key")
+      val audited = stats.withColumn("_bn", count(lit(1)).over(bn))
+        .filter(col("_bn") > GovRecallCap && col("_bn") <= GovAuditBlockMax)
+        .drop("_bn").localCheckpoint(true)
+      val kept = Matching.sortedNeighborhoodPairs(audited, GovRecallWindow)
+        .select("a_name", "b_name")
+      val all = Matching.qualifyingPairsPrepared(audited,
+        DedupSettings(maxBlockNames = None)).select("a_name", "b_name")
+      val aggKept = kept.agg(count(lit(1)).as("n_kept"))
+      val aggDropped = all.join(kept, Seq("a_name", "b_name"), "left_anti")
+        .agg(count(lit(1)).as("n_dropped"))
+      val aggBlocks = stats.groupBy("block_key").agg(count(lit(1)).as("n"))
+        .agg(
+          coalesce(sum(when(col("n") > GovRecallCap, 1L).otherwise(0L)), lit(0L))
+            .as("n_governed_blocks"),
+          coalesce(sum(when(col("n") > GovAuditBlockMax, 1L).otherwise(0L)), lit(0L))
+            .as("n_unaudited_blocks"))
+      aggKept.crossJoin(aggDropped).crossJoin(aggBlocks)
+        .select(col("n_kept"), col("n_dropped"),
+          col("n_governed_blocks"), col("n_unaudited_blocks"),
+          when(col("n_unaudited_blocks") > 0, lit(null))
+            .when(col("n_kept") + col("n_dropped") === 0, lit(1.0))
+            .otherwise(round(col("n_kept") / (col("n_kept") + col("n_dropped")), 6))
+            .as("recall_audited"))
+    }),
+
     // C1: row -> cluster assignment (cluster_id = min row_order).
     "dedup_clusters" -> ((s, dir) =>
       fullPart(s, dir).select("row_order", "cluster_id").orderBy("row_order")),
@@ -203,6 +251,23 @@ object DedupQueries {
     // converges on a single giant component.
     "dedup_clusters_supplier" -> ((s, dir) =>
       Pipeline.run(Tables.supplier(s, dir), "s_name", "s_suppkey")
+        .select("row_order", "cluster_id", "cluster_size", "confidence")
+        .orderBy("row_order")),
+
+    // the dense-regime pipeline over a deterministic md5 name sample
+    // (VERDICT r18 item 3 — the last sf1 oracle skip): the full
+    // supplier twin's recursive closure over a ~10k-name near-clique
+    // (40M+ SQL JW pairs) is oracle-infeasible at sf1, so this runs
+    // the IDENTICAL Pipeline.run path over the 1/16 of supplier ROWS
+    // whose name-md5 starts with '0' — same normalize/block/match/
+    // CC/elect stages, same dense near-clique shape (every sampled
+    // name still pairs with every other), at a twin-affordable size
+    // (~625 names -> ~190k SQL JW pairs at sf1).
+    "dedup_clusters_supplier_sample" -> ((s, dir) =>
+      Pipeline.run(
+        Tables.supplier(s, dir)
+          .filter(substring(md5(col("s_name")), 1, 1) === "0"),
+        "s_name", "s_suppkey")
         .select("row_order", "cluster_id", "cluster_size", "confidence")
         .orderBy("row_order")),
 
@@ -435,12 +500,73 @@ object DedupQueries {
          |WHERE (token_match AND ratio >= 0.85) OR ratio >= 0.90
          |ORDER BY a_name, b_name""".stripMargin,
 
+    // the recall-audit twin: same stats/sizes shape as the capped
+    // twin; `hot` is the audited governed slice (cap < bn <= audit
+    // bound), kept = the window policy, allp = full pairing, dropped
+    // = allp EXCEPT kept (both relations are canonically a<b
+    // oriented, so EXCEPT is exact).
+    "dedup_governed_recall" ->
+      s"""${Sql.derivedCte("customer", "c_custkey", "c_name")},
+         |stats AS (
+         |  SELECT block_key, base_name,
+         |         ${Sql.tokenKey("base_name")} AS token_key
+         |  FROM derived WHERE base_name <> '' GROUP BY 1, 2, 3
+         |), sizes AS (
+         |  SELECT block_key, count(*) AS bn FROM stats GROUP BY 1
+         |), hot AS (
+         |  SELECT s.*, row_number() OVER (PARTITION BY s.block_key
+         |    ORDER BY s.base_name) AS rnk
+         |  FROM stats s JOIN sizes z USING (block_key)
+         |  WHERE z.bn > $GovRecallCap AND z.bn <= $GovAuditBlockMax
+         |), kept AS (
+         |  SELECT a.base_name AS a_name, b.base_name AS b_name
+         |  FROM hot a JOIN hot b
+         |    ON a.block_key = b.block_key
+         |   AND b.rnk BETWEEN a.rnk + 1 AND a.rnk + ${GovRecallWindow - 1}
+         |  WHERE ((a.token_key = b.token_key)
+         |         AND jaro_winkler_similarity(a.base_name, b.base_name) >= 0.85)
+         |     OR jaro_winkler_similarity(a.base_name, b.base_name) >= 0.90
+         |), allp AS (
+         |  SELECT a.base_name AS a_name, b.base_name AS b_name
+         |  FROM hot a JOIN hot b
+         |    ON a.block_key = b.block_key AND a.base_name < b.base_name
+         |  WHERE ((a.token_key = b.token_key)
+         |         AND jaro_winkler_similarity(a.base_name, b.base_name) >= 0.85)
+         |     OR jaro_winkler_similarity(a.base_name, b.base_name) >= 0.90
+         |), dropped AS (
+         |  SELECT a_name, b_name FROM allp
+         |  EXCEPT SELECT a_name, b_name FROM kept
+         |)
+         |SELECT k.n_kept, d.n_dropped, bg.n_governed_blocks,
+         |       bu.n_unaudited_blocks,
+         |       CASE WHEN bu.n_unaudited_blocks > 0 THEN NULL
+         |            WHEN k.n_kept + d.n_dropped = 0 THEN 1.0
+         |            ELSE round(k.n_kept / (k.n_kept + d.n_dropped), 6)
+         |       END AS recall_audited
+         |FROM (SELECT count(*) AS n_kept FROM kept) k,
+         |     (SELECT count(*) AS n_dropped FROM dropped) d,
+         |     (SELECT CAST(coalesce(sum(CASE WHEN bn > $GovRecallCap THEN 1 ELSE 0 END), 0) AS BIGINT)
+         |        AS n_governed_blocks FROM sizes) bg,
+         |     (SELECT CAST(coalesce(sum(CASE WHEN bn > $GovAuditBlockMax THEN 1 ELSE 0 END), 0) AS BIGINT)
+         |        AS n_unaudited_blocks FROM sizes) bu""".stripMargin,
+
     "dedup_clusters" ->
       s"""$partPipeline
          |SELECT row_order, cluster_id FROM final ORDER BY row_order""".stripMargin,
 
     "dedup_clusters_supplier" ->
       s"""${Sql.dedupPipelineCte("supplier", "s_suppkey", "s_name")}
+         |SELECT row_order, cluster_id, cluster_size, confidence
+         |FROM final ORDER BY row_order""".stripMargin,
+
+    // same pipeline CTE over the sampled-subquery source; the sample
+    // predicate rides inside the FROM so every stage (blocking, pair
+    // join, recursive closure, election) sees only sampled rows —
+    // restriction-then-pipeline, matching the Spark plan's order
+    "dedup_clusters_supplier_sample" ->
+      s"""${Sql.dedupPipelineCte(
+              "(SELECT * FROM supplier WHERE substr(md5(s_name), 1, 1) = '0') AS supplier_sample",
+              "s_suppkey", "s_name")}
          |SELECT row_order, cluster_id, cluster_size, confidence
          |FROM final ORDER BY row_order""".stripMargin,
 

@@ -255,7 +255,8 @@ object MultimodalQueries {
     // so the audit stays bounded), verifies their pairs exactly, and
     // reports the dropped-pair rate as a measured number instead of
     // an asserted one. One row: n_kept / n_dropped / bucket tallies /
-    // recall = kept / (kept + dropped).
+    // recall_audited = kept / (kept + dropped), NULL when any bucket
+    // escaped the audit bound (then the ratio is only an upper bound).
     "mm_neardup_recall" -> ((s, dir) => {
       val idx = dhashIndex(s, dir)
       val br = dhashBandRows(idx)
@@ -273,10 +274,18 @@ object MultimodalQueries {
           .cast("long").as("n_over_cap_buckets"),
         sum(when(col("n") > AuditBucketMax, 1L).otherwise(0L))
           .cast("long").as("n_unaudited_buckets"))
+      // recall_audited, NULL when buckets escaped the audit (ADVICE
+      // r18 item 3): pairs living exclusively in >AuditBucketMax
+      // buckets are absent from the denominator, so with unaudited
+      // buckets the single number would overstate true recall — a
+      // reader of just this column must not mistake an upper bound
+      // for a measurement. Mirrored in the twin.
       aggKept.crossJoin(aggDropped).crossJoin(aggBuckets)
         .select(col("n_kept"), col("n_dropped"),
           col("n_over_cap_buckets"), col("n_unaudited_buckets"),
-          round(col("n_kept") / (col("n_kept") + col("n_dropped")), 6).as("recall"))
+          when(col("n_unaudited_buckets") > 0, lit(null))
+            .otherwise(round(col("n_kept") / (col("n_kept") + col("n_dropped")), 6))
+            .as("recall_audited"))
     }),
 
     // frame sampling with REAL decoded content (VERDICT r17 item 6):
@@ -439,7 +448,9 @@ object MultimodalQueries {
         |  EXCEPT SELECT a_id, b_id FROM pairs)
         |SELECT k.n_kept, d.n_dropped, bo.n_over_cap_buckets,
         |       bu.n_unaudited_buckets,
-        |       round(k.n_kept / (k.n_kept + d.n_dropped), 6) AS recall
+        |       CASE WHEN bu.n_unaudited_buckets > 0 THEN NULL
+        |            ELSE round(k.n_kept / (k.n_kept + d.n_dropped), 6)
+        |       END AS recall_audited
         |FROM (SELECT count(*) AS n_kept FROM pairs) k,
         |     (SELECT count(*) AS n_dropped FROM dropped) d,
         |     (SELECT count(*) AS n_over_cap_buckets FROM bcnt WHERE n > $DhashBucketCap) bo,

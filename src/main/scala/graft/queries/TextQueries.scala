@@ -578,6 +578,17 @@ object TextQueries {
     "text_lsh_pairs_allpairs" -> ((s, dir) =>
       lshPairs(s, dir, bucketCap = None).orderBy("a_id", "b_id")),
 
+    // the UNgoverned audit over the same deterministic 25% slice as
+    // text_lsh_pairs_sample (VERDICT r18 item 3): the full-corpus
+    // allpairs twin is oracle-infeasible at sf1 (quadratic in the
+    // hottest bucket), so THIS is what the 10x sweep grades for the
+    // uncapped code path — and, paired with the governed sample, it
+    // measures the governor's cost on an identical slice (the
+    // dedup_governed_recall pattern, at the query level).
+    "text_lsh_pairs_allpairs_sample" -> ((s, dir) =>
+      lshPairs(s, dir, Some(docs(s, dir).filter(col("doc_id") % 4 === 0)),
+        bucketCap = None).orderBy("a_id", "b_id")),
+
     // the governed LSH join over a 25% deterministic doc sample
     // (doc_id % 4 = 0). Per-doc signatures are independent, so
     // restricting the corpus commutes with signature computation; the
@@ -633,6 +644,12 @@ object TextQueries {
     // not the default (same posture as text_lsh_pairs_allpairs).
     "text_neardup_clusters_allpairs" -> ((s, dir) =>
       neardupClusters(s, dir, bucketCap = None)),
+
+    // the UNgoverned cluster audit over the same 25% slice — the
+    // sf1-gradable twin of text_neardup_clusters_allpairs (whose
+    // full-corpus recursive twin is oracle-infeasible at 10x).
+    "text_neardup_clusters_allpairs_sample" -> ((s, dir) =>
+      neardupClusters(s, dir, bucketCap = None, sample = true)),
 
     // governed cluster formation over the deterministic 25% sample —
     // the sf1-feasible oracle for the scale default above (the
@@ -1562,6 +1579,29 @@ object TextQueries {
          |WHERE i.i / (ca.n + cb.n - i.i) >= $JaccardThreshold
          |ORDER BY a_id, b_id""".stripMargin,
 
+    // the uncapped audit over the 25% slice: the allpairs twin below
+    // with the sampled shingle CTE — sf1-feasible because sampling
+    // shrinks the hottest bucket ~4x and its pair count ~16x
+    "text_lsh_pairs_allpairs_sample" ->
+      s"""$shingleCteSample, $bandsCte, cand AS (
+         |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+         |), inter AS (
+         |  SELECT c.a_id, c.b_id, count(*) AS i
+         |  FROM cand c
+         |  JOIN sh sa ON sa.doc_id = c.a_id
+         |  JOIN sh sb ON sb.doc_id = c.b_id AND sa.s = sb.s
+         |  GROUP BY 1, 2
+         |)
+         |SELECT i.a_id, i.b_id,
+         |       i.i / (ca.n + cb.n - i.i) AS jaccard
+         |FROM inter i
+         |JOIN shcnt ca ON ca.doc_id = i.a_id
+         |JOIN shcnt cb ON cb.doc_id = i.b_id
+         |WHERE i.i / (ca.n + cb.n - i.i) >= $JaccardThreshold
+         |ORDER BY a_id, b_id""".stripMargin,
+
     // the uncapped audit twin: deliberately quadratic in the hottest
     // bucket (oracle-infeasible at sf1 — see SCALE.md skips)
     "text_lsh_pairs_allpairs" ->
@@ -1595,37 +1635,13 @@ object TextQueries {
          |       CAST(sum(n * (n - 1) / 2) AS BIGINT) AS candidate_pairs
          |FROM bs""".stripMargin,
 
-    "text_neardup_clusters_allpairs" ->
-      s"""WITH RECURSIVE ${shingleCte.stripPrefix("WITH ")}, $bandsCte, cand AS (
-         |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
-         |  FROM bands a JOIN bands b
-         |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
-         |), inter AS (
-         |  SELECT c.a_id, c.b_id, count(*) AS i
-         |  FROM cand c
-         |  JOIN sh sa ON sa.doc_id = c.a_id
-         |  JOIN sh sb ON sb.doc_id = c.b_id AND sa.s = sb.s
-         |  GROUP BY 1, 2
-         |), pairs AS (
-         |  SELECT i.a_id, i.b_id
-         |  FROM inter i
-         |  JOIN shcnt ca ON ca.doc_id = i.a_id
-         |  JOIN shcnt cb ON cb.doc_id = i.b_id
-         |  WHERE i.i / (ca.n + cb.n - i.i) >= $JaccardThreshold
-         |), edges AS MATERIALIZED (
-         |  SELECT a_id AS src, b_id AS dst FROM pairs
-         |  UNION ALL SELECT b_id, a_id FROM pairs
-         |), reach(id, lbl) AS (
-         |  SELECT doc_id, doc_id FROM documents
-         |  UNION
-         |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id
-         |), cc AS (
-         |  SELECT id AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY id
-         |)
-         |SELECT doc_id, cluster_id,
-         |       count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
-         |       doc_id = cluster_id AS is_canonical
-         |FROM cc ORDER BY doc_id""".stripMargin,
+    "text_neardup_clusters_allpairs" -> neardupAllpairsSql,
+
+    // the sf1-gradable sample twin of the uncapped cluster audit:
+    // identical SQL restricted to the 25% slice first (the
+    // shingleCteSample replace pattern)
+    "text_neardup_clusters_allpairs_sample" -> neardupAllpairsSql
+      .replace("FROM documents", "FROM documents WHERE doc_id % 4 = 0"),
 
     // governed clusters (the default): the rep restriction changes
     // bucket counts under a cap, so — unlike the uncapped twin above,
@@ -1646,6 +1662,40 @@ object TextQueries {
     "text_neardup_clusters_sample" -> neardupGovernedSql
       .replace("FROM documents", "FROM documents WHERE doc_id % 4 = 0"),
   ) ++ oracleMid
+
+  /** The uncapped (allpairs) neardup-clusters twin (shared by the
+    * full-corpus audit entry and its 25% sample sibling). */
+  private lazy val neardupAllpairsSql: String =
+    s"""WITH RECURSIVE ${shingleCte.stripPrefix("WITH ")}, $bandsCte, cand AS (
+       |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+       |), inter AS (
+       |  SELECT c.a_id, c.b_id, count(*) AS i
+       |  FROM cand c
+       |  JOIN sh sa ON sa.doc_id = c.a_id
+       |  JOIN sh sb ON sb.doc_id = c.b_id AND sa.s = sb.s
+       |  GROUP BY 1, 2
+       |), pairs AS (
+       |  SELECT i.a_id, i.b_id
+       |  FROM inter i
+       |  JOIN shcnt ca ON ca.doc_id = i.a_id
+       |  JOIN shcnt cb ON cb.doc_id = i.b_id
+       |  WHERE i.i / (ca.n + cb.n - i.i) >= $JaccardThreshold
+       |), edges AS MATERIALIZED (
+       |  SELECT a_id AS src, b_id AS dst FROM pairs
+       |  UNION ALL SELECT b_id, a_id FROM pairs
+       |), reach(id, lbl) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id
+       |), cc AS (
+       |  SELECT id AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY id
+       |)
+       |SELECT doc_id, cluster_id,
+       |       count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+       |       doc_id = cluster_id AS is_canonical
+       |FROM cc ORDER BY doc_id""".stripMargin
 
   /** The governed neardup-clusters twin (shared by the full-corpus
     * default entry and its 25% sample sibling). */
