@@ -305,7 +305,7 @@ object Bench {
       var median: Double, val nExchanges: Int, val storageHw: Long,
       val ccStats: Option[graft.dedup.Cluster.CcStats],
       var envDegraded: Boolean = false, var remeasured: Boolean = false,
-      var inLoopDegraded: Boolean = false,
+      var inLoopDegraded: Boolean = false, var inLoopProbe: Double = -1.0,
       var freshTimes: IndexedSeq[Double] = IndexedSeq.empty,
       var medianSource: String = "original") {
       def statReps: IndexedSeq[Double] =
@@ -390,30 +390,40 @@ object Bench {
         val maxExtra = 4
         var extra = 0
         var probeDegraded = false
+        var inLoopProbeV = -1.0
         while (extra < maxExtra && !probeDegraded && {
           val m = medianOf(times)
           m > 0 && (times.last - times.head) / m > 0.5 && times.last - times.head > 0.25
         }) {
           // single-shot probe → wider threshold than the median-of-3
           // window gate (single shots spread more on a healthy box):
-          // band × 1.125 when calibrated, 1.8× run-best otherwise
+          // band × 1.125 when calibrated, 1.8× run-best otherwise.
+          // The reading is kept on the row: the final judgment pass
+          // re-judges it against the FINAL band (this provisional
+          // band may be the wrong context's).
           val so = shufOnce()
-          if (provisionalBand.fold(so > 1.8 * bestShuf)(b => so > b * 1.125))
+          if (provisionalBand.fold(so > 1.8 * bestShuf)(b => so > b * 1.125)) {
             probeDegraded = true
+            inLoopProbeV = so
+          }
           else { times = (times :+ timeOne()).sorted; extra += 1 }
         }
         val storageHw = storageMb()
         new QRow(name, times, medianOf(times), nExchanges, storageHw, ccStats,
-          envDegraded = probeDegraded, inLoopDegraded = probeDegraded)
+          envDegraded = probeDegraded, inLoopDegraded = probeDegraded,
+          inLoopProbe = inLoopProbeV)
       }
       // Post-window probe + recovery pass — BEFORE this family's Memo
       // indexes are released, so a re-measure costs only timed reps.
       // A window is degraded when either bracketing probe's SHUFFLE
-      // median reads >1.6× the run's best (or exceeds the absolute
-      // healthy band). Affected rows get ONE recovery attempt: if a
-      // fresh probe (after a short back-off) is healthy (≤1.3× best
-      // AND inside the absolute band), their medians are replaced
-      // with fresh reps (all reps stay in the artifact) — and the
+      // median fails the gate: with a band active, probe > band (the
+      // band IS the gate for window and recovery alike — band-only by
+      // design, ADVICE r18 item 2: AND-ing a relative factor back in
+      // re-introduces the lucky-best over-flagging the band fixed);
+      // uncalibrated, >1.6× run-best for windows / >1.3× for recovery
+      // certification. Affected rows get ONE recovery attempt: if a
+      // fresh probe (after a short back-off) passes, their medians are
+      // replaced with fresh reps (kept in their own window) — and the
       // re-measure is only CERTIFIED if a second probe taken AFTER
       // the fresh reps is also healthy (ADVICE r17: interference
       // resuming mid-re-measure used to record inflated medians as
@@ -486,29 +496,67 @@ object Bench {
     // FINAL judgment pass (generalizes the r17 retroactive re-judging,
     // ADVICE r17 medium): during the loop the gate only had provisional
     // information — a stored band from PAST runs, or the shrinking
-    // run-best. Now the run's complete probe distribution exists, so
-    // every window is re-judged, authoritatively, against the band
-    // derived from stored + this-run samples (min-anchored healthy
-    // cluster — BandStore.derive). This is what makes a FIRST run on a
-    // fresh box absolute-band-judged: its own ~16 probe medians are a
-    // calibration sample, as long as most windows were healthy (a
-    // fully-degraded first run stays undetectable until a healthy run
-    // stores a lower anchor — the store self-heals from there).
+    // run-best. Now the run's complete probe distribution exists.
+    //
+    // THE RUN JUDGES ITSELF; HISTORY DECIDES WHETHER IT MAY. The final
+    // band derives from the run's OWN ~16 probe medians (min-anchored
+    // healthy cluster, BandStore.derive) — the same context that
+    // measured the queries — PROVIDED the run's probe floor is
+    // commensurate with the box's known floor (runMin ≤
+    // UniformShiftMax × storedMin). Why not the stored band directly:
+    // execution CONTEXT shifts probe levels uniformly without anything
+    // being wrong — the r18 driver-context runs read shuffle probes at
+    // 0.85-1.2 s where this builder's read 0.49-0.76 s on the same
+    // hardware (co-resident harness load), and judging that context
+    // against the builder's band shipped n_certified = 0, the exact
+    // zero-signal failure VERDICT r18 item 1 names. Self-judgment
+    // handles it: the driver run's floor (~0.85) anchors its own
+    // cluster, its clean windows certify, and its genuinely-elevated
+    // windows (1.33/1.60 in the r18 artifact) still flag on
+    // within-run contrast. What self-judgment alone CANNOT catch is
+    // the fully-degraded run (r17: every window inflated, nothing to
+    // contrast against) — that is what the stored floor is for: a run
+    // whose own floor exceeds UniformShiftMax × the box's all-time
+    // floor is not a context, it is an incident (the deliberate
+    // 32-process co-load reads 2.9× the stored floor; the r18 driver
+    // context reads 1.7×), and it gets judged against the STORED band,
+    // flagging everything. Residual, stamped honestly: a uniform
+    // whole-run stall under 2× the stored floor is indistinguishable
+    // from a slower context and ships certified with
+    // `context_shift: true` + the ratio in the artifact.
     // Judgment per row: a remeasured row is certified iff BOTH its
     // recovery probes pass the final gate (its median was measured in
     // the recovery window, the family window's verdict is moot); any
     // other row is certified iff its family window's bracketing probes
-    // pass AND its own in-loop single-shot probe never tripped.
+    // pass AND its own in-loop single-shot probe (re-judged at
+    // finalBand × 1.125 — it was provisionally judged against a
+    // possibly-wrong-context band) stayed inside the gate.
     // Flag-only in both directions — medians are never changed here.
     bestShuf = math.min(bestShuf, shufEnd)
-    val finalBand: Option[Double] = envBand.orElse(
-      graft.tools.BandStore.derive(storedSamples ++ runSamples).map(_.value))
+    val UniformShiftMax = 2.0
+    val runSelf = graft.tools.BandStore.derive(runSamples.toSeq)
+    val storedBandD = graft.tools.BandStore.derive(storedSamples)
+    val runMin = runSamples.filter(_ > 0).minOption.getOrElse(Double.NaN)
+    val contextShift = storedBandD.exists(sb =>
+      runSelf.isDefined && runMin > sb.value && runMin <= UniformShiftMax * sb.sampleMin)
+    val (finalBand: Option[Double], bandSource: String) =
+      (envBand, storedBandD, runSelf) match {
+        case (Some(b), _, _) => (Some(b), "env")
+        case (_, None, Some(rs)) => (Some(rs.value), "run")
+        case (_, Some(sb), Some(rs)) =>
+          if (runMin <= UniformShiftMax * sb.sampleMin)
+            (Some(rs.value), if (contextShift) "run-context-shift" else "run")
+          else (Some(sb.value), "store-degraded-run")
+        case (_, Some(sb), None) => (Some(sb.value), "store")
+        case _ => (None, "none")
+      }
     locally {
       def degFinal(p: Probe, factor: Double): Boolean =
         finalBand match {
           case Some(b) => p.shuf > b
           case None => p.shuf > factor * bestShuf
         }
+      val inLoopThresh = finalBand.map(_ * 1.125).getOrElse(1.8 * bestShuf)
       val byFam = detail.groupBy(q => familyOf(q.name))
       famProbes.foreach { case (fam, p) =>
         val winDeg = degFinal(p.pre, 1.6) || degFinal(p.post, 1.6)
@@ -518,7 +566,7 @@ object Bench {
         byFam.getOrElse(fam, Nil).foreach { q =>
           q.envDegraded =
             if (q.remeasured) !recHealthy
-            else winDeg || q.inLoopDegraded
+            else winDeg || (q.inLoopProbe > 0 && q.inLoopProbe > inLoopThresh)
         }
       }
     }
@@ -642,18 +690,19 @@ object Bench {
     // as environment drift. The start stamp stays as a cold-ramp
     // diagnostic only.
     // band stamp: provisional = what gated during the loop, final =
-    // what judged the rows; source names where the final band came
-    // from (explicit env stamp > persisted per-box store > this run's
-    // own probes > none = relative gating)
-    val bandSource =
-      if (envBand.isDefined) "env"
-      else if (provisionalBand.isDefined) "store"
-      else if (finalBand.isDefined) "run"
-      else "none"
+    // what judged the rows; source records the self-judgment decision
+    // (env stamp > run-self [possibly context-shifted, ratio stamped]
+    // > stored band when the run's floor exceeds the shift cap >
+    // none = relative gating)
+    val shiftRatio = storedBandD.map(sb => runMin / sb.sampleMin)
     val bandJson =
       s"""{"active":${finalBand.isDefined},"source":"$bandSource",""" +
         s""""value":${finalBand.map(fmt).getOrElse("null")},""" +
         s""""provisional":${provisionalBand.map(fmt).getOrElse("null")},""" +
+        s""""run_self":${runSelf.map(b => fmt(b.value)).getOrElse("null")},""" +
+        s""""run_min":${if (runMin.isNaN) "null" else fmt(runMin)},""" +
+        s""""context_shift":$contextShift,""" +
+        s""""shift_vs_stored_min":${shiftRatio.map(fmt).getOrElse("null")},""" +
         s""""n_run_samples":${runSamples.size},"n_stored_samples":${storedSamples.size},""" +
         s""""sig":"$bandSig","store":"${jstr(bandStorePath)}"}"""
     val calJson =
