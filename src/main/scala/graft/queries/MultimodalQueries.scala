@@ -13,6 +13,26 @@ import org.apache.spark.sql.functions._
   * not float formatting. */
 object MultimodalQueries {
 
+  /** The id stream feeding every encode→decode mapPartitions stage,
+    * spread to full parallelism first (TextQueries.docsSpread applied
+    * to the media family, guide §2.4/§6): the test-SF documents table
+    * is ONE small parquet split, so without the spread the CPU-heavy
+    * ImageIO decode inherits a single partition and runs serially on
+    * one core (measured: the mm warm build was 5.5 s of the r20
+    * baseline's index_build — decode parallelism 1). The shuffle
+    * moves only the 8-byte ids; the gate keeps a production-scale
+    * scan (≥ one split per core already) from paying a gratuitous
+    * exchange. */
+  private def spreadIds(s: SparkSession, dir: String)
+      : org.apache.spark.sql.Dataset[Long] = {
+    import s.implicits._
+    val d = Tables.documents(s, dir).select(col("doc_id").cast("long"))
+    val target = s.sparkContext.defaultParallelism
+    val spread = if (d.rdd.getNumPartitions >= target) d
+      else d.repartition(target, col("doc_id"))
+    spread.as[Long]
+  }
+
   /** The synthetic-PNG encode + real ImageIO decode, Memo-cached per
     * (session, sf dir): mm_decode and mm_dedup share one
     * materialization instead of each re-encoding and re-decoding the
@@ -23,8 +43,7 @@ object MultimodalQueries {
     graft.core.Memo.cached(s, s"mm_decoded:$dir") {
       implicit val sp: SparkSession = s
       import s.implicits._
-      val media = Tables.documents(s, dir)
-        .select(col("doc_id").cast("long")).as[Long]
+      val media = spreadIds(s, dir)
         .mapPartitions(_.map(id =>
           Multimodal.MediaRecord(id, "image/png", Multimodal.syntheticPng(id))))
       Multimodal.extractFeatures(media, Multimodal.ImageIoDecoder).toDF()
@@ -64,8 +83,7 @@ object MultimodalQueries {
   private[queries] def dhashIndex(s: SparkSession, dir: String): DataFrame =
     graft.core.Memo.cached(s, s"mm_dhash:$dir") {
       import s.implicits._
-      Tables.documents(s, dir)
-        .select(col("doc_id").cast("long")).as[Long]
+      spreadIds(s, dir)
         .mapPartitions(_.map { id =>
           val b = Multimodal.dhashBands(Multimodal.syntheticPatternPng(id))
           (id, b(0), b(1), b(2), b(3))
@@ -299,8 +317,7 @@ object MultimodalQueries {
     "mm_frames_decoded" -> ((s, dir) => {
       implicit val sp: SparkSession = s
       import s.implicits._
-      val media = Tables.documents(s, dir)
-        .select(col("doc_id").cast("long")).as[Long]
+      val media = spreadIds(s, dir)
         .mapPartitions(_.map(id =>
           Multimodal.MediaRecord(id, "image/gif", Multimodal.syntheticAnimatedGif(id))))
       Multimodal.extractFrameContent(media).toDF()
@@ -315,8 +332,7 @@ object MultimodalQueries {
     "mm_resize" -> ((s, dir) => {
       implicit val sp: SparkSession = s
       import s.implicits._
-      val media = Tables.documents(s, dir)
-        .select(col("doc_id").cast("long")).as[Long]
+      val media = spreadIds(s, dir)
         .mapPartitions(_.map(id =>
           Multimodal.MediaRecord(id, "image/png", Multimodal.syntheticPng(id))))
       Multimodal.resizeDecoded(media, 4, 4).toDF()
