@@ -313,7 +313,8 @@ object Bench {
     }
     final case class FamProbes(pre: Probe, post: Probe, degraded: Boolean,
       requeue: String, recPre: Option[Probe] = None,
-      recPost: Option[Probe] = None, var degradedRetro: Boolean = false)
+      recPost: Option[Probe] = None, var degradedRetro: Boolean = false,
+      attempts: Int = 0)
     val famProbes = scala.collection.mutable.LinkedHashMap.empty[String, FamProbes]
     val detail: Seq[QRow] = families.flatMap { case (fam, qs) =>
       val pre = probeQuick(); noteBest(pre)
@@ -437,8 +438,23 @@ object Bench {
       var requeue = "none"
       var recPre: Option[Probe] = None
       var recPost: Option[Probe] = None
-      if (rows.exists(_.envDegraded)) {
-        Thread.sleep(2000)
+      var attempts = 0
+      // BOUNDED multi-attempt recovery (VERDICT r19 item 1: one
+      // attempt per family lost the whole window whenever a stall
+      // outlived a 2 s back-off — r19's driver run certified 8/135).
+      // Up to `recoveryTries` attempts with growing back-off; each
+      // attempt is the r18 certified-re-measure protocol (healthy
+      // pre-probe → fresh reps → healthy post-probe), and the loop
+      // exits the moment one attempt certifies. Worst case adds
+      // Σ backoffs (~42 s with the default 3 tries) per STILL-degraded
+      // family — bounded, and only spent on runs that would otherwise
+      // ship flagged rows.
+      val recoveryTries = sys.env.get("SPARK_GRAFT_BENCH_RECOVERY_TRIES")
+        .map(_.toInt).getOrElse(3)
+      val backoffsMs = Seq(2000L, 10000L, 30000L)
+      while (rows.exists(_.envDegraded) && attempts < recoveryTries) {
+        Thread.sleep(backoffsMs(math.min(attempts, backoffsMs.size - 1)))
+        attempts += 1
         val rp = probeQuick(); noteBest(rp)
         recPre = Some(rp)
         if (!degradedVsBest(rp, 1.3)) {
@@ -465,7 +481,9 @@ object Bench {
             // probe-certified measurement is itself certifiable.
             // Fresh reps stay in their OWN window (q.freshTimes) and
             // medianSource records which window won — never merged
-            // into q.times (ADVICE r18 item 5).
+            // into q.times (ADVICE r18 item 5). A later attempt's
+            // fresh window replaces an interrupted earlier one; the
+            // min rule keeps the best certified median either way.
             if (freshMedian < q.median) {
               q.median = freshMedian
               q.medianSource = "fresh"
@@ -481,7 +499,8 @@ object Bench {
           } else requeue = "recovery_interrupted" // fresh medians kept, flag kept
         } else requeue = "still_degraded"
       }
-      famProbes(fam) = FamProbes(pre, post, windowDegraded, requeue, recPre, recPost)
+      famProbes(fam) = FamProbes(pre, post, windowDegraded, requeue, recPre, recPost,
+        attempts = attempts)
       // release this family's Memo indexes before the next family
       // runs, then take the GC hit HERE, between families, instead of
       // letting a full collection land mid-rep and show up as a 3×
@@ -542,7 +561,13 @@ object Bench {
     val (finalBand: Option[Double], bandSource: String) =
       (envBand, storedBandD, runSelf) match {
         case (Some(b), _, _) => (Some(b), "env")
-        case (_, None, Some(rs)) => (Some(rs.value), "run")
+        // no usable history: the run still judges itself, but the
+        // stamp says so — a fully-degraded FIRST run self-certifies
+        // against its own inflated floor, and a reader must be able
+        // to tell that certification from history-backed judgment
+        // (ADVICE r19 item 4). The samples persist either way; the
+        // next run on this box is history-backed.
+        case (_, None, Some(rs)) => (Some(rs.value), "run-uncalibrated")
         case (_, Some(sb), Some(rs)) =>
           if (runMin <= UniformShiftMax * sb.sampleMin)
             (Some(rs.value), if (contextShift) "run-context-shift" else "run")
@@ -585,6 +610,26 @@ object Bench {
     val certifiedRows = detail.filter(!_.envDegraded)
     val totalCertified = indexBuild + certifiedRows.map(_.median).sum
     val nCertified = certifiedRows.size
+    // total_ex_audits (VERDICT r19 item 6): the bounded-counterfactual
+    // audit family — queries whose cost IS a deliberately-enumerated
+    // counterfactual (governed-recall, the *_allpairs uncapped twins)
+    // — reported beside the full total so a new audit's deliberate
+    // price never reads as a bench regression of the production
+    // surface.
+    def isAudit(n: String): Boolean =
+      n == "dedup_governed_recall" || n.contains("_allpairs")
+    val totalExAudits = indexBuild +
+      detail.filterNot(q => isAudit(q.name)).map(_.median).sum
+    // total_floor: index_build + Σ per-query MIN over every recorded
+    // rep (original and fresh windows). External interference on this
+    // box is strictly additive multi-second stalls, so the min rep is
+    // the most stall-robust per-query point estimate a single run
+    // carries — a cross-round comparison floor that survives a stall
+    // landing mid-window where the bracketing probes can't see it
+    // (the r20 baseline shipped 4 certified-but-5× rows that way).
+    // The median stays the headline; the floor bounds it from below.
+    val totalFloor = indexBuild + detail.map(q =>
+      (q.times ++ q.freshTimes).min).sum
     // spread/IQR are computed over the window the kept median came
     // from (statReps): merging original+fresh reps inflated the
     // dispersion headline of exactly the rows the recovery pass had
@@ -651,9 +696,10 @@ object Bench {
         p.recPost.map(r =>
           s""","rec_post":[${fmt(r.cpu)},${fmt(r.shuf)}]""")).mkString
       val retro = if (p.degradedRetro && !p.degraded) ""","degraded_retro":true""" else ""
+      val att = if (p.attempts > 0) s""","recovery_attempts":${p.attempts}""" else ""
       s""""$f":{"pre":[${fmt(p.pre.cpu)},${fmt(p.pre.shuf)}],""" +
         s""""post":[${fmt(p.post.cpu)},${fmt(p.post.shuf)}],""" +
-        s""""degraded":${p.degraded},"requeue":"${p.requeue}"$rec$retro}"""
+        s""""degraded":${p.degraded},"requeue":"${p.requeue}"$rec$retro$att}"""
     }.mkString("{", ",", "}")
     // "method" distinguishes this metric from rounds 1-5's single cold
     // run AND rounds 6-8's median-of-3-with-cold-rep AND rounds 9-15's
@@ -713,6 +759,7 @@ object Bench {
         s""""end_reps":[${calEndReps.map(fmt).mkString(",")}]}"""
     val artifact =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","total_certified":${fmt(totalCertified)},""" +
+        s""""total_ex_audits":${fmt(totalExAudits)},"total_floor":${fmt(totalFloor)},""" +
         s""""n_certified":$nCertified,"n_rows":${detail.size},""" +
         s""""method":"$method","index_build":${fmt(indexBuild)},""" +
         s""""warm":$warmJson$warmFailedJson,"max_spread":${fmt(maxSpread)},"max_iqr_spread":${fmt(maxIqrSpread)},""" +
@@ -756,7 +803,7 @@ object Bench {
     // driver's tail-parse is the first thing a judge sees, so both
     // calibration axes ride the stdout line (start, end each).
     def stdoutLine(qs: String, qsNote: String): String =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","total_certified":${fmt(totalCertified)},"n_certified":$nCertified,"method":"$method","index_build":${fmt(indexBuild)},"cal":[${fmt(calStart)},${fmt(calEnd)}],"shuf":[${fmt(shufStart)},${fmt(shufEnd)}],"queries":$qs$qsNote,"sf":"$sfDir"$skipStdout$degStdout$missStdout}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","total_certified":${fmt(totalCertified)},"total_ex_audits":${fmt(totalExAudits)},"total_floor":${fmt(totalFloor)},"n_certified":$nCertified,"method":"$method","index_build":${fmt(indexBuild)},"cal":[${fmt(calStart)},${fmt(calEnd)}],"shuf":[${fmt(shufStart)},${fmt(shufEnd)}],"queries":$qs$qsNote,"sf":"$sfDir"$skipStdout$degStdout$missStdout}"""
     // the 2KB budget applies to the ASSEMBLED line — prefix, cal,
     // skipped and missing lists included — not just the query map
     // (ADVICE r14: a long SKIP list next to a just-under-threshold

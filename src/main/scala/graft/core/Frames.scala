@@ -32,11 +32,26 @@ object Frames {
     * frame that isn't checkpoint-backed is left untouched. Spark logs
     * a WARN per unpersisted checkpoint ("lineage has been truncated
     * and cannot be recomputed") — benign by construction: release is
-    * only called on frames whose last reader has finished. */
+    * only called on frames whose last reader has finished.
+    *
+    * Reliable checkpoints additionally delete their FILES (ADVICE
+    * r19): block-manager unpersist is a no-op for file-backed
+    * checkpoints, and ContextCleaner only removes them under the
+    * non-default `spark.cleaner.referenceTracking.cleanCheckpoints` —
+    * without the delete, every CC round under `reliable = true` leaks
+    * one directory for the lifetime of the context, on exactly the
+    * long-lived deployments the toggle targets. */
   def release(df: DataFrame): Unit =
     df.queryExecution.analyzed.foreach {
       case lr: org.apache.spark.sql.execution.LogicalRDD =>
         scala.util.Try(lr.rdd.unpersist(false))
+        lr.rdd.getCheckpointFile.foreach { f =>
+          scala.util.Try {
+            val p = new org.apache.hadoop.fs.Path(f)
+            p.getFileSystem(lr.rdd.sparkContext.hadoopConfiguration)
+              .delete(p, true)
+          }
+        }
       case _ => ()
     }
 }

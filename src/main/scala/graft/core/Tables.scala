@@ -11,6 +11,25 @@ object Tables {
   def read(spark: SparkSession, sfDir: String, table: String): DataFrame =
     spark.read.parquet(s"$sfDir/$table.parquet")
 
+  /** Spread a small-split scan to one partition per core before
+    * CPU-heavy per-row work (regex normalize chains, image decode,
+    * brute-force similarity scans). At test SF every table is a single
+    * small parquet split, so narrow transforms inherit ONE partition —
+    * fine for cheap projections, a serialization point for expensive
+    * per-row compute (guide §2.4: the shuffle moves only the tiny raw
+    * rows; the compute then runs cluster-wide). Gated on the scan's
+    * split count so a production-scale read (≥ one split per core
+    * already) never pays a gratuitous exchange. Hash-partitioned on an
+    * explicit key with a pinned count: a bare repartition(n) is an AQE
+    * coalescing target (tiny post-shuffle bytes would fold back to one
+    * partition), and keyless round-robin pays a sort of its input
+    * (SPARK-23207). */
+  def spread(df: DataFrame, keyCol: String): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= target) df
+    else df.repartition(target, org.apache.spark.sql.functions.col(keyCol))
+  }
+
   def region(s: SparkSession, d: String): DataFrame = read(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame = read(s, d, "nation")
   def customer(s: SparkSession, d: String): DataFrame = read(s, d, "customer")

@@ -104,7 +104,15 @@ object Cluster {
     * touch ~edge-volume/family-size fewer rows, and a graph that
     * contracts under `localThreshold` collapses to the single-collect
     * regime outright. Regime thresholds still compare the SYMMETRIZED
-    * count (2× directed), now of the contracted set. */
+    * count (2× directed), now of the contracted set.
+    *
+    * `reliable = true` writes real `checkpoint()` files and therefore
+    * requires the context's checkpoint directory to be set first —
+    * this entry point takes a bare Boolean (no settings), so callers
+    * own that: Pipeline.run engages it from
+    * `DedupSettings.checkpointDir`; a direct caller must
+    * `setCheckpointDir` (or call `DedupSettings.engageCheckpoints`)
+    * before passing true. */
   def connectedComponents(edges: DataFrame, maxIter: Int = 50,
       localThreshold: Long = 2000000, edgesMaterialized: Boolean = false,
       edgeCountHint: Long = -1L, reliable: Boolean = false): DataFrame = {

@@ -67,6 +67,7 @@ object Matching {
     * same-chunk pairs via the name< residual. */
   def qualifyingPairs(stats0: DataFrame, settings: DedupSettings = DedupSettings(),
       salt: Int = 0): DataFrame = {
+    settings.engageCheckpoints(stats0.sparkSession)
     // The name-level index feeds every branch below (sizing aggregate,
     // small/hot split, both join sides) — materialize it ONCE with an
     // eager localCheckpoint. Unlike cache() entries, which live in the
@@ -89,6 +90,7 @@ object Matching {
   def qualifyingPairsPrepared(stats: DataFrame,
       settings: DedupSettings = DedupSettings(), salt: Int = 0,
       pinSink: DataFrame => Unit = _ => ()): DataFrame = {
+    settings.engageCheckpoints(stats.sparkSession)
     settings.maxBlockNames match {
       case Some(cap) =>
         // cost governor (default ON): over-cap blocks switch to the
@@ -342,6 +344,7 @@ object Matching {
     * canonical a<b swap the row-returning path needs. */
   def pairProfile(stats: DataFrame,
       settings: DedupSettings = DedupSettings()): DataFrame = {
+    settings.engageCheckpoints(stats.sparkSession)
     val slim = settings.maxBlockNames match {
       case Some(cap) =>
         val sized = stats.groupBy("block_key").agg(count(lit(1)).as("_bn"))
@@ -587,6 +590,7 @@ object Matching {
   def sortedNeighborhoodPairs(stats: DataFrame, window: Int,
       settings: DedupSettings = DedupSettings(),
       pinSink: DataFrame => Unit = _ => ()): DataFrame = {
+    settings.engageCheckpoints(stats.sparkSession)
     val ranked = withBlockRank(stats, pinSink, settings.reliableCheckpoints)
     val a = ranked.select(
       col("block_key"),

@@ -73,7 +73,14 @@ object Pipeline {
   def run(df: DataFrame, nameCol: String, rowOrderCol: String,
       settings: DedupSettings = DedupSettings()): DataFrame = {
 
-    val derived = Normalize.withDerived(df, nameCol, rowOrderCol, settings)
+    // spread the source before the normalize chain: a single-split
+    // scan would run the 14-regex base-name derivation serially on
+    // one core, twice (the stats build and the row-level confidence
+    // join both read `derived`). Gated no-op at production split
+    // counts; row_order is an explicit source key, so partitioning
+    // never affects results (guide §2.4).
+    val derived = Normalize.withDerived(
+      graft.core.Tables.spread(df, rowOrderCol), nameCol, rowOrderCol, settings)
       .select("row_order", "original_name", "normalized_name", "base_name", "block_key")
 
     val spark = df.sparkSession
@@ -81,7 +88,7 @@ object Pipeline {
     // checkpointDir switches every materialization below (and in
     // Matching/Cluster) from executor-local blocks to durable
     // checkpoint files — the multi-executor deployment path.
-    settings.checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
+    settings.engageCheckpoints(spark)
     val reliable = settings.reliableCheckpoints
     // Name index materialized ONCE; every branch below (fast-path
     // sizing, pair join sides, row-level joins) reads the blocks.

@@ -54,11 +54,31 @@ final case class DedupSettings(
       * blocks, so a mid-query executor loss is survivable. None
       * (default) = `localCheckpoint`, the single-JVM trade-off
       * documented on [[Pipeline.run]]. Results are bit-identical
-      * either way (ReliableCheckpointSpec). */
+      * either way (ReliableCheckpointSpec).
+      *
+      * Lifecycle: superseded iteration frames are deleted eagerly by
+      * `Frames.release` (checkpoint FILES included), so iterative
+      * loops don't accrete one directory per round. Frames whose
+      * lifetime outlives the query (Memo'd indexes) are only removed
+      * by Spark's ContextCleaner when
+      * `spark.cleaner.referenceTracking.cleanCheckpoints=true` (off by
+      * default) — long-lived sessions should set it, or reap the
+      * directory on their own cadence. */
     checkpointDir: Option[String] = None) {
 
   /** True when materializations should be reliable checkpoints. */
   def reliableCheckpoints: Boolean = checkpointDir.isDefined
+
+  /** Engage the reliable-checkpoint contract on `spark`: sets the
+    * context's checkpoint directory when [[checkpointDir]] is set.
+    * Every public entry point that materializes frames under these
+    * settings calls this (Pipeline.run, the Matching pair entry
+    * points), so setting `checkpointDir` alone is the whole API —
+    * without this, a direct `Matching.qualifyingPairs` call with a
+    * checkpointDir-bearing settings died at runtime with "Checkpoint
+    * directory has not been set" (ADVICE r19). Idempotent. */
+  def engageCheckpoints(spark: org.apache.spark.sql.SparkSession): Unit =
+    checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
   // The governor sizing aggregate collects the over-cap key list into
   // one driver row, bounded by |distinct blocks| / cap — a degenerate
   // cap (e.g. 1) would degrade that bound to every block key in a

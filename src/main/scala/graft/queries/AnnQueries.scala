@@ -45,11 +45,21 @@ object AnnQueries {
   private def probeSql(idCol: String = "vec_id"): String =
     s"$idCol % $QueryMod = 0 AND $idCol < $ProbeIdCap"
 
+  /** Embeddings spread to one partition per core (Tables.spread,
+    * gated no-op at production split counts): the single test-SF
+    * parquet split otherwise serializes every corpus-streaming pass —
+    * the brute-force truth joins, the per-round k-means distance
+    * scans, the LSH bucket projections — onto one core, because a
+    * broadcast join's streamed-side parallelism IS its input split
+    * count (guide §2.4/§6). */
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    Tables.spread(Tables.embeddings(s, dir), "vec_id")
+
   /** Prepared (normalized) vectors are the shared "index" of all
     * three queries — build and cache once per session. */
   private def prep(s: SparkSession, dir: String): DataFrame =
     graft.core.Memo.cached(s, s"ann_prepared:$dir") {
-      Ann.prepared(Tables.embeddings(s, dir))
+      Ann.prepared(emb(s, dir))
     }
 
   /** Exact-cosine top-k ground truth over the bounded probe set,
@@ -574,9 +584,8 @@ object AnnQueries {
 
     // IVF: probe the 2 nearest coarse partitions, exact top-k inside.
     "ann_ivf" -> ((s, dir) => {
-      val emb = Tables.embeddings(s, dir)
       val q = prep(s, dir).filter(probeSet)
-      Ann.ivfSearch(emb, q, nProbe = 2, k = TopK).orderBy("query_id", "rk")
+      Ann.ivfSearch(emb(s, dir), q, nProbe = 2, k = TopK).orderBy("query_id", "rk")
     }),
 
     // SemDeDup-style semantic dedup: embeddings are pre-clustered
@@ -588,9 +597,8 @@ object AnnQueries {
     // instead of serializing — the embedding-space dedup a training
     // pipeline runs between exact and fuzzy text dedup.
     "ann_semdedup" -> ((s, dir) => {
-      val emb = Tables.embeddings(s, dir)
       val p = prep(s, dir)
-        .join(emb.select(col("vec_id"), col("label")), Seq("vec_id"))
+        .join(emb(s, dir).select(col("vec_id"), col("label")), Seq("vec_id"))
       Ann.semDedup(p, minCos = CosThreshold).orderBy("vec_id")
     }),
 
@@ -605,7 +613,7 @@ object AnnQueries {
       val p = prep(s, dir)
       val q = p.filter(probeSet)
       val truth = cosTruth(s, dir)
-      val approx = Ann.ivfSearch(Tables.embeddings(s, dir), q, nProbe = 2, k = TopK)
+      val approx = Ann.ivfSearch(emb(s, dir), q, nProbe = 2, k = TopK)
         .select(col("query_id"), col("neighbor_id"), lit(1).as("hit"))
       truth.join(approx, Seq("query_id", "neighbor_id"), "left")
         .groupBy("query_id")

@@ -29,17 +29,23 @@ object DedupQueries {
     * recompute. */
   private def derivedPart(s: SparkSession, dir: String): DataFrame =
     graft.core.Memo.cached(s, s"dedup_derived:part:$dir") {
-      Normalize.withDerived(Tables.part(s, dir), "p_name", "p_partkey")
+      // Tables.spread: a single-split scan runs the 14-regex chain
+      // serially on one core otherwise (guide §2.4; gated no-op at
+      // production split counts) — same for the two tables below
+      Normalize.withDerived(
+        Tables.spread(Tables.part(s, dir), "p_partkey"), "p_name", "p_partkey")
     }
 
   private def derivedSupplier(s: SparkSession, dir: String): DataFrame =
     graft.core.Memo.cached(s, s"dedup_derived:supplier:$dir") {
-      Normalize.withDerived(Tables.supplier(s, dir), "s_name", "s_suppkey")
+      Normalize.withDerived(
+        Tables.spread(Tables.supplier(s, dir), "s_suppkey"), "s_name", "s_suppkey")
     }
 
   private def derivedCustomer(s: SparkSession, dir: String): DataFrame =
     graft.core.Memo.cached(s, s"dedup_derived:customer:$dir") {
-      Normalize.withDerived(Tables.customer(s, dir), "c_name", "c_custkey")
+      Normalize.withDerived(
+        Tables.spread(Tables.customer(s, dir), "c_custkey"), "c_name", "c_custkey")
     }
 
   /** The pipeline table is shared by six report queries — memoize the

@@ -117,7 +117,10 @@ object EventQueries {
     // JSON, missing key, JSON null) groups into the NULL bucket in
     // both engines.
     "events_json" -> ((s, dir) =>
-      Tables.events(s, dir)
+      // Tables.spread: the per-row JSON-path parse is the one
+      // cpu-heavy scan stage in this family — off the single test-SF
+      // split it ran serially (guide §2.4; gated no-op at scale)
+      Tables.spread(Tables.events(s, dir), "event_id")
         .select(get_json_object(col("props"), "$.k").try_cast("long").as("k"))
         .groupBy(floor(col("k") / 10).as("k_bucket"))
         .agg(count(lit(1)).as("n"))

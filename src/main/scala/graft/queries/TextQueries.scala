@@ -993,7 +993,9 @@ object TextQueries {
     // than doc/chunk dedup: catches a copied paragraph inside an
     // otherwise-unique doc.
     "text_span_dupes" -> ((s, dir) =>
-      spanIslands(dupSpanOccurrences(docs(s, dir)).select("doc_id", "st"))
+      // docsSpread: the per-window xxhash emission is cpu-heavy scan
+      // work — spread it off the single test-SF split (guide §2.4)
+      spanIslands(dupSpanOccurrences(docsSpread(s, dir)).select("doc_id", "st"))
         .select(col("doc_id"),
           col("mn").cast("long").as("span_start"),
           (col("mx") + SpanL - 1).cast("long").as("span_end"),
@@ -1005,7 +1007,7 @@ object TextQueries {
     // into maximal spans per doc and the kept/removed token counts
     // come out. Docs untouched by dedup appear with removed = 0.
     "text_span_dedup" -> ((s, dir) => {
-      val d = docs(s, dir)
+      val d = docsSpread(s, dir)
       val nTok = d.select(col("doc_id"),
         size(TextOps.words(col("text"))).cast("long").as("n_tokens"))
       val sp = spanIslands(dupSpanOccurrences(d)
@@ -1027,7 +1029,7 @@ object TextQueries {
     // through md5. Completes the span family: detect (_dupes) →
     // account (_dedup) → apply (_dedup_apply).
     "text_span_dedup_apply" -> ((s, dir) =>
-      spanDedupApply(docs(s, dir)).orderBy("doc_id")),
+      spanDedupApply(docsSpread(s, dir)).orderBy("doc_id")),
 
     // distributed BPE tokenizer training (Sennrich 2016): learn the
     // first BpeRounds merges from the word-frequency table. The
@@ -1128,7 +1130,7 @@ object TextQueries {
         .otherwise(array().cast("array<long>"))
       val win = Window.partitionBy("doc_id").orderBy("pos")
         .rowsBetween(Window.currentRow, 3)
-      docs(s, dir)
+      docsSpread(s, dir) // per-position 4-gram hashing is cpu-heavy scan work
         .withColumn("w", TextOps.words(col("text")))
         .select(col("doc_id"), posexplode(kgrams).as(Seq("pos", "h")))
         .withColumn("fp", min(col("h")).over(win))

@@ -92,27 +92,44 @@ object BandStore {
 
   /** Append this run's probe medians under the signature (FIFO cap),
     * preserving other signatures' entries. Best-effort: a failed
-    * write only costs future calibration, never the current run. */
+    * write only costs future calibration, never the current run.
+    *
+    * The read-merge-write runs under an exclusive [[java.nio.channels.FileLock]]
+    * on a sibling `.lock` file (ADVICE r19): the tmp-file-plus-move
+    * alone only prevents torn writes — two runs finishing together on
+    * a shared default path would each read the old store and the
+    * second move would silently discard the first run's samples. The
+    * lock serializes whole read-merge-write cycles; a lock failure
+    * degrades to the old unlocked best-effort behavior. */
   def append(path: String, sig: String, fresh: Seq[Double]): Unit = {
     try {
-      val f = new java.io.File(path)
-      val txt = if (f.isFile)
-        new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8") else "{}"
-      val sigs = parseSigs(txt)
-      val merged = (load(path, sig) ++ fresh.filter(s => s > 0 && java.lang.Double.isFinite(s)))
-        .takeRight(MaxSamples)
-      val entries = (sigs - sig).toSeq.sorted.map { s =>
-        s""""$s":{"samples":[${parseEntry(txt, s).map(fmt).mkString(",")}]}"""
-      } :+ s""""$sig":{"samples":[${merged.map(fmt).mkString(",")}]}"""
-      val out = entries.mkString("{", ",", "}") + "\n"
-      val tmp = new java.io.File(path + s".tmp${ProcessHandle.current().pid()}")
-      java.nio.file.Files.write(tmp.toPath, out.getBytes("UTF-8"))
-      java.nio.file.Files.move(tmp.toPath, f.toPath,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      val lockFile = new java.io.RandomAccessFile(path + ".lock", "rw")
+      try {
+        val lock = scala.util.Try(lockFile.getChannel.lock()).toOption
+        try appendLocked(path, sig, fresh)
+        finally lock.foreach(l => scala.util.Try(l.release()))
+      } finally lockFile.close()
     } catch {
       case t: Throwable =>
         System.err.println(s"WARN BandStore: failed to persist $path: $t")
     }
+  }
+
+  private def appendLocked(path: String, sig: String, fresh: Seq[Double]): Unit = {
+    val f = new java.io.File(path)
+    val txt = if (f.isFile)
+      new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8") else "{}"
+    val sigs = parseSigs(txt)
+    val merged = (load(path, sig) ++ fresh.filter(s => s > 0 && java.lang.Double.isFinite(s)))
+      .takeRight(MaxSamples)
+    val entries = (sigs - sig).toSeq.sorted.map { s =>
+      s""""$s":{"samples":[${parseEntry(txt, s).map(fmt).mkString(",")}]}"""
+    } :+ s""""$sig":{"samples":[${merged.map(fmt).mkString(",")}]}"""
+    val out = entries.mkString("{", ",", "}") + "\n"
+    val tmp = new java.io.File(path + s".tmp${ProcessHandle.current().pid()}")
+    java.nio.file.Files.write(tmp.toPath, out.getBytes("UTF-8"))
+    java.nio.file.Files.move(tmp.toPath, f.toPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
   }
 
   private def fmt(v: Double): String = "%.4f".formatLocal(java.util.Locale.ROOT, v)

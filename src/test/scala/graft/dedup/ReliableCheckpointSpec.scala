@@ -58,7 +58,8 @@ class ReliableCheckpointSpec extends AnyFunSuite {
     val a = Matching.qualifyingPairsPrepared(stats, s)
       .select("a_name", "b_name", "pair_conf")
       .orderBy("a_name", "b_name").collect().toSeq
-    spark.sparkContext.setCheckpointDir(ckDir())
+    // no manual setCheckpointDir: the entry point engages the dir from
+    // the settings itself — the real API contract (ADVICE r19)
     val b = Matching.qualifyingPairsPrepared(stats,
       s.copy(checkpointDir = Some(ckDir())))
       .select("a_name", "b_name", "pair_conf")
