@@ -236,8 +236,9 @@ object DedupQueries {
       // count the difference, and its row-returning pair paths inline
       // Jaro-Winkler twice per pair in the join residual; both counts
       // now run through pairProfile's single-JW-eval conditional
-      // aggregation (13.5 s → ~1.3 s at sf0.1, plan: SortMergeJoin
-      // LeftAnti gone, 12 → 8 exchanges). The audited set holds ONLY
+      // aggregation (13.5 s → ~2.1 s at sf0.1, plan: SortMergeJoin
+      // LeftAnti gone, 12 → 10 exchanges, JW only in Project outputs,
+      // never in a join residual). The audited set holds ONLY
       // over-cap blocks, so the capped profile's small-block branch is
       // empty and its n_pairs is exactly the sorted-neighborhood kept
       // count; the DuckDB twin keeps the explicit kept/allp/EXCEPT

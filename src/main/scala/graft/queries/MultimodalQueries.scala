@@ -281,12 +281,19 @@ object MultimodalQueries {
       val bc = br.groupBy("band", "val").agg(count(lit(1)).as("n"))
       val audited = br.join(bc.filter(col("n") <= AuditBucketMax), Seq("band", "val"))
         .select("media_id", "band", "val")
+      // kept ⊆ all by construction (every kept bucket, n ≤ cap, is an
+      // audited bucket, n ≤ AuditBucketMax ≥ cap; bandCandidates
+      // de-duplicates and verifyHamming only filters), so
+      // n_dropped = n_all − n_kept — the dedup_governed_recall
+      // restructure applied here: no pair-level anti-join, and the
+      // kept relation is computed once instead of twice (agg + anti
+      // side). The twin keeps its explicit EXCEPT form and grades the
+      // set identity.
       val allPairs = verifyHamming(bandCandidates(audited), idx)
         .select("a_id", "b_id")
       val keptPairs = dhashPairs(s, dir).select("a_id", "b_id")
       val aggKept = keptPairs.agg(count(lit(1)).as("n_kept"))
-      val aggDropped = allPairs.join(keptPairs, Seq("a_id", "b_id"), "left_anti")
-        .agg(count(lit(1)).as("n_dropped"))
+      val aggDropped = allPairs.agg(count(lit(1)).as("n_all"))
       val aggBuckets = bc.agg(
         sum(when(col("n") > DhashBucketCap, 1L).otherwise(0L))
           .cast("long").as("n_over_cap_buckets"),
@@ -299,10 +306,10 @@ object MultimodalQueries {
       // reader of just this column must not mistake an upper bound
       // for a measurement. Mirrored in the twin.
       aggKept.crossJoin(aggDropped).crossJoin(aggBuckets)
-        .select(col("n_kept"), col("n_dropped"),
+        .select(col("n_kept"), (col("n_all") - col("n_kept")).as("n_dropped"),
           col("n_over_cap_buckets"), col("n_unaudited_buckets"),
           when(col("n_unaudited_buckets") > 0, lit(null))
-            .otherwise(round(col("n_kept") / (col("n_kept") + col("n_dropped")), 6))
+            .otherwise(round(col("n_kept") / col("n_all"), 6))
             .as("recall_audited"))
     }),
 

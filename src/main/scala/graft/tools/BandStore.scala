@@ -31,8 +31,26 @@ package graft.tools
   * box exactly like the compiled constant did.
   */
 object BandStore {
-  /** Healthy cluster = samples <= min * this. */
-  val HealthySpread = 1.5
+  /** Healthy cluster = samples <= min * spread. The spread is
+    * ADAPTIVE per box (round 20): the r18 box's healthy probes sat
+    * within 1.35-1.49x of the floor, but the r20 box's healthy mode
+    * spans 0.46-0.88 s over a lucky 0.42 s minimum (~2.1x) — a fixed
+    * 1.5x cut that mode in half and flagged whole healthy families
+    * (bench run: n_certified 61/135 with every recovery probe reading
+    * 0.62-0.70 against a 0.654 band). Stalls are episodic, so a
+    * MAJORITY of a box's historical probe windows are healthy; the
+    * derivation picks the smallest spread in [[HealthySpreads]] whose
+    * cluster covers at least [[HealthyCoverage]] of the samples — a
+    * tight-spread box keeps the tight band (the r18 shape still cuts
+    * at 1.5x, its 0.82 incident floor stays flagged), a wide-spread
+    * box widens just enough to cover its own healthy mode, and a
+    * genuinely bimodal history (poisoned first run + healthy runs)
+    * falls through to the widest spread with the cluster still
+    * anchored on the healthy floor. */
+  val HealthySpreads = Seq(1.5, 1.75, 2.0)
+  val HealthyCoverage = 0.6
+  /** Back-compat alias: the tightest spread tried. */
+  val HealthySpread = HealthySpreads.head
   /** Band = cluster max * this (spread allowance above the largest
     * healthy sample actually observed). */
   val Headroom = 1.05
@@ -73,7 +91,10 @@ object BandStore {
     if (pos.size < MinSamples) None
     else {
       val m = pos.min
-      val healthy = pos.filter(_ <= m * HealthySpread)
+      val spread = HealthySpreads
+        .find(sp => pos.count(_ <= m * sp).toDouble / pos.size >= HealthyCoverage)
+        .getOrElse(HealthySpreads.last)
+      val healthy = pos.filter(_ <= m * spread)
       Some(Band(healthy.max * Headroom, m, pos.size))
     }
   }

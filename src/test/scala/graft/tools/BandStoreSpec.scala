@@ -32,6 +32,22 @@ class BandStoreSpec extends AnyFunSuite {
     assert(b.nSamples === samples.size)
   }
 
+  test("derive widens the spread when the healthy mode outgrows 1.5x of a lucky min") {
+    // the r20 box's shape: lucky 0.42 floor, healthy mode up to ~0.85,
+    // episodic incidents 1.2+. A fixed 1.5x cluster (cutoff 0.63)
+    // covers under 60% of history and flags half the healthy mode;
+    // the adaptive spread widens until the majority is covered, while
+    // incidents stay outside the cluster and never lift the band.
+    val healthyMode = Seq(0.42, 0.48, 0.52, 0.55, 0.58, 0.62, 0.66, 0.70,
+      0.74, 0.78, 0.82, 0.85)
+    val incidents = Seq(1.2, 1.6, 3.4, 6.5)
+    val b = BandStore.derive(healthyMode ++ incidents).get
+    assert(b.sampleMin === 0.42)
+    // spread 2.0 → cutoff 0.84 → cluster max 0.82
+    assert(math.abs(b.value - 0.82 * BandStore.Headroom) < 1e-9)
+    assert(incidents.forall(_ > b.value))
+  }
+
   test("derive self-heals from a poisoned (fully-degraded) first run") {
     val poisoned = Seq.fill(10)(2.5) // first run entirely inflated
     val healthy = Seq(0.9, 0.95, 1.0, 0.92, 0.88, 0.97, 0.91, 0.94)
