@@ -19,6 +19,17 @@ import org.apache.spark.sql.functions._
   * JNI/library-backed Decoder for those in production. */
 object Multimodal {
 
+  // ImageIO defaults to FILE-backed stream caches: every
+  // read/write/createImage*Stream call materializes a temp cache file
+  // on disk. Our payloads are KB-scale in-memory byte arrays, so the
+  // disk round-trip is pure overhead — and with one decode task per
+  // core the temp-file create/delete storm serializes on the
+  // filesystem (guide §6: small files hurt twice). Memory-cached
+  // streams decode the same bytes with zero disk I/O. Object
+  // initialization runs once per JVM wherever the decode lambdas
+  // execute (driver in local mode, executors on a cluster).
+  javax.imageio.ImageIO.setUseCache(false)
+
   /** An opaque media payload + metadata, as read from a lakehouse
     * table: (id, modality, payload bytes). */
   case class MediaRecord(media_id: Long, modality: String, payload: Array[Byte])
