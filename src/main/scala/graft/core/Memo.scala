@@ -43,8 +43,23 @@ object Memo {
     * threads rely on this); concurrent callers of the SAME key block
     * on its future instead of re-building. A failed build is removed
     * so the next caller retries rather than caching the failure. */
+  /** `truncate = true` materializes the build through an EAGER
+    * `localCheckpoint` instead of a lazy `persist`, cutting the
+    * frame's lineage to a single leaf. For a memo whose build plan is
+    * deep and whose consumers re-reference it many times (the IVF-PQ
+    * index embeds the prepared-vector tree ~16×), the full-lineage
+    * plan grows multiplicatively and every consumer ACTION re-pays
+    * analysis/optimization over it — measured 2.2 s/rep of pure
+    * driver-side planning on a 2000-row cached frame (guide §7.3);
+    * truncated, the same rep is 0.1 s. The blocks spill to disk like
+    * the persisted flavor (localCheckpoint's MEMORY_AND_DISK), and
+    * [[invalidate]] releases checkpoint blocks through
+    * `Frames.release`. Trade-off: the build runs eagerly at memo
+    * time, and evicted blocks cannot recompute (truncated lineage) —
+    * use for bounded index-sized frames only. */
   def cached(spark: SparkSession, key: String,
-      level: StorageLevel = StorageLevel.MEMORY_AND_DISK)(
+      level: StorageLevel = StorageLevel.MEMORY_AND_DISK,
+      truncate: Boolean = false)(
       build: => DataFrame): DataFrame = {
     val k = (new SessionKey(spark), key)
     val owned = synchronized {
@@ -77,7 +92,8 @@ object Memo {
           // silently falls back to a full recompute mid-bench — at
           // 100× scale an evicted signature index rebuild is a full
           // corpus re-shingle (VERDICT r8).
-          res = scala.util.Try(build.persist(level))
+          res = scala.util.Try(
+            if (truncate) build.localCheckpoint(true) else build.persist(level))
           res.get
         } finally {
           // Remove-before-complete so a waiter that observes the
@@ -113,7 +129,12 @@ object Memo {
     memo.filterInPlace { case ((k, key), f) =>
       if ((k.s eq spark) && key.startsWith(keyPrefix)) {
         if (!spark.sparkContext.isStopped) f.value match {
-          case Some(v) => v.foreach(_.unpersist())
+          // unpersist covers persist()-cached frames; Frames.release
+          // additionally frees localCheckpoint blocks of truncated
+          // entries (a no-op for everything else)
+          case Some(v) => v.foreach { df =>
+            df.unpersist(); graft.core.Frames.release(df)
+          }
           case None =>
             // in-flight build: the entry is dropped now, so when the
             // build finishes its cached DataFrame would stay persisted
@@ -123,7 +144,11 @@ object Memo {
               // Try: the context can stop between the isStopped check
               // and unpersist; a throw here would only spam the global
               // EC's uncaught reporter (ADVICE r8).
-              scala.util.Try { if (!spark.sparkContext.isStopped) df.unpersist() }
+              scala.util.Try {
+                if (!spark.sparkContext.isStopped) {
+                  df.unpersist(); graft.core.Frames.release(df)
+                }
+              }
             })(scala.concurrent.ExecutionContext.global)
         }
         false

@@ -27,6 +27,15 @@ object Tables {
   def spread(df: DataFrame, keyCol: String): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions >= target) df
+    // Tiny-input gate: below ~64 KB of estimated scan bytes (the sf0.1
+    // supplier table is 22 KB / 1k rows) the serial per-row work is
+    // cheaper than the extra shuffle stage + per-task overhead the
+    // spread adds — measured +0.3-0.6 s on the supplier pipeline
+    // queries. Derived from plan stats, so the gate scales with the
+    // data, not a partition-count constant. Callers with EXTREME
+    // per-row cost on tiny rows (image decode) use their own ungated
+    // spread (MultimodalQueries.spreadIds).
+    else if (df.queryExecution.optimizedPlan.stats.sizeInBytes < 65536) df
     else df.repartition(target, org.apache.spark.sql.functions.col(keyCol))
   }
 

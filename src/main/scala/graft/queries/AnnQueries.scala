@@ -58,7 +58,7 @@ object AnnQueries {
   /** Prepared (normalized) vectors are the shared "index" of all
     * three queries — build and cache once per session. */
   private def prep(s: SparkSession, dir: String): DataFrame =
-    graft.core.Memo.cached(s, s"ann_prepared:$dir") {
+    graft.core.Memo.cached(s, s"ann_prepared:$dir", truncate = true) {
       Ann.prepared(emb(s, dir))
     }
 
@@ -72,7 +72,7 @@ object AnnQueries {
     * codebooks. NOT used by ann_topk, where the brute pass IS the
     * operator under measurement. */
   private def cosTruth(s: SparkSession, dir: String): DataFrame =
-    graft.core.Memo.cached(s, s"ann_cos_truth:$dir:k$TopK") {
+    graft.core.Memo.cached(s, s"ann_cos_truth:$dir:k$TopK", truncate = true) {
       val p = prep(s, dir)
       Ann.bruteForceTopK(p.filter(probeSet), p, TopK)
         .select("query_id", "neighbor_id")
@@ -84,7 +84,7 @@ object AnnQueries {
     * share [[cosTruth]]. Ties broken by neighbor_id, self excluded —
     * verbatim the per-audit truth pass this replaces. */
   private def l2Truth(s: SparkSession, dir: String): DataFrame =
-    graft.core.Memo.cached(s, s"ann_l2_truth:$dir:k$TopK") {
+    graft.core.Memo.cached(s, s"ann_l2_truth:$dir:k$TopK", truncate = true) {
       val p = prep(s, dir)
       val probes = p.filter(probeSet)
         .select(col("vec_id").as("query_id"), col("v").as("qv"))
@@ -105,7 +105,7 @@ object AnnQueries {
     * separately from the assignment so IVF-PQ residual consumers can
     * reuse the centroid VALUES without re-running the Lloyd's chain. */
   private def coarseCent(s: SparkSession, dir: String): DataFrame =
-    graft.core.Memo.cached(s, s"ann_kmeans_cent:$dir:k$KmK:i$KmIters") {
+    graft.core.Memo.cached(s, s"ann_kmeans_cent:$dir:k$KmK:i$KmIters", truncate = true) {
       Ann.kmeansCentroids(prep(s, dir), KmK, KmIters)
     }
 
@@ -116,7 +116,7 @@ object AnnQueries {
     * per vector (vec_id, cluster, d2, cluster_size): tiny relative to
     * the vectors themselves. */
   private def kmeansAssign(s: SparkSession, dir: String): DataFrame =
-    graft.core.Memo.cached(s, s"ann_kmeans:$dir:k$KmK:i$KmIters") {
+    graft.core.Memo.cached(s, s"ann_kmeans:$dir:k$KmK:i$KmIters", truncate = true) {
       Ann.kmeansFromCentroids(prep(s, dir), coarseCent(s, dir))
     }
 
@@ -125,7 +125,7 @@ object AnnQueries {
     * Lloyd's chains train once per session instead of once per
     * consumer (the r9 "42 exchanges" watch item). */
   private def pqCent(s: SparkSession, dir: String, sub: Int): DataFrame =
-    graft.core.Memo.cached(s, s"ann_pq_cent:$dir:s$PqSub:k$PqK:i$PqIters:sub$sub") {
+    graft.core.Memo.cached(s, s"ann_pq_cent:$dir:s$PqSub:k$PqK:i$PqIters:sub$sub", truncate = true) {
       val w = 64 / PqSub
       Ann.kmeansCentroids(
         prep(s, dir).select(col("vec_id"), slice(col("v"), sub * w + 1, w).as("v")),
@@ -135,7 +135,7 @@ object AnnQueries {
   /** Coarse centroids re-assembled as vectors (label, cv: array) — k
     * rows, the broadcast side of every residual computation. */
   private def coarseCentVec(s: SparkSession, dir: String): DataFrame =
-    graft.core.Memo.cached(s, s"ann_ivfpq_centvec:$dir:k$KmK:i$KmIters") {
+    graft.core.Memo.cached(s, s"ann_ivfpq_centvec:$dir:k$KmK:i$KmIters", truncate = true) {
       coarseCent(s, dir).groupBy("label")
         .agg(array_sort(collect_list(struct(col("dim"), col("cval")))).as("dc"))
         .select(col("label").cast("long").as("label"),
@@ -147,7 +147,7 @@ object AnnQueries {
     * centroid table broadcasts, so the residual pass never shuffles
     * the corpus. */
   private def ipResid(s: SparkSession, dir: String): DataFrame =
-    graft.core.Memo.cached(s, s"ann_ivfpq_resid:$dir:k$KmK:i$KmIters") {
+    graft.core.Memo.cached(s, s"ann_ivfpq_resid:$dir:k$KmK:i$KmIters", truncate = true) {
       prep(s, dir).select(col("vec_id"), col("v"))
         .join(kmeansAssign(s, dir).select(col("vec_id"),
           col("cluster").as("label")), Seq("vec_id"))
@@ -159,7 +159,7 @@ object AnnQueries {
   /** Per-subspace residual codebook (IpK centroids over the sub-th
     * 8-dim residual slice), Memo'd with every parameter in the key. */
   private def ipCent(s: SparkSession, dir: String, sub: Int): DataFrame =
-    graft.core.Memo.cached(s, s"ann_ivfpq_cent:$dir:s$IpSub:k$IpK:i$IpIters:sub$sub") {
+    graft.core.Memo.cached(s, s"ann_ivfpq_cent:$dir:s$IpSub:k$IpK:i$IpIters:sub$sub", truncate = true) {
       val w = 64 / IpSub
       Ann.kmeansCentroids(
         ipResid(s, dir).select(col("vec_id"), slice(col("rv"), sub * w + 1, w).as("v")),
@@ -171,7 +171,7 @@ object AnnQueries {
     * error. Memo'd — ann_ivf_pq reads it and ann_ivf_pq_recall scores
     * against it. */
   private def ipIndex(s: SparkSession, dir: String): DataFrame =
-    graft.core.Memo.cached(s, s"ann_ivf_pq:$dir:s$IpSub:k$IpK:i$IpIters") {
+    graft.core.Memo.cached(s, s"ann_ivf_pq:$dir:s$IpSub:k$IpK:i$IpIters", truncate = true) {
       val r = ipResid(s, dir)
       val w = 64 / IpSub
       val parts = (0 until IpSub).map { sub =>

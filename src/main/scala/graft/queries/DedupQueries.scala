@@ -28,7 +28,7 @@ object DedupQueries {
     * derived table" pattern, with MEMORY_AND_DISK spill instead of
     * recompute. */
   private def derivedPart(s: SparkSession, dir: String): DataFrame =
-    graft.core.Memo.cached(s, s"dedup_derived:part:$dir") {
+    graft.core.Memo.cached(s, s"dedup_derived:part:$dir", truncate = true) {
       // Tables.spread: a single-split scan runs the 14-regex chain
       // serially on one core otherwise (guide §2.4; gated no-op at
       // production split counts) — same for the two tables below
@@ -37,13 +37,13 @@ object DedupQueries {
     }
 
   private def derivedSupplier(s: SparkSession, dir: String): DataFrame =
-    graft.core.Memo.cached(s, s"dedup_derived:supplier:$dir") {
+    graft.core.Memo.cached(s, s"dedup_derived:supplier:$dir", truncate = true) {
       Normalize.withDerived(
         Tables.spread(Tables.supplier(s, dir), "s_suppkey"), "s_name", "s_suppkey")
     }
 
   private def derivedCustomer(s: SparkSession, dir: String): DataFrame =
-    graft.core.Memo.cached(s, s"dedup_derived:customer:$dir") {
+    graft.core.Memo.cached(s, s"dedup_derived:customer:$dir", truncate = true) {
       Normalize.withDerived(
         Tables.spread(Tables.customer(s, dir), "c_custkey"), "c_name", "c_custkey")
     }
@@ -51,7 +51,7 @@ object DedupQueries {
   /** The pipeline table is shared by six report queries — memoize the
     * materialization per session (one run + cache, then projections). */
   private def fullPart(s: SparkSession, dir: String): DataFrame =
-    graft.core.Memo.cached(s, s"dedup_full:$dir") {
+    graft.core.Memo.cached(s, s"dedup_full:$dir", truncate = true) {
       Pipeline.run(Tables.part(s, dir), "p_name", "p_partkey")
     }
 
@@ -63,12 +63,12 @@ object DedupQueries {
     * exactly what qualifyingPairsPrepared expects as its
     * already-materialized input. */
   private def customerNameStats(s: SparkSession, dir: String): DataFrame =
-    graft.core.Memo.cached(s, s"dedup_nameidx:customer:$dir") {
+    graft.core.Memo.cached(s, s"dedup_nameidx:customer:$dir", truncate = true) {
       Matching.nameStats(derivedCustomer(s, dir))
     }
 
   private def supplierNameStats(s: SparkSession, dir: String): DataFrame =
-    graft.core.Memo.cached(s, s"dedup_nameidx:supplier:$dir") {
+    graft.core.Memo.cached(s, s"dedup_nameidx:supplier:$dir", truncate = true) {
       Matching.nameStats(derivedSupplier(s, dir))
     }
 

@@ -83,7 +83,7 @@ object TextQueries {
     * session: the self-joins downstream would otherwise recompute the
     * shingling 4× (this is the "LSH index build" step at scale). */
   private def withShingles(s: SparkSession, dir: String): DataFrame =
-    graft.core.Memo.cached(s, s"text_shingles:$dir") {
+    graft.core.Memo.cached(s, s"text_shingles:$dir", truncate = true) {
       docsSpread(s, dir)
         .withColumn("w", TextOps.words(col("text")))
         .select(col("doc_id"), TextOps.shingles(col("w"), ShingleK).as("sh"))
@@ -101,7 +101,7 @@ object TextQueries {
   /** doc_id + the 12 MinHash signature columns (cached index; 3 md5
     * evaluations per shingle via digest batching, not 12). */
   private def withSigs(s: SparkSession, dir: String): DataFrame =
-    graft.core.Memo.cached(s, s"text_sigs:$dir") {
+    graft.core.Memo.cached(s, s"text_sigs:$dir", truncate = true) {
       val withDigests = withShingles(s, dir)
         .withColumn("digests", TextOps.minhashDigests(col("sh"), NumSigs))
       (0 until NumSigs).foldLeft(withDigests) { (df, i) =>
@@ -244,7 +244,7 @@ object TextQueries {
     * the query, not cache-fill order. */
   def warmIndexes(s: SparkSession, dir: String): Unit = {
     withSigs(s, dir).count() // builds text_shingles + text_sigs
-    graft.core.Memo.cached(s, s"text_simhash:$dir") {
+    graft.core.Memo.cached(s, s"text_simhash:$dir", truncate = true) {
       queries("text_simhash")(s, dir)
     }.count()
   }
@@ -860,7 +860,7 @@ object TextQueries {
     // SimHash near-dup pairs: byte-band candidate join + Hamming
     // verification (the SimHash analogue of the MinHash LSH path).
     "text_simhash_pairs" -> ((s, dir) => {
-      val sigs = graft.core.Memo.cached(s, s"text_simhash:$dir") {
+      val sigs = graft.core.Memo.cached(s, s"text_simhash:$dir", truncate = true) {
         queries("text_simhash")(s, dir)
       }
       val banded = sigs.select(col("doc_id"), col("simhash"),

@@ -149,8 +149,14 @@ class PlanAuditSpec extends AnyFunSuite {
     // every Lloyd's round joins the exploded vectors against k·dim
     // centroid rows — tiny at any corpus size, so those joins carry a
     // broadcast hint (the update step's vec_id join may legitimately
-    // shuffle at scale)
-    val p = plan("ann_kmeans")
+    // shuffle at scale). Asserted on the library function's own plan:
+    // the declared ann_kmeans query reads the lineage-truncated memo
+    // (Memo truncate=true since r20), so the Lloyd's joins live in the
+    // memo BUILD, not the consumer plan.
+    val p = graft.ext.Ann.kmeans(
+      graft.ext.Ann.prepared(
+        graft.core.Tables.embeddings(spark, sfDir)), 4, 1)
+      .queryExecution.executedPlan.toString
     assert(p.contains("BroadcastHashJoin"), p.take(3000))
   }
 
@@ -167,8 +173,12 @@ class PlanAuditSpec extends AnyFunSuite {
     val jwCount = "jaro_winkler".r.findAllIn(opt).length
     assert(jwCount === 1, s"expected 1 jaro_winkler, got $jwCount:\n${opt.take(3000)}")
     // and the distinct-name index is the session-shared Memo'd frame,
-    // not a per-query rebuild (VERDICT r9 item 7)
-    assert(opt.contains("InMemoryRelation"), opt.take(3000))
+    // not a per-query rebuild (VERDICT r9 item 7). Since r20 the memo
+    // is lineage-truncated (Memo truncate=true → eager localCheckpoint
+    // → LogicalRDD leaf) so consumers re-plan a leaf, not the 14-regex
+    // derivation tree; either materialized form satisfies the property.
+    assert(opt.contains("InMemoryRelation") || opt.contains("LogicalRDD") ||
+      opt.contains("ExistingRDD"), opt.take(3000))
   }
 
   test("image near-dup stays band-bucketed: equi-join candidates, no nested loop") {
