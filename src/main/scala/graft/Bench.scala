@@ -307,6 +307,7 @@ object Bench {
       var envDegraded: Boolean = false, var remeasured: Boolean = false,
       var inLoopDegraded: Boolean = false, var inLoopProbe: Double = -1.0,
       var freshTimes: IndexedSeq[Double] = IndexedSeq.empty,
+      var allFresh: IndexedSeq[Double] = IndexedSeq.empty,
       var medianSource: String = "original") {
       def statReps: IndexedSeq[Double] =
         if (medianSource == "fresh") freshTimes else times
@@ -481,14 +482,19 @@ object Bench {
             // probe-certified measurement is itself certifiable.
             // Fresh reps stay in their OWN window (q.freshTimes) and
             // medianSource records which window won — never merged
-            // into q.times (ADVICE r18 item 5). A later attempt's
-            // fresh window replaces an interrupted earlier one; the
-            // min rule keeps the best certified median either way.
+            // into q.times (ADVICE r18 item 5). q.freshTimes is ONLY
+            // replaced when this attempt's median wins (ADVICE r20
+            // medium: unconditional overwrite could ship
+            // medianSource="fresh" with a median from a DIFFERENT
+            // attempt's window, so spread/IQR described the wrong
+            // window); every attempt's reps still land in allFresh,
+            // which total_floor mins over.
             if (freshMedian < q.median) {
               q.median = freshMedian
               q.medianSource = "fresh"
+              q.freshTimes = fresh
             }
-            q.freshTimes = fresh
+            q.allFresh = q.allFresh ++ fresh
             q.remeasured = true
           }
           val rpp = probeQuick(); noteBest(rpp)
@@ -616,8 +622,12 @@ object Bench {
     // — reported beside the full total so a new audit's deliberate
     // price never reads as a bench regression of the production
     // surface.
+    // explicit audit-query list (ADVICE r20): mm_neardup_recall is the
+    // same bounded-counterfactual class (enumerates uncapped buckets up
+    // to AuditBucketMax) and was missing from the prefix rules
     def isAudit(n: String): Boolean =
-      n == "dedup_governed_recall" || n.contains("_allpairs")
+      n == "dedup_governed_recall" || n == "mm_neardup_recall" ||
+        n.contains("_allpairs")
     val totalExAudits = indexBuild +
       detail.filterNot(q => isAudit(q.name)).map(_.median).sum
     // total_floor: index_build + Σ per-query MIN over every recorded
@@ -629,7 +639,7 @@ object Bench {
     // (the r20 baseline shipped 4 certified-but-5× rows that way).
     // The median stays the headline; the floor bounds it from below.
     val totalFloor = indexBuild + detail.map(q =>
-      (q.times ++ q.freshTimes).min).sum
+      (q.times ++ q.allFresh).min).sum
     // spread/IQR are computed over the window the kept median came
     // from (statReps): merging original+fresh reps inflated the
     // dispersion headline of exactly the rows the recovery pass had
@@ -665,10 +675,14 @@ object Bench {
       val ccJson = q.ccStats.map(c =>
         s""","cc":{"regime":"${c.regime}","rounds":${c.rounds},""" +
           s""""contracted_edges":${c.contractedEdges}}""").getOrElse("")
+      // fresh_reps = the window that sourced the median when fresh
+      // won; otherwise every recovery rep taken (informational — the
+      // median stayed with the original window)
+      val freshShown = if (q.freshTimes.nonEmpty) q.freshTimes else q.allFresh
       val flagJson = (if (q.envDegraded) ""","env_degraded":true""" else "") +
         (if (q.remeasured)
           s""","remeasured":true,"median_source":"${q.medianSource}",""" +
-            s""""fresh_reps":[${q.freshTimes.map(fmt).mkString(",")}]"""
+            s""""fresh_reps":[${freshShown.map(fmt).mkString(",")}]"""
          else "")
       s""""${q.name}":{"reps":[${q.times.map(fmt).mkString(",")}],"median":${fmt(q.median)},""" +
         s""""min":${fmt(sr.head)},"max":${fmt(sr.last)},"spread":${fmt(spread)},""" +
@@ -741,8 +755,17 @@ object Bench {
     // > stored band when the run's floor exceeds the shift cap >
     // none = relative gating)
     val shiftRatio = storedBandD.map(sb => runMin / sb.sampleMin)
+    // the spread that formed the governing band (ADVICE r20): which
+    // derived band is in force depends on bandSource; "env" has no
+    // derivation so no spread
+    val finalSpread: Option[Double] = bandSource match {
+      case "env" => None
+      case "store" | "store-degraded-run" => storedBandD.map(_.spread)
+      case _ => runSelf.map(_.spread)
+    }
     val bandJson =
       s"""{"active":${finalBand.isDefined},"source":"$bandSource",""" +
+        s""""spread":${finalSpread.map(fmt).getOrElse("null")},""" +
         s""""value":${finalBand.map(fmt).getOrElse("null")},""" +
         s""""provisional":${provisionalBand.map(fmt).getOrElse("null")},""" +
         s""""run_self":${runSelf.map(b => fmt(b.value)).getOrElse("null")},""" +

@@ -42,7 +42,14 @@ object Frames {
     * one directory for the lifetime of the context, on exactly the
     * long-lived deployments the toggle targets. */
   def release(df: DataFrame): Unit =
-    df.queryExecution.analyzed.foreach {
+    // Destructive release only when the frame IS the checkpoint — the
+    // analyzed plan's root is the LogicalRDD (ADVICE r20): releasing a
+    // DERIVED frame (a join/projection over a shared checkpoint) would
+    // unpersist — and for reliable checkpoints, DELETE THE FILES of —
+    // a still-referenced ancestor. Every call site passes the
+    // materialize() result directly; a derived frame is a contract
+    // violation and gets a loud no-op instead of silent data loss.
+    df.queryExecution.analyzed match {
       case lr: org.apache.spark.sql.execution.LogicalRDD =>
         scala.util.Try(lr.rdd.unpersist(false))
         lr.rdd.getCheckpointFile.foreach { f =>
@@ -52,6 +59,17 @@ object Frames {
               .delete(p, true)
           }
         }
-      case _ => ()
+      case other =>
+        // a frame with no checkpoint anywhere (persist-flavor Memo
+        // entries route here on invalidate) is a silent no-op, same as
+        // before; a DERIVED frame over embedded checkpoints is the
+        // contract violation worth a loud line
+        val embedded = other.collect {
+          case lr: org.apache.spark.sql.execution.LogicalRDD => lr }.size
+        if (embedded > 0)
+          System.err.println("WARN Frames.release: frame root is " +
+            s"${other.getClass.getSimpleName} with $embedded embedded " +
+            "checkpoint leaves — no-op (release must be called on the " +
+            "materialize() result itself; ancestors stay live)")
     }
 }

@@ -62,6 +62,26 @@ object AnnQueries {
       Ann.prepared(emb(s, dir))
     }
 
+  /** Prepared vectors WITH the shipped partition label — the corpus
+    * side of the IVF serve path (ann_ivf / ann_recall / ann_semdedup
+    * each re-joined prep to the label column per repetition; one
+    * vec_id equi-join, Memo'd like every other index frame). */
+  private def labeledPrep(s: SparkSession, dir: String): DataFrame =
+    graft.core.Memo.cached(s, s"ann_labeled:$dir", truncate = true) {
+      prep(s, dir).join(emb(s, dir).select(col("vec_id"), col("label")),
+        Seq("vec_id"))
+    }
+
+  /** Per-label component-mean centroids over the SHIPPED label column
+    * — the trained half of the IVF index (train once, serve many: the
+    * posexplode + groupBy centroid aggregation was re-running inside
+    * every ann_ivf/ann_recall repetition; deterministic DECIMAL sums
+    * make the Memo'd frame bit-identical to the inline one). */
+  private def ivfCent(s: SparkSession, dir: String): DataFrame =
+    graft.core.Memo.cached(s, s"ann_ivf_cent:$dir", truncate = true) {
+      Ann.centroids(emb(s, dir))
+    }
+
   /** Exact-cosine top-k ground truth over the bounded probe set,
     * Memo'd (round 16): FOUR recall audits were each re-running the
     * same |probes|·n brute pass (~10 s apiece at sf10 — the dominant
@@ -210,8 +230,17 @@ object AnnQueries {
     val cosConsumers = Set("ann_recall", "ann_recall_curve")
     val l2Consumers =
       Set("ann_pq_recall", "ann_ivf_pq_recall", "ann_ivf_pq_persist_recall")
-    if (!cosConsumers.subsetOf(skipped)) cosTruth(s, dir).count()
-    if (!l2Consumers.subsetOf(skipped)) l2Truth(s, dir).count()
+    // the truth passes and the IVF serve-path index frames are
+    // independent given the prep build above — overlap them (guide
+    // §2.6; measured sequential: cos 2.3 s + l2 1.4 s). labeledPrep /
+    // ivfCent build here so their one-time cost lands in index_build
+    // (visible, counted) rather than inside ann_ivf's untimed warm
+    // rep (the memo-truth accounting rule, round 16).
+    graft.core.Par.run(Seq(
+      () => if (!cosConsumers.subsetOf(skipped)) cosTruth(s, dir).count(): Unit,
+      () => if (!l2Consumers.subsetOf(skipped)) l2Truth(s, dir).count(): Unit,
+      () => labeledPrep(s, dir).count(): Unit,
+      () => ivfCent(s, dir).count(): Unit))
   }
 
   /** Scratch locations of persisted IVF-PQ artifacts, keyed by
@@ -585,7 +614,8 @@ object AnnQueries {
     // IVF: probe the 2 nearest coarse partitions, exact top-k inside.
     "ann_ivf" -> ((s, dir) => {
       val q = prep(s, dir).filter(probeSet)
-      Ann.ivfSearch(emb(s, dir), q, nProbe = 2, k = TopK).orderBy("query_id", "rk")
+      Ann.ivfSearchPrepared(labeledPrep(s, dir), ivfCent(s, dir), q,
+        nProbe = 2, k = TopK).orderBy("query_id", "rk")
     }),
 
     // SemDeDup-style semantic dedup: embeddings are pre-clustered
@@ -596,11 +626,8 @@ object AnnQueries {
     // and salted, so a fat cluster spreads over the salt fan-out
     // instead of serializing — the embedding-space dedup a training
     // pipeline runs between exact and fuzzy text dedup.
-    "ann_semdedup" -> ((s, dir) => {
-      val p = prep(s, dir)
-        .join(emb(s, dir).select(col("vec_id"), col("label")), Seq("vec_id"))
-      Ann.semDedup(p, minCos = CosThreshold).orderBy("vec_id")
-    }),
+    "ann_semdedup" -> ((s, dir) =>
+      Ann.semDedup(labeledPrep(s, dir), minCos = CosThreshold).orderBy("vec_id")),
 
     // recall@k audit of the IVF path against brute-force ground
     // truth: per probe query, how many of the true top-k the
@@ -613,7 +640,8 @@ object AnnQueries {
       val p = prep(s, dir)
       val q = p.filter(probeSet)
       val truth = cosTruth(s, dir)
-      val approx = Ann.ivfSearch(emb(s, dir), q, nProbe = 2, k = TopK)
+      val approx = Ann.ivfSearchPrepared(labeledPrep(s, dir), ivfCent(s, dir),
+        q, nProbe = 2, k = TopK)
         .select(col("query_id"), col("neighbor_id"), lit(1).as("hit"))
       truth.join(approx, Seq("query_id", "neighbor_id"), "left")
         .groupBy("query_id")

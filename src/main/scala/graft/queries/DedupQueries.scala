@@ -81,16 +81,11 @@ object DedupQueries {
     // (union-find over the collected min edges, election window
     // planning) during which executors idle — the three derived-table
     // regex scans fill those gaps instead of queueing behind them.
-    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
-    val jobs: Seq[() => Unit] = Seq(
+    graft.core.Par.run(Seq(
       () => fullPart(s, dir).count(): Unit,
       () => derivedPart(s, dir).count(): Unit,
       () => derivedSupplier(s, dir).count(): Unit,
-      () => derivedCustomer(s, dir).count(): Unit)
-    val ts = jobs.map(j => new Thread(() =>
-      try j() catch { case t: Throwable => errs.add(t) }))
-    ts.foreach(_.start()); ts.foreach(_.join())
-    if (!errs.isEmpty) throw errs.peek() // preserve the sequential contract
+      () => derivedCustomer(s, dir).count(): Unit))
   }
 
   /** dedup_governed_recall geometry, shared verbatim by the twin:

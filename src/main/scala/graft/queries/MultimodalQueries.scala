@@ -176,10 +176,14 @@ object MultimodalQueries {
 
   /** Materialize the Memo'd decode stages (Bench warm-up hook — see
     * TextQueries.warmIndexes). */
-  def warmIndexes(s: SparkSession, dir: String): Unit = {
-    decodedFeatures(s, dir).count()
-    dhashIndex(s, dir).count(): Unit
-  }
+  def warmIndexes(s: SparkSession, dir: String): Unit =
+    // the two decode passes are independent (solid-PNG features vs
+    // patterned-PNG dHash, separate Memo keys over the same id
+    // stream) — overlap them (guide §2.6): each is a CPU-bound
+    // ImageIO stage whose lazy persist pays at count()
+    graft.core.Par.run(Seq(
+      () => decodedFeatures(s, dir).count(): Unit,
+      () => dhashIndex(s, dir).count(): Unit))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_features" -> ((s, dir) => {

@@ -242,12 +242,16 @@ object TextQueries {
   /** Materialize the session-shared Memo indexes (shingle sets, MinHash
     * signatures, SimHash signatures) so per-query bench numbers measure
     * the query, not cache-fill order. */
-  def warmIndexes(s: SparkSession, dir: String): Unit = {
-    withSigs(s, dir).count() // builds text_shingles + text_sigs
-    graft.core.Memo.cached(s, s"text_simhash:$dir", truncate = true) {
-      queries("text_simhash")(s, dir)
-    }.count()
-  }
+  def warmIndexes(s: SparkSession, dir: String): Unit =
+    // simhash reads the raw docs (word counts), not the shingle/sig
+    // memos — the two builds are fully independent, so overlap them
+    // (guide §2.6; measured sequential: shingles+sigs 2.5 s,
+    // simhash 3.5 s cold)
+    graft.core.Par.run(Seq(
+      () => withSigs(s, dir).count(): Unit, // builds text_shingles + text_sigs
+      () => graft.core.Memo.cached(s, s"text_simhash:$dir", truncate = true) {
+        queries("text_simhash")(s, dir)
+      }.count(): Unit))
 
   /** Shared derivation for the two decontamination variants: docs
     * labeled train/val/test by the deterministic md5 split bucket,

@@ -61,7 +61,8 @@ object BandStore {
     * ages out samples from a poisoned first run or an old kernel. */
   val MaxSamples = 120
 
-  final case class Band(value: Double, sampleMin: Double, nSamples: Int)
+  final case class Band(value: Double, sampleMin: Double, nSamples: Int,
+    spread: Double = HealthySpreads.head)
 
   def defaultPath: String =
     new java.io.File(System.getProperty("java.io.tmpdir"),
@@ -95,7 +96,10 @@ object BandStore {
         .find(sp => pos.count(_ <= m * sp).toDouble / pos.size >= HealthyCoverage)
         .getOrElse(HealthySpreads.last)
       val healthy = pos.filter(_ <= m * spread)
-      Some(Band(healthy.max * Headroom, m, pos.size))
+      // the chosen spread rides the Band (ADVICE r20): a wide-mode
+      // band certifies runs up to ~2x the floor, and a judge reading
+      // the artifact must be able to see when that mode was in effect
+      Some(Band(healthy.max * Headroom, m, pos.size, spread))
     }
   }
 
@@ -126,7 +130,25 @@ object BandStore {
     try {
       val lockFile = new java.io.RandomAccessFile(path + ".lock", "rw")
       try {
-        val lock = scala.util.Try(lockFile.getChannel.lock()).toOption
+        // tryLock in a bounded retry loop (ADVICE r20): a blocking
+        // lock() stalls the run indefinitely behind a hung peer
+        // holding the .lock file. ~3 s total, then fall back to the
+        // documented unlocked best-effort path (worst case: one run's
+        // samples lost to a concurrent merge — never a stalled run).
+        def tryAcquire(): Option[java.nio.channels.FileLock] = {
+          var left = 30
+          var got: Option[java.nio.channels.FileLock] = None
+          while (got.isEmpty && left > 0) {
+            got = scala.util.Try(Option(lockFile.getChannel.tryLock()))
+              .toOption.flatten
+            if (got.isEmpty) { Thread.sleep(100); left -= 1 }
+          }
+          got
+        }
+        val lock = tryAcquire()
+        if (lock.isEmpty)
+          System.err.println(s"WARN BandStore: lock on $path.lock timed out; " +
+            "appending unlocked (best-effort)")
         try appendLocked(path, sig, fresh)
         finally lock.foreach(l => scala.util.Try(l.release()))
       } finally lockFile.close()
