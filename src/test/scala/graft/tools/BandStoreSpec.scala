@@ -97,4 +97,16 @@ class BandStoreSpec extends AnyFunSuite {
     assert(s32 !== s16)
     assert(s32.forall(c => c.isLetterOrDigit || c == '.' || c == '_' || c == '-'))
   }
+
+  test("derive stamps the spread that formed the cluster (ADVICE r20)") {
+    // tight box: the 1.5x cluster already covers the majority
+    val tight = Seq(0.51, 0.56, 0.61, 0.70, 0.76, 0.82, 1.9, 3.4, 0.66, 0.58)
+    assert(BandStore.derive(tight).get.spread === 1.5)
+    // wide box: the derivation must say it ran in wide mode, so a
+    // judge reading the artifact can see a ~2x-of-floor band was in
+    // force when the run certified itself
+    val wide = Seq(0.42, 0.48, 0.52, 0.55, 0.58, 0.62, 0.66, 0.70,
+      0.74, 0.78, 0.82, 0.85, 1.2, 1.6, 3.4, 6.5)
+    assert(BandStore.derive(wide).get.spread === 2.0)
+  }
 }
