@@ -71,19 +71,34 @@ object Pipeline {
     * (row_order, original_name, normalized_name, base_name, block_key,
     *  cluster_id, cluster_size, canonical_name, confidence, reason). */
   def run(df: DataFrame, nameCol: String, rowOrderCol: String,
-      settings: DedupSettings = DedupSettings()): DataFrame = {
-
+      settings: DedupSettings = DedupSettings()): DataFrame =
     // spread the source before the normalize chain: a single-split
     // scan would run the 14-regex base-name derivation serially on
     // one core, twice (the stats build and the row-level confidence
     // join both read `derived`). Gated no-op at production split
     // counts; row_order is an explicit source key, so partitioning
     // never affects results (guide §2.4).
-    val derived = Normalize.withDerived(
-      graft.core.Tables.spread(df, rowOrderCol), nameCol, rowOrderCol, settings)
+    runDerived(Normalize.withDerived(
+      graft.core.Tables.spread(df, rowOrderCol), nameCol, rowOrderCol, settings),
+      settings)
+
+  /** [[run]] over an ALREADY-derived frame (any frame carrying the
+    * five normalize output columns, e.g. a session-Memo'd
+    * `Normalize.withDerived` materialization). The derivation must
+    * have been produced with the SAME settings — the normalize chain
+    * is settings-dependent (suffix folding, add-map), so a caller
+    * holding a default-settings derived table may only pass
+    * default settings here. Exists so a host that has already
+    * materialized the derived table (the "normalize once, query the
+    * derived table" pattern) does not re-pay the 14-regex chain
+    * inside the pipeline — results are bit-identical because the
+    * derivation is deterministic. */
+  def runDerived(derivedFull: DataFrame,
+      settings: DedupSettings = DedupSettings()): DataFrame = {
+    val derived = derivedFull
       .select("row_order", "original_name", "normalized_name", "base_name", "block_key")
 
-    val spark = df.sparkSession
+    val spark = derivedFull.sparkSession
     // reliable-checkpoint toggle (VERDICT r18 item 7): a set
     // checkpointDir switches every materialization below (and in
     // Matching/Cluster) from executor-local blocks to durable

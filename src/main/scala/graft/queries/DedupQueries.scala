@@ -52,7 +52,12 @@ object DedupQueries {
     * materialization per session (one run + cache, then projections). */
   private def fullPart(s: SparkSession, dir: String): DataFrame =
     graft.core.Memo.cached(s, s"dedup_full:$dir", truncate = true) {
-      Pipeline.run(Tables.part(s, dir), "p_name", "p_partkey")
+      // consume the Memo'd derived table (same default settings)
+      // instead of re-deriving inside the pipeline: the warm's four
+      // parallel builds then share ONE 14-regex normalize pass over
+      // part — the fullPart thread blocks on derivedPart's future and
+      // proceeds, rather than racing a duplicate derivation
+      Pipeline.runDerived(derivedPart(s, dir))
     }
 
   /** The distinct-name index feeds every pair query over its table
